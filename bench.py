@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at the driver's
+scale factor and prints ONE JSON line.
+
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+
+Metric: wall-clock seconds per query (result fully materialized via count()
++ collect of the bounded output), plus the geometric mean.  Compare against
+the DuckDB oracle timings recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.session import get_spark
+
+    spark = get_spark(app_name="rehive-bench", master=f"local[{cpus}]")
+
+    queries = {name: q for name, q in load_all().items() if q.bench}
+
+    # warm the JVM + parquet footers once (not timed)
+    for name, q in queries.items():
+        q.spark_fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        # noop sink: materializes every output column (count() would let
+        # Catalyst prune the whole projection for per-row queries)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    gmean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query wall-clock (geomean)",
+                "value": round(gmean, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Catalog: register Parquet-backed tables as Spark SQL views.
+
+The reference declares its nine tables in code and hands execution to
+Postgres (render-complete-deploy.js:31-145); here the analogous role is
+played by the Spark session catalog.  ``register_testdata`` makes the
+driver's parquet tables queryable by name from both the DataFrame API and
+``spark.sql`` — the same dual surface the reference exposes through
+Drizzle's builder + raw-SQL escape hatch.
+
+At 100 TB scale these would be external Hive-metastore tables partitioned
+by date; the read path (``spark.read.parquet`` + explicit schema) is
+identical, so nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from r_e_hive__spark.schemas import TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable SQL confs the declared queries depend on for determinism.
+# The driver may hand us a vanilla session built without our factory
+# (session.get_spark), so every load path re-pins these defensively.
+_REQUIRED_CONFS = {
+    # testdata parquet stores TIMESTAMP(NANOS); read as long, convert below
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # exact decimal arithmetic — keeps decimal(38,12) accumulators stable
+    # instead of silently dropping scale (SURVEY.md §1.3)
+    "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+    # all declared queries pin UTC (SURVEY.md §2.12 determinism rules)
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin determinism-critical runtime confs on a possibly-vanilla session."""
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``r_e_hive__spark`` importable inside Python workers.
+
+    A vanilla driver session (the grading driver, a spark-submit job) may have
+    this package on the *driver's* sys.path only; closures that reference
+    package functions (mapInPandas metadata extraction, stateful streaming)
+    are pickled by module reference and the worker must import them.  Zip the
+    package once and ``addPyFile`` it — the same mechanism used to deploy the
+    engine to a real cluster.
+    """
+    try:
+        sc = spark.sparkContext
+    except Exception:  # Connect-only session: workers share server-side path
+        return
+    if getattr(sc, "_rehive_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"r_e_hive__spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        sc.addPyFile(zip_path)
+        sc._rehive_pyfiles_added = True
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table, normalized to its declared schema.
+
+    The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
+    Spark has no native type for: with ``spark.sql.legacy.parquet.nanosAsLong``
+    they surface as LongType nanoseconds, converted here to TimestampType
+    (micros, truncating — identical to how DuckDB reads the same files).
+    Column pruning/pushdown still applies: the conversion is a projection on
+    top of the parquet scan.
+    """
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    target = TESTDATA_SCHEMAS.get(name)
+    if target is None:
+        return df
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, TimestampType) and isinstance(
+            actual.get(f.name), LongType
+        ):
+            # nanos → micros via integer division — double division would
+            # lose precision at e18-scale nanos (off-by-one micros)
+            c = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+        elif actual.get(f.name) != f.dataType:
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in tables or tuple(TESTDATA_SCHEMAS):
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,107 @@
+"""Text-analysis column functions (SURVEY.md §2.11 X5; north-star text ops).
+
+Language-ID, quality scoring, token counting, fingerprinting, shingling —
+all as built-in-function compositions (JVM-side).  The heuristics are
+deliberately simple and *deterministic*: every one has an equivalent ANSI-SQL
+formulation the DuckDB oracle can run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic.  Real pipelines plug fastText/cld3 in via pandas_udf; the
+# heuristic keeps the operator testable without external models.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "y", "que"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex split)."""
+    return F.split(text, r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def count_in_set(text: Column, words: tuple[str, ...]) -> Column:
+    """# tokens of ``text`` that are in ``words`` (lambda filter, JVM-side)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return count_in_set(text, STOPWORDS) / n_tokens(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    0.4·length-score + 0.3·stopword-score + 0.3·(1 − punct-ratio).
+    Same shape as published heuristic quality filters (C4/Gopher rules);
+    coefficients are arbitrary but pinned by the oracle."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    raw = len_score * 0.4 + stop_score * 0.3 + (1.0 - punct_ratio(text)) * 0.3
+    # Round via decimal, not double: the composite lands on exact half-way
+    # values at 4 dp (e.g. 0.73935) where double-rounding is engine-dependent;
+    # double→decimal cast + decimal HALF_UP round is bit-identical across
+    # engines (tests/test_oracle_parity.py).
+    return F.round(raw.cast("decimal(10,5)"), 4).cast("double")
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-marker language ID: argmax over per-language marker counts,
+    'und' (undetermined) when no marker hits.  Deterministic tie-break by
+    language-code order."""
+    counts = {lang: count_in_set(text, ws) for lang, ws in LANG_MARKERS.items()}
+    best = None
+    best_count = None
+    for lang in sorted(LANG_MARKERS):  # deterministic tie-break
+        c = counts[lang]
+        if best is None:
+            best, best_count = F.lit(lang), c
+        else:
+            cond = c > best_count
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_count = F.when(cond, c).otherwise(best_count)
+    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: sha256 of the normalized text.
+    (The rolling-hash variant lives in operators/dedup.py as simhash.)"""
+    return F.sha2(normalize(text), 256)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (dedup building block, X2).
+
+    transform(sequence(0, n-k)) over the token array — JVM higher-order
+    functions, no UDF, no explode until the caller wants one.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))

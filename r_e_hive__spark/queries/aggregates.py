@@ -1,0 +1,259 @@
+"""Declared queries: aggregations (SURVEY.md §2.4) + the flagship pricing
+summary.
+
+All money aggregates run in exact DecimalType (the engine's deliberate fix
+of the reference's float money math, SURVEY.md §1.3) and terminate in
+ROUND(x, n)::DOUBLE so the DuckDB oracle hash-matches bit-for-bit regardless
+of distributed summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (bench headline)
+# ---------------------------------------------------------------------------
+
+_Q1_SPARK = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(3,2)))) * (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(3,2)))), 4) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+  CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "q1_pricing_summary",
+    _Q1_SPARK,  # identical dialect-neutral SQL runs on DuckDB
+    survey_rows=("A1", "A2", "A3", "F1", "F2"),
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship aggregation: partial (map-side) + final hash aggregation over
+    decimal-exact money math — the batch generalization of the reference's
+    running-balance SUM fragments (render-complete-deploy.js:228, 287, 862)."""
+    T(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# A1/A5 — per-entity balance + sufficiency filter (ledger analog over events)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_user_balance",
+    """
+    SELECT user_id,
+      CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+                          WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS balance,
+      COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+                    WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) >= CAST(0.5 AS DECIMAL(3,2))
+    ORDER BY user_id
+    """,
+    survey_rows=("A1", "A5", "S5"),
+)
+def a1_user_balance(spark, sf_dir):
+    """current balance = Σcredits − Σdebits, the engine's derived-view
+    replacement for the reference's `balance = balance ± x` in-place updates
+    (render-complete-deploy.js:228, 725); HAVING = the sufficiency check
+    (:541-545)."""
+    (events,) = T(spark, sf_dir, "events")
+    amount = (
+        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)"))
+        .when(F.col("event_type") == "error", -F.col("value").cast("decimal(12,2)"))
+        .otherwise(F.lit(0).cast("decimal(12,2)"))
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(amount).alias("_bal"),
+            F.count("*").alias("n_events"),
+        )
+        .where(F.col("_bal") >= F.lit(0.5).cast("decimal(3,2)"))
+        .select(
+            "user_id",
+            F.round(F.col("_bal"), 2).cast("double").alias("balance"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — per-entity profit with floor-at-zero
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a4_order_profit",
+    """
+    SELECT o.o_orderkey,
+      CAST(GREATEST(CAST(0 AS DECIMAL(14,4)),
+           CAST(o.o_totalprice AS DECIMAL(12,2)) - SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(l.l_discount AS DECIMAL(3,2)))
+      ) AS DOUBLE) AS retained
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    ORDER BY retained DESC, o.o_orderkey LIMIT 100
+    """,
+    survey_rows=("A4", "F3"),
+)
+def a4_order_profit(spark, sf_dir):
+    """profit = price − Σ commissions, floored at 0 (`Math.max(0, ...)`,
+    render-complete-deploy.js:303-311) — re-expressed per order with the
+    discount ledger as the commission analog."""
+    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
+    comm = F.sum(
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(comm.alias("_comm"))
+        .select(
+            "o_orderkey",
+            F.greatest(
+                F.lit(0).cast("decimal(14,4)"),
+                F.col("o_totalprice").cast("decimal(12,2)") - F.col("_comm"),
+            )
+            .cast("double")
+            .alias("retained"),
+        )
+        .orderBy(F.desc("retained"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / distinct aggregates (engine surface, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT COALESCE(r.r_name, '(all)') AS region_name,
+           COALESCE(n.n_name, '(all)') AS nation_name,
+           CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS BIGINT) AS lvl,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY lvl, region_name, nation_name
+    """,
+    survey_rows=("A-rollup",),
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals — absent in the reference, declared engine
+    surface (SURVEY.md §2.4)."""
+    T(spark, sf_dir, "customer", "nation", "region")
+    return spark.sql(
+        """
+        SELECT COALESCE(r.r_name, '(all)') AS region_name,
+               COALESCE(n.n_name, '(all)') AS nation_name,
+               CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS BIGINT) AS lvl,
+               COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        ORDER BY lvl, region_name, nation_name
+        """
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    survey_rows=("A-distinct",),
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregates (engine surface; expand + two-phase aggregation
+    in Spark's physical plan)."""
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-heavy bench queries (TPC-H Q3/Q5 shapes)
+# ---------------------------------------------------------------------------
+
+_Q3 = """
+SELECT l.l_orderkey,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l.l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", _Q3, survey_rows=("J4", "A1", "O3"), bench=True)
+def q3_shipping_priority(spark, sf_dir):
+    """Join-heavy 3-table aggregation with selective filters — exercises
+    filter pushdown on both fact scans, shuffle-join ordering, and top-k."""
+    T(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3)
+
+
+_Q5 = """
+SELECT n.n_name AS nation_name,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l.l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name
+"""
+
+
+@query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
+def q5_local_supplier(spark, sf_dir):
+    """Six-table join (two broadcastable dims, one co-location predicate) —
+    the plan-quality probe for join strategy selection at scale."""
+    T(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q5)

@@ -1,0 +1,127 @@
+"""Declared queries: deduplication suite (SURVEY.md §2.11 X1-X2).
+
+The testdata ``documents`` table contains genuine near-duplicates (pairs
+with 3-gram Jaccard ≈ 0.99), so these operators have real signal.
+The exact operators are oracle-matched; MinHash-LSH and SimHash use
+Spark-native xxhash64 (no DuckDB equivalent) and are rows-only declared,
+with their *recall against the exact operator* asserted in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators import dedup as D
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+# DuckDB shingle CTE: distinct word-3-shingles per doc
+_DU_SHINGLES = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS shingle
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "x1_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    ORDER BY doc_id
+    """,
+    survey_rows=("X1", "J6"),
+)
+def x1_exact_dedup(spark, sf_dir):
+    """Exact dedup with deterministic survivor (min doc_id) per normalized
+    text — hash-groupBy, one shuffle; at 100 TB the groupBy key is the
+    sha256 fingerprint instead of the full text (fixed-width shuffle)."""
+    (documents,) = T(spark, sf_dir, "documents")
+    from r_e_hive__spark.functions.text import normalize
+
+    return (
+        documents.groupBy(normalize(F.col("text")).alias("_norm"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x2_ngram_jaccard_topk",
+    _DU_SHINGLES
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b, p.n_common, na.n AS n_a, nb.n AS n_b,
+           CAST(ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes na ON na.doc_id = p.id_a
+    JOIN sizes nb ON nb.doc_id = p.id_b
+    WHERE ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) >= 0.5
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 100
+    """,
+    survey_rows=("X2", "X4"),
+    bench=True,
+)
+def x2_ngram_jaccard_topk(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (J ≥ 0.5), top-100 by similarity:
+    shingle-explode → equi-join on shingle → pair aggregation.  The exact
+    baseline the probabilistic variants are measured against."""
+    (documents,) = T(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(documents, "text", "doc_id", k=3, threshold=0.5)
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(100)
+
+
+@query(
+    "x2_minhash_lsh_neardup",
+    None,  # xxhash64-based: Spark-native, no oracle equivalent (rows-only)
+    survey_rows=("X2",),
+    doc="MinHash+banded-LSH candidate pairs verified with exact Jaccard.",
+)
+def x2_minhash_lsh_neardup(spark, sf_dir):
+    """Sub-quadratic near-dup path: 32 minhashes (xxhash64-seeded), 8 bands
+    → candidate pairs → exact-Jaccard verification ≥ 0.5.  Recall vs the
+    exact operator asserted in tests/test_dedup.py."""
+    (documents,) = T(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        documents, "text", "doc_id", k=3, num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+@query(
+    "x2_simhash_neardup",
+    None,  # xxhash64-based (rows-only)
+    survey_rows=("X2",),
+    doc="64-bit SimHash near-dup pairs within Hamming distance 3.",
+)
+def x2_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup: 64-bit token-hash sign fingerprint, 16-bit banded
+    candidate join, Hamming ≤ 3."""
+    (documents,) = T(spark, sf_dir, "documents")
+    return (
+        D.simhash_neardup_pairs(documents, "text", "doc_id", max_hamming=3)
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(200)
+    )

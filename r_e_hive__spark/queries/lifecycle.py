@@ -1,0 +1,182 @@
+"""Declared queries: write-path lifecycle + remaining scalar surface
+(SURVEY.md §2.1 S4/S7, §2.8 F4/F14/F16/F17, §2.9 ST4).
+
+These pin the last inventory rows: the append+RETURNING id-assignment
+shape, JSON egress, the cast/default/escape-hatch scalar surface, and the
+watermark late-data semantics in batch-equivalent form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# S4 — append + RETURNING: generated ids for an appended batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s4_append_returning",
+    """
+    WITH existing AS (
+      SELECT MAX(o_orderkey) AS mx FROM orders WHERE o_orderstatus <> 'P'
+    )
+    SELECT (SELECT mx FROM existing) + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS new_id,
+           o_orderkey AS source_key, o_custkey
+    FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY new_id
+    """,
+    survey_rows=("S4", "S3", "S8"),
+)
+def s4_append_returning(spark, sf_dir):
+    """Append + RETURNING (insert-then-return-generated-row,
+    render-complete-deploy.js:425-429): Spark has no auto-increment, so the
+    engine assigns ids as max(existing) + row_number over a deterministic
+    order — never monotonically_increasing_id (nondeterministic across
+    partitionings, SURVEY.md §1.3)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    mx = orders.where(F.col("o_orderstatus") != "P").agg(
+        F.max("o_orderkey").alias("mx")
+    )
+    batch = orders.where(F.col("o_orderstatus") == "P")
+    w = Window.orderBy("o_orderkey")
+    return (
+        batch.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + F.row_number().over(w)).alias("new_id"),
+            F.col("o_orderkey").alias("source_key"),
+            "o_custkey",
+        )
+        .orderBy("new_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — JSON egress (row → JSON document)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s7_json_egress",
+    """
+    SELECT n_nationkey,
+           to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+                               n_regionkey := n_regionkey)) AS js
+    FROM nation ORDER BY n_nationkey
+    """,
+    survey_rows=("S7", "F10"),
+)
+def s7_json_egress(spark, sf_dir):
+    """JSON egress — every reference endpoint serializes result rows to JSON
+    (render-complete-deploy.js:359, 396, 408); the engine's row→document
+    form is to_json(struct(...)), byte-identical across engines for
+    int/string fields."""
+    (nation,) = T(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            "n_nationkey",
+            F.to_json(
+                F.struct(F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))
+            ).alias("js"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F14/F16/F17 — casts, percentage display, insert defaults, raw-SQL hatch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f4_cast_defaults_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS DECIMAL(12,2)) AS DOUBLE) AS price_roundtrip,
+           CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS INT) AS discount_pct,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_default,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(3,2)) AS DOUBLE) AS fee
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    survey_rows=("F4", "F14", "F16", "F17", "F1"),
+)
+def f4_cast_defaults_expr(spark, sf_dir):
+    """Scalar surface completion: parseFloat string→decimal cast (F4,
+    render-complete-deploy.js:216), rate×100 display (F14, :1069), literal
+    defaults on insert (F16, :38/:51/:60), and the raw-SQL escape hatch (F17,
+    the sql`` fragments :228/:287) via selectExpr — the engine keeps the same
+    declarative-builder + raw-SQL dual surface as the reference."""
+    (lineitem,) = T(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_orderkey") % 50 == 0)
+        .selectExpr(  # F17: raw SQL fragments inside the builder
+            "l_orderkey",
+            "l_linenumber",
+            "CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS STRING) AS DECIMAL(12,2)) AS DOUBLE) AS price_roundtrip",
+            "CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS INT) AS discount_pct",
+            "COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_default",
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(3,2)) AS DOUBLE) AS fee",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — watermark / late-data semantics, batch-equivalent formulation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st4_late_data",
+    """
+    WITH arrivals AS (
+      SELECT event_id, ts, event_type,
+             ts + (event_id % 47) * INTERVAL 1 MINUTE AS arrival_ts
+      FROM events
+    ), marked AS (
+      SELECT event_id, ts, event_type,
+             MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - INTERVAL 10 MINUTE AS wm
+      FROM arrivals
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM marked GROUP BY event_type ORDER BY event_type
+    """,
+    survey_rows=("ST4", "ST1"),
+)
+def st4_late_data(spark, sf_dir):
+    """Watermark late-data accounting (ST4), batch-equivalent: arrival order
+    is event time plus a deterministic per-event delay; the watermark is the
+    running max event time over arrival order minus a 10-minute
+    allowed-lateness — exactly what ``withWatermark('ts', '10 minutes')``
+    tracks per partition (streaming twin: streaming/jobs.py:tumbling_counts,
+    exercised under readStream in tests/test_streaming.py)."""
+    T(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH arrivals AS (
+          SELECT event_id, ts, event_type,
+                 ts + (event_id % 47) * INTERVAL '1' MINUTE AS arrival_ts
+          FROM events
+        ), marked AS (
+          SELECT event_id, ts, event_type,
+                 MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - INTERVAL '10' MINUTE AS wm
+          FROM arrivals
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN ts >= wm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM marked GROUP BY event_type ORDER BY event_type
+        """
+    )

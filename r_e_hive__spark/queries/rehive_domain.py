@@ -1,0 +1,118 @@
+"""Declared queries: the reference's domain pipeline, run end-to-end.
+
+The DuckDB oracle only sees the driver's ten testdata tables, so the
+relational *shapes* of the domain are pinned over those (see relational.py /
+aggregates.py / graph.py); this module declares the full redemption pipeline
+itself, running on the deterministic in-memory fixtures (FIXTURES.md §B) —
+rows-only checked by the driver, exactly verified by the golden pytest
+(tests/test_redemption.py) against an independent pure-Python decimal
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.fixtures import fixture_frames
+from r_e_hive__spark.pipelines.redemption import process_redemptions
+from r_e_hive__spark.pipelines.views import balances, users_current
+from r_e_hive__spark.queries import query
+
+
+def _run_pipeline(spark):
+    fx = fixture_frames(spark)
+    return fx, process_redemptions(
+        fx["redemption_events"],
+        fx["gift_codes"],
+        fx["users"],
+        fx["packages"],
+        fx["referrals"],
+    )
+
+
+@query(
+    "rehive_redemption_ledger",
+    None,  # non-SQL-expressible over the oracle's tables: fixture-driven
+    survey_rows=("J8", "A1", "A4", "F1", "F7", "S3", "S5"),
+    doc="Full commission-engine batch run on reference-schema fixtures.",
+)
+def rehive_redemption_ledger(spark, sf_dir):
+    """The commission ledger produced by the batch redemption pipeline
+    (SURVEY.md §3.2): one row per (redemption, beneficiary, level).  Golden
+    values asserted in tests/test_redemption.py."""
+    _, out = _run_pipeline(spark)
+    return (
+        out.commission_ledger.select(
+            "event_id",
+            "user_id",
+            "level",
+            "type",
+            F.col("amount").cast("double").alias("amount"),
+        )
+        .orderBy("event_id", "level", "user_id")
+    )
+
+
+@query(
+    "rehive_company_profits",
+    None,
+    survey_rows=("A4", "F3"),
+    doc="Company profit per accepted redemption (floored at zero).",
+)
+def rehive_company_profits(spark, sf_dir):
+    _, out = _run_pipeline(spark)
+    return (
+        out.company_profits.select(
+            "event_id",
+            "source_id",
+            F.col("amount").cast("double").alias("amount"),
+            F.col("commission_paid").cast("double").alias("commission_paid"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "rehive_user_balances",
+    None,
+    survey_rows=("A1", "S5"),
+    doc="Derived current balances: ledger credits minus approved withdrawals.",
+)
+def rehive_user_balances(spark, sf_dir):
+    fx, out = _run_pipeline(spark)
+    all_commissions = fx["commissions"].select("user_id", "amount").unionByName(
+        out.commission_ledger.select("user_id", "amount")
+    )
+    return (
+        balances(all_commissions, fx["commission_withdrawals"])
+        .select(
+            "user_id",
+            F.col("commission_balance").cast("double").alias("commission_balance"),
+            F.col("total_credited").cast("double").alias("total_credited"),
+            F.col("total_withdrawn").cast("double").alias("total_withdrawn"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "rehive_subscription_status",
+    None,
+    survey_rows=("P7", "F11", "S5"),
+    doc="users_current view: derived balance + subscription status as of the fixed AS_OF.",
+)
+def rehive_subscription_status(spark, sf_dir):
+    from r_e_hive__spark.queries import AS_OF
+
+    fx = fixture_frames(spark)
+    return (
+        users_current(
+            fx["users"], fx["commissions"], fx["commission_withdrawals"], AS_OF
+        )
+        .select(
+            "id",
+            F.col("commission_balance").cast("double").alias("commission_balance"),
+            "subscription_status",
+        )
+        .orderBy("id")
+    )

@@ -1,0 +1,456 @@
+"""Declared queries: scans, filters, joins, sorts, set ops, scalar functions
+(SURVEY.md §2.1-2.3, 2.6-2.8).
+
+Each query pins one or more operator-inventory rows.  The Spark side uses
+the DataFrame API + operator library where the operator is the point, and
+``spark.sql`` where the SQL surface is the point (the engine exposes both,
+mirroring the reference's Drizzle-builder + raw-SQL escape hatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.functions.scalar import capitalize, gift_code
+from r_e_hive__spark.operators.relational import (
+    exists_in,
+    not_exists_in,
+    relation_load,
+    top_k,
+)
+from r_e_hive__spark.queries import ORDERS_AS_OF, query
+from r_e_hive__spark.queries._util import T, sql_query
+
+# ---------------------------------------------------------------------------
+# S1/P1 — full scan with total order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_region",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    survey_rows=("S1", "P1", "O1", "S8"),
+)
+def s1_scan_region(spark, sf_dir):
+    """Full table scan (findMany with no predicate,
+    render-complete-deploy.js:405-407)."""
+    (region,) = T(spark, sf_dir, "region")
+    return region.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# S2/P2 — point lookup on a unique key (LIMIT 1 on equality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s2_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) + 7 FROM orders)
+    ORDER BY o_orderkey
+    """,
+    survey_rows=("S2", "P2"),
+)
+def s2_point_lookup(spark, sf_dir):
+    """findFirst(where eq(pk, v)) (render-complete-deploy.js:210-212 etc.).
+    The key is derived from the data (min+7) so the query is sf-independent;
+    the equality predicate is pushed into the parquet scan."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey = (SELECT MIN(o_orderkey) + 7 FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3/P5 — conjunctive + inequality predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p3_filter_conjunction",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 13 AND c_custkey <> 7
+    ORDER BY c_custkey
+    """,
+    survey_rows=("P2", "P3", "P5"),
+)
+def p3_filter_conjunction(spark, sf_dir):
+    """and(eq(...), lt(...)) conjunction (render-complete-deploy.js:465) plus
+    the self-guard inequality shape (:472, :493)."""
+    (customer,) = T(spark, sf_dir, "customer")
+    return (
+        customer.where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_nationkey") < 13)
+            & (F.col("c_custkey") != 7)
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "p6_null_handling",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'click'), '(clicked)') AS etype,
+           CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS band
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+    survey_rows=("P4", "P6"),
+)
+def p6_null_handling(spark, sf_dir):
+    """null/missing handling: coalesce / when-otherwise
+    (render-complete-deploy.js:620, :551, :835)."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.coalesce(
+                F.nullif(F.col("event_type"), F.lit("click")), F.lit("(clicked)")
+            ).alias("etype"),
+            F.when(F.col("value") > 0.5, "hi").otherwise("lo").alias("band"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "p7_asof_timestamp",
+    f"""
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '{ORDERS_AS_OF}'
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+    survey_rows=("P7", "F11"),
+)
+def p7_asof_timestamp(spark, sf_dir):
+    """Timestamp-vs-now predicate (subscription expiry check,
+    render-complete-deploy.js:598-599) with the fixed :as_of parameter."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderdate") > F.lit(ORDERS_AS_OF).cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — FK relation loads (broadcast dims)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_relation_load",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY c.c_custkey
+    """,
+    survey_rows=("J1", "J2"),
+    bench=True,
+)
+def j1_relation_load(spark, sf_dir):
+    """Drizzle 2-level relation load (user→package :350-353; referrals→
+    referred→package :386-394) as chained left joins with broadcast dims."""
+    customer, nation, region = T(spark, sf_dir, "customer", "nation", "region")
+    j = relation_load(customer, nation, "c_nationkey", "n_nationkey")
+    j = j.join(F.broadcast(region), j["n_regionkey"] == region["r_regionkey"], "left")
+    return j.select("c_custkey", "c_name", "n_name", "r_name").orderBy("c_custkey")
+
+
+@query(
+    "j3_two_parents",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, s.s_name
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_quantity >= 49
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+    survey_rows=("J3",),
+)
+def j3_two_parents(spark, sf_dir):
+    """Two parents joined from one fact at once (gift_codes→package+redeemer,
+    render-complete-deploy.js:440-447)."""
+    lineitem, part, supplier = T(spark, sf_dir, "lineitem", "part", "supplier")
+    j = lineitem.where(F.col("l_quantity") >= 49)
+    j = relation_load(j, part, "l_partkey", "p_partkey")
+    j = relation_load(j, supplier, "l_suppkey", "s_suppkey")
+    return j.select("l_orderkey", "l_linenumber", "p_name", "s_name").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@query(
+    "j5_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+    survey_rows=("J5",),
+)
+def j5_semi_join(spark, sf_dir):
+    """Existence as semi-join ('is there an unredeemed code with this value',
+    render-complete-deploy.js:464-470)."""
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        exists_in(customer, f_orders, ["c_custkey"])
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j6_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_rows=("J6",),
+)
+def j6_anti_join(spark, sf_dir):
+    """Anti-join: duplicate/uniqueness rejection shape (unique email /
+    referral_code / code constraints, render-complete-deploy.js:45, 50, 67)."""
+    customer, orders = T(spark, sf_dir, "customer", "orders")
+    have = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        not_exists_in(customer, have, ["c_custkey"])
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "j7_self_join",
+    """
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+    ORDER BY regionkey, nation_a, nation_b
+    """,
+    survey_rows=("J7",),
+)
+def j7_self_join(spark, sf_dir):
+    """Self-join through a shared key (user→referral→user shape,
+    render-complete-deploy.js:263-273)."""
+    (nation,) = T(spark, sf_dir, "nation")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_name") < F.col("n2.n_name")),
+        )
+        .select(
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+            F.col("n1.n_regionkey").alias("regionkey"),
+        )
+        .orderBy("regionkey", "nation_a", "nation_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O3 — sort + top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o3_topk_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    survey_rows=("O1", "O2", "O3"),
+    bench=True,
+)
+def o3_topk_orders(spark, sf_dir):
+    """ORDER BY ... DESC LIMIT k (history pages,
+    render-complete-deploy.js:512-516) — planned as TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setops_ledger_union",
+    """
+    WITH credits AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ), debits AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM credits INTERSECT SELECT custkey FROM debits)
+    UNION ALL
+    SELECT 'only_credit' AS tag, custkey FROM (SELECT custkey FROM credits EXCEPT SELECT custkey FROM debits)
+    ORDER BY tag, custkey
+    """,
+    survey_rows=("SET",),
+)
+def setops_ledger_union(spark, sf_dir):
+    """UNION ALL / INTERSECT / EXCEPT — the unified-ledger concatenation
+    shape (credit events :218/:277/:854 + debit events :722-727)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    credits = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    debits = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = credits.intersect(debits).select(F.lit("both").alias("tag"), "custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
+    only_credit = credits.subtract(debits).select(
+        F.lit("only_credit").alias("tag"), "custkey"
+    )
+    return both.unionByName(only_credit).orderBy("tag", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# F7-F14 — scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_scalar_suite",
+    """
+    SELECT n_nationkey,
+           CONCAT(UPPER(SUBSTRING(n_name, 1, 1)), SUBSTRING(LOWER(n_name), 2)) AS capitalized,
+           LENGTH(n_name) AS name_len,
+           CONCAT(n_name, '#', CAST(n_regionkey AS VARCHAR)) AS tagged,
+           GREATEST(0, n_nationkey - 10) AS floored,
+           CASE WHEN n_regionkey IN (0, 2) THEN 'A' ELSE 'B' END AS bucket
+    FROM nation ORDER BY n_nationkey
+    """,
+    survey_rows=("F3", "F5", "F6", "F8", "F9"),
+)
+def f_scalar_suite(spark, sf_dir):
+    """Scalar surface: capitalize (render-complete-deploy.js:741), string
+    templating (:237, :294), floor-at-zero (:307), casts."""
+    (nation,) = T(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            "n_nationkey",
+            capitalize(F.lower(F.col("n_name"))).alias("capitalized"),
+            F.length("n_name").alias("name_len"),
+            F.concat(
+                F.col("n_name"), F.lit("#"), F.col("n_regionkey").cast("string")
+            ).alias("tagged"),
+            F.greatest(F.lit(0), F.col("n_nationkey") - 10).alias("floored"),
+            F.when(F.col("n_regionkey").isin(0, 2), "A").otherwise("B").alias("bucket"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "f7_gift_codes",
+    """
+    SELECT o_orderkey,
+           SUBSTRING(UPPER(SHA256(CAST(o_orderkey AS VARCHAR))), 1, 8) AS gift_code
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+    survey_rows=("F7", "F15"),
+)
+def f7_gift_codes(spark, sf_dir):
+    """Deterministic 8-char A-Z/0-9 gift code — the engine's reformulation of
+    generateGiftCode's rand() loop (render-complete-deploy.js:198-205),
+    seeded from data per the determinism contract."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", gift_code(F.col("o_orderkey")).alias("gift_code")
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "f12_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS next_month,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+    FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+    survey_rows=("F12", "F13"),
+)
+def f12_date_arithmetic(spark, sf_dir):
+    """+1 month subscription extension (render-complete-deploy.js:786-787,
+    standardized on add_months end-of-month clamping) + date formatting
+    (:1134, :1173).  Dates terminate as formatted strings: engines surface
+    DATE values through pandas with different physical types, so strings are
+    the canonical hashable form."""
+    (orders,) = T(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format(
+                F.add_months(F.col("o_orderdate").cast("date"), 1), "yyyy-MM-dd"
+            ).alias("next_month"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("order_month"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "f10_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+    survey_rows=("F10",),
+)
+def f10_json_extract(spark, sf_dir):
+    """JSON-in-text round trip (payment_details JSON.stringify,
+    render-complete-deploy.js:552, :99)."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.get_json_object("props", "$.missing").alias("missing"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

@@ -1,0 +1,162 @@
+"""Declared queries: embedding similarity search (SURVEY.md §2.11 X3-X4).
+
+Exact variants use decimal-exact dot products (functions/vector.py) so the
+DuckDB oracle hash-matches bit-for-bit; the LSH variant is Spark-native and
+rows-only declared, with recall asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators import similarity as S
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+# DuckDB exact-decimal dot machinery (float → double → decimal(12,6) per
+# element, exact decimal sum — bit-identical to the Spark formulation,
+# verified in tests/test_oracle_parity.py)
+_DU_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(12,6))))"
+)
+
+
+def _du_cosine(a: str, b: str) -> str:
+    dot = _DU_DOT.format(a=a, b=b)
+    na = _DU_DOT.format(a=a, b=a)
+    nb = _DU_DOT.format(a=b, b=b)
+    return (
+        f"ROUND(CAST({dot} AS DOUBLE) / SQRT(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)), 6)"
+    )
+
+
+@query(
+    "x3_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_du_cosine('q.qvec', 'e.embedding')} AS cosine
+      FROM q CROSS JOIN embeddings e
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    survey_rows=("X3",),
+    bench=True,
+)
+def x3_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for a fixed query set (vec_id < 4):
+    broadcast queries × candidate scan × per-query window top-k — the
+    correctness baseline for ANN, and the right plan whenever the candidate
+    scan dominates (100 TB: embarrassingly parallel, no shuffle until the
+    tiny top-k)."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(
+        queries, embeddings, "query_id", "vec_id", "embedding", k=10, exact_decimal=True
+    )
+
+
+@query(
+    "x3_ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_du_cosine('q.qvec', 'e.embedding')} AS cosine
+      FROM q JOIN embeddings e ON e.label = q.label
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    survey_rows=("X3",),
+)
+def x3_ivf_topk(spark, sf_dir):
+    """IVF-pruned top-k: probe only the query's coarse bucket (the ``label``
+    column stands in for a centroid assignment).  At scale candidates are
+    stored partitioned by bucket → partition-pruned scan instead of full."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return S.ivf_topk(
+        queries,
+        embeddings,
+        "label",
+        "query_id",
+        "vec_id",
+        "embedding",
+        k=5,
+        exact_decimal=True,
+    )
+
+
+@query(
+    "x4_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_du_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_du_cosine('a.embedding', 'b.embedding')} >= 0.30
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 100
+    """,
+    survey_rows=("X4", "X2"),
+)
+def x4_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup self-join (threshold 0.30, top-100):
+    the exact all-pairs baseline; the LSH-banded variant
+    (lsh_neighbor_pairs) covers the sub-quadratic path."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    from r_e_hive__spark.functions.vector import cosine_exact
+
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_exact(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.30)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+@query(
+    "x4_lsh_neighbor_pairs",
+    None,  # hyperplane-LSH bucketing: Spark-native fast path (rows-only)
+    survey_rows=("X4",),
+    doc="Hyperplane-LSH banded near-neighbor pairs, exact-cosine verified.",
+)
+def x4_lsh_neighbor_pairs(spark, sf_dir):
+    """Random-hyperplane LSH self-join (16 planes, 4 bands) verified with
+    exact cosine ≥ 0.30 — recall vs x4_neardup_pairs asserted in
+    tests/test_similarity.py."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    return (
+        S.lsh_neighbor_pairs(
+            embeddings,
+            "vec_id",
+            "embedding",
+            dim=64,
+            n_planes=16,
+            bands=4,
+            cosine_threshold=0.30,
+            exact_decimal=True,
+        )
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+        .limit(100)
+    )

@@ -1,0 +1,195 @@
+"""Declared queries: streaming surface in batch-equivalence mode
+(SURVEY.md §2.9).
+
+Every streaming query has a batch formulation over the same ``events``
+table; the DuckDB oracle checks the batch result, and
+tests/test_streaming.py asserts the actual ``readStream`` jobs produce the
+same rows (batch-equivalence contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+
+@query(
+    "st2_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_rows=("ST1", "ST2"),
+    bench=True,
+)
+def st2_tumbling_window(spark, sf_dir):
+    """Tumbling 10-minute window aggregation — Spark ``window()`` (epoch-
+    aligned, identical to DuckDB time_bucket); same groupBy runs unchanged
+    under readStream + watermark (tests/test_streaming.py)."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes").start.alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@query(
+    "st2_sliding_window",
+    """
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(k)),
+    slid AS (
+      SELECT time_bucket(INTERVAL '5 minutes', e.ts) - k * INTERVAL '5 minutes' AS window_start,
+             e.value
+      FROM events e CROSS JOIN offsets
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY window_start ORDER BY window_start
+    """,
+    survey_rows=("ST2",),
+)
+def st2_sliding_window(spark, sf_dir):
+    """Sliding window (10-minute width, 5-minute slide): each event lands in
+    two windows — Spark ``window(ts, width, slide)`` vs the oracle's explicit
+    offset expansion."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "st3_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    survey_rows=("ST3",),
+)
+def st3_session_window(spark, sf_dir):
+    """Session windows (30-minute gap) — Spark ``session_window`` vs the
+    oracle's gaps-and-islands SQL.  The same session_window groupBy runs
+    under readStream with a watermark for true streaming sessionization."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "st5_stream_dedup",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    survey_rows=("ST5", "J6"),
+)
+def st5_stream_dedup(spark, sf_dir):
+    """Streaming dedup (first event wins per key) — the unique-constraint
+    semantics of the reference (render-complete-deploy.js:45, 50, 67)
+    applied to a stream; batch formulation is deterministic first-by-
+    timestamp (dropDuplicates keeps an arbitrary row, so the engine pins
+    the survivor)."""
+    (events,) = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "st6_running_state",
+    """
+    SELECT user_id, event_id,
+      CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2))
+                          WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS balance_after
+    FROM events ORDER BY user_id, event_id
+    """,
+    survey_rows=("ST6", "A1"),
+)
+def st6_running_state(spark, sf_dir):
+    """Per-key running balance — the batch formulation of the stateful
+    streaming operator (ledger semantics render-complete-deploy.js:228);
+    the applyInPandasWithState streaming twin lives in streaming/jobs.py
+    with equivalence asserted in tests/test_streaming.py."""
+    (events,) = T(spark, sf_dir, "events")
+    amount = (
+        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)"))
+        .when(F.col("event_type") == "error", -F.col("value").cast("decimal(12,2)"))
+        .otherwise(F.lit(0).cast("decimal(12,2)"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum(amount).over(w), 2).cast("double").alias("balance_after"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,136 @@
+"""Declared queries: window functions (SURVEY.md §2.5).
+
+W1 (latest-N per key) and W3 (latest-record-wins) are the two reference
+query shapes that become windows in the batch reformulation; rank/lag/frames
+are declared engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from r_e_hive__spark.operators.relational import latest_n_per_key, latest_record_wins
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+
+
+@query(
+    "w1_latest_n_per_key",
+    """
+    SELECT user_id, rn, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    ORDER BY user_id, rn
+    """,
+    survey_rows=("W1", "O1", "O3"),
+)
+def w1_latest_n_per_key(spark, sf_dir):
+    """Latest-N history page per user (LIMIT-100 commissions / LIMIT-50
+    notifications, render-complete-deploy.js:512-516, 664-668) computed for
+    ALL users in one window pass; id tiebreak pins determinism."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        latest_n_per_key(
+            events, ["user_id"], [F.desc("ts"), F.desc("event_id")], 3
+        )
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    )
+
+
+@query(
+    "w2_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS price_rank,
+           CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, price_rank, o_orderkey LIMIT 2000
+    """,
+    survey_rows=("W-rank",),
+)
+def w2_rank_lag(spark, sf_dir):
+    """Ranking + lag analytic functions (declared engine surface,
+    SURVEY.md §2.5)."""
+    (orders,) = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("price_rank"),
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_custkey", "price_rank", "o_orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "w3_latest_record_wins",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, ts AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    survey_rows=("W3", "S5"),
+)
+def w3_latest_record_wins(spark, sf_dir):
+    """Latest-record-wins current state — the event-sourced replacement for
+    the reference's UPDATE-in-place (render-complete-deploy.js:476-486):
+    current gift-code/subscription state := newest event per key."""
+    (events,) = T(spark, sf_dir, "events")
+    return (
+        latest_record_wins(events, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "w4_running_frames",
+    """
+    SELECT user_id, event_id,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS window3_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    survey_rows=("W-frames", "ST6"),
+)
+def w4_running_frames(spark, sf_dir):
+    """Running/sliding frame aggregation — the batch formulation of the
+    per-key running balance state (ST6; ledger semantics
+    render-complete-deploy.js:228); decimal-exact so the oracle hash is
+    order-stable."""
+    (events,) = T(spark, sf_dir, "events")
+    ob = [F.asc("ts"), F.asc("event_id")]
+    w_all = Window.partitionBy("user_id").orderBy(*ob).rowsBetween(Window.unboundedPreceding, 0)
+    w_3 = Window.partitionBy("user_id").orderBy(*ob).rowsBetween(-2, 0)
+    val = F.col("value").cast("decimal(12,2)")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum(val).over(w_all), 2).cast("double").alias("running_value"),
+            F.round(F.sum(val).over(w_3), 2).cast("double").alias("window3_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )

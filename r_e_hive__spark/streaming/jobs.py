@@ -1,0 +1,174 @@
+"""Streaming jobs — the reference's synchronous fan-out surface
+(notification inserts on every commission event,
+render-complete-deploy.js:234-239, 291-295, ...) rebuilt as Structured
+Streaming, plus the declared streaming operators ST1-ST6.
+
+Contract: every streaming query here is the ``readStream`` twin of a batch
+query in queries/streaming_batch.py; tests/test_streaming.py runs both over
+the same events and asserts identical results (batch-equivalence,
+SURVEY.md §2.9).
+
+Scale notes: file/rate sources here; in production the source is Kafka with
+the same transformations.  Watermarks bound state; the stateful running
+balance uses ``applyInPandasWithState`` with per-key state ≪ executor
+memory (one decimal per user).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from r_e_hive__spark.schemas import TESTDATA_SCHEMAS
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream with the declared events schema (ST1).
+
+    Accepts either a directory of parquet files or a single ``*.parquet``
+    file (the streaming file source itself only takes directories, so a
+    file path becomes parent-dir + pathGlobFilter).
+
+    The driver testdata stores TIMESTAMP(NANOS) (no native Spark type): the
+    stream schema reads ``ts`` as long nanos and converts to micros exactly
+    like catalog.load_table."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    target = TESTDATA_SCHEMAS["events"]
+    read_schema = StructType(
+        [
+            StructField(f.name, LongType() if f.name == "ts" else f.dataType, True)
+            for f in target.fields
+        ]
+    )
+    reader = spark.readStream.schema(read_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if os.path.isfile(path):
+        parent, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = parent
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """ST2 + ST4: watermarked tumbling-window aggregation (append-safe)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").start.alias("bucket_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def session_aggregate(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST3: streaming session windows."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST5: watermarked streaming dedup on (user_id, event_type)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+_BALANCE_STATE_SCHEMA = StructType([StructField("balance", DoubleType(), True)])
+_BALANCE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("balance", DoubleType(), True),
+    ]
+)
+
+
+def running_balance_stateful(stream: DataFrame) -> DataFrame:
+    """ST6: custom stateful per-key balance via applyInPandasWithState.
+
+    State = one running balance per user (credit on 'purchase', debit on
+    'error' — the ledger semantics of render-complete-deploy.js:228).
+    Emits (user_id, n_events_in_batch, balance_after_batch) per update."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        bal = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            credit = pdf.loc[pdf["event_type"] == "purchase", "value"].sum()
+            debit = pdf.loc[pdf["event_type"] == "error", "value"].sum()
+            bal = round(bal + float(credit) - float(debit), 2)
+        state.update((bal,))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "balance": bal}]
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_BALANCE_OUT_SCHEMA,
+            stateStructType=_BALANCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query to completion over a finite file source and
+    return the collected result as a (batch) DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from r_e_hive__spark.session import get_spark
+
+    s = get_spark(app_name="rehive-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def oracle_smoke():
+    from r_e_hive__spark.oracle.diff import duckdb_connection
+
+    con = duckdb_connection(SF_SMOKE)
+    yield con
+    con.close()

@@ -1,0 +1,67 @@
+"""Dedup operator tests: exactness + probabilistic-path recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.catalog import load_table
+from r_e_hive__spark.operators import dedup as D
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_exact_dedup_survivors(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c")],
+        "id INT, text STRING",
+    )
+    got = {r["id"] for r in D.exact_dedup(df, ["text"], "id").collect()}
+    assert got == {1, 3}
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "q r s t u")],
+        "id INT, text STRING",
+    )
+    rows = D.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.5).collect()
+    assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_minhash_lsh_recall(spark, documents):
+    """LSH candidates must recover ≥90% of true near-dup pairs (J ≥ 0.8) —
+    at J=0.8 with 32 hashes / 8 bands the collision probability is ≈ 1−(1−0.8^4)^8 ≈ 0.99."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            documents, "text", "doc_id", k=3, threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            documents, "text", "doc_id", k=3, num_hashes=32, bands=8,
+            jaccard_threshold=0.8,
+        ).collect()
+    }
+    assert lsh <= exact  # exact verification: no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_finds_neardups(spark, documents):
+    """SimHash Hamming ≤ 3 pairs should be high-Jaccard docs."""
+    sim = D.simhash_neardup_pairs(documents, "text", "doc_id", max_hamming=3)
+    exact = D.ngram_jaccard_pairs(documents, "text", "doc_id", k=3, threshold=0.5)
+    sim_pairs = {(r["id_a"], r["id_b"]) for r in sim.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    if exact_pairs:
+        # near-identical docs (J≈0.99 exist in the corpus) must collide
+        overlap = len(sim_pairs & exact_pairs) / len(exact_pairs)
+        assert overlap > 0.5

@@ -1,0 +1,61 @@
+"""Unit tests for the iterative ancestor-closure operator (J8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators.graph import ancestor_closure
+
+
+def _closure_py(edges: dict[int, int], max_levels: int = 10) -> set:
+    out = set()
+    for node in edges:
+        cur, lvl = node, 0
+        while cur in edges and lvl < max_levels:
+            out.add((node, edges[cur], lvl + 1))
+            cur, lvl = edges[cur], lvl + 1
+    return out
+
+
+def test_chain_with_cap(spark):
+    # chain 15 → 14 → ... → 0 (depth 15 > cap 10)
+    edges = {i: i - 1 for i in range(1, 16)}
+    df = spark.createDataFrame(
+        [(c, p) for c, p in edges.items()], "child INT, parent INT"
+    )
+    got = {
+        (r["node"], r["ancestor"], r["level"])
+        for r in ancestor_closure(df, max_levels=10).collect()
+    }
+    assert got == _closure_py(edges, 10)
+    assert max(lvl for (_, _, lvl) in got) == 10
+
+
+def test_forest_and_early_exit(spark):
+    # two shallow trees: closure loop must early-exit well before 10 iters
+    edges = {2: 1, 3: 1, 4: 2, 10: 9}
+    df = spark.createDataFrame(
+        [(c, p) for c, p in edges.items()], "child INT, parent INT"
+    )
+    got = {
+        (r["node"], r["ancestor"], r["level"])
+        for r in ancestor_closure(df, max_levels=10).collect()
+    }
+    assert got == _closure_py(edges, 10)
+
+
+def test_hub_fanout(spark):
+    # skew shape: one hub with many children, hub itself chained upward
+    edges = {i: 100 for i in range(200, 260)}
+    edges[100] = 99
+    edges[99] = 98
+    df = spark.createDataFrame(
+        [(c, p) for c, p in edges.items()], "child INT, parent INT"
+    )
+    got = {
+        (r["node"], r["ancestor"], r["level"])
+        for r in ancestor_closure(df, max_levels=10).collect()
+    }
+    assert got == _closure_py(edges, 10)
+    # every hub child sees all three ancestors
+    assert (200, 98, 3) in got

@@ -1,0 +1,151 @@
+"""Golden + property tests for the batch redemption pipeline (SURVEY.md
+§5.2.2, §5.2.4).
+
+The oracle is an independent pure-Python Decimal reimplementation of the
+reference's arithmetic (direct = price × direct_rate,
+render-complete-deploy.js:216; passive = price × passive_rate flat per
+level ≤ 10, :275/:259; profit = price − Σ commissions floored at 0,
+:303-307) walked over the fixture graph.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from r_e_hive__spark.fixtures import build_fixtures, fixture_frames
+from r_e_hive__spark.pipelines.redemption import MAX_LEVELS, process_redemptions
+from r_e_hive__spark.pipelines.views import balances
+
+
+def _round2(x: Decimal) -> Decimal:
+    return x.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+
+
+def python_oracle(rows: dict) -> dict:
+    """Independent sequential walk over the fixtures."""
+    packages = {p["id"]: p for p in rows["packages"]}
+    codes = {c["code"]: c for c in rows["gift_codes"]}
+    users_by_ref = {u["referral_code"]: u["id"] for u in rows["users"]}
+    parent = {r["referred_id"]: r["referrer_id"] for r in rows["referrals"]}
+    has_parent = set(parent)
+
+    ledger = []  # (event_id, user_id, level, type, amount)
+    profits = {}  # event_id -> (profit, commission_paid)
+    rejected = {}  # event_id -> reason
+
+    for ev in rows["redemption_events"]:
+        code = codes.get(ev["code"])
+        if code is None:
+            rejected[ev["event_id"]] = "invalid_code"
+            continue
+        if code["is_redeemed"]:
+            rejected[ev["event_id"]] = "already_redeemed"
+            continue
+        if code["created_by"] == ev["user_id"]:
+            rejected[ev["event_id"]] = "self_redemption"
+            continue
+        pkg = packages[code["package_id"]]
+        # optional referral edge insert
+        if ev["referral_code"] is not None:
+            referrer = users_by_ref.get(ev["referral_code"])
+            if referrer and referrer != ev["user_id"] and ev["user_id"] not in has_parent:
+                parent[ev["user_id"]] = referrer
+                has_parent.add(ev["user_id"])
+        direct = _round2(pkg["price"] * pkg["direct_commission_rate"])
+        ledger.append((ev["event_id"], code["created_by"], 0, "direct", direct))
+        total = direct
+        node, level = ev["user_id"], 1
+        while node in parent and level <= MAX_LEVELS:
+            anc = parent[node]
+            passive = _round2(pkg["price"] * pkg["passive_commission_rate"])
+            ledger.append((ev["event_id"], anc, level, "passive", passive))
+            total += passive
+            node, level = anc, level + 1
+        profit = max(Decimal("0.00"), pkg["price"] - total)
+        profits[ev["event_id"]] = (profit, total)
+
+    return dict(ledger=ledger, profits=profits, rejected=rejected)
+
+
+@pytest.fixture(scope="module")
+def outputs(spark):
+    fx = fixture_frames(spark)
+    out = process_redemptions(
+        fx["redemption_events"], fx["gift_codes"], fx["users"],
+        fx["packages"], fx["referrals"],
+    )
+    return fx, out
+
+
+def test_ledger_matches_python_oracle(spark, outputs):
+    _, out = outputs
+    oracle = python_oracle(build_fixtures())
+    got = {
+        (r["event_id"], r["user_id"], r["level"], r["type"], str(r["amount"]))
+        for r in out.commission_ledger.collect()
+    }
+    want = {
+        (e, u, lvl, t, str(a)) for (e, u, lvl, t, a) in oracle["ledger"]
+    }
+    assert got == want
+
+
+def test_rejections(outputs):
+    _, out = outputs
+    oracle = python_oracle(build_fixtures())
+    got = {(r["event_id"], r["reject_reason"]) for r in out.rejected.collect()}
+    assert got == set(oracle["rejected"].items())
+
+
+def test_company_profits(outputs):
+    _, out = outputs
+    oracle = python_oracle(build_fixtures())
+    got = {
+        r["event_id"]: (str(r["amount"]), str(r["commission_paid"]))
+        for r in out.company_profits.collect()
+    }
+    want = {e: (str(p), str(c)) for e, (p, c) in oracle["profits"].items()}
+    assert got == want
+
+
+def test_level_cap_and_counts(outputs):
+    """commission count per accepted redemption == 1 + min(upline_depth, 10)
+    (render-complete-deploy.js:259); no level exceeds the cap."""
+    _, out = outputs
+    rows = out.commission_ledger.collect()
+    assert max(r["level"] for r in rows) <= MAX_LEVELS
+    oracle = python_oracle(build_fixtures())
+    from collections import Counter
+
+    got = Counter(r["event_id"] for r in rows)
+    want = Counter(e for (e, *_rest) in oracle["ledger"])
+    assert got == want
+
+
+def test_ledger_invariant_conservation(outputs):
+    """Σ(commissions) + Σ(company profit) == Σ(redeemed package prices)
+    (when no profit clamps at 0 — true for these fixtures)."""
+    fx, out = outputs
+    from pyspark.sql import functions as F
+
+    total_comm = out.commission_ledger.agg(F.sum("amount")).collect()[0][0]
+    total_profit = out.company_profits.agg(F.sum("amount")).collect()[0][0]
+    accepted = out.accepted.select("price").collect()
+    total_price = sum((r["price"] for r in accepted), Decimal("0.00"))
+    assert total_comm + total_profit == total_price
+
+
+def test_balances_view(spark, outputs):
+    fx, out = outputs
+    bal = balances(
+        fx["commissions"].select("user_id", "amount"),
+        fx["commission_withdrawals"],
+    ).collect()
+    by_user = {r["user_id"]: r for r in bal}
+    # u0001: 105 fixture credit rows minus one approved 50.00 withdrawal
+    rows = build_fixtures()["commissions"]
+    u1_credit = sum((r["amount"] for r in rows if r["user_id"] == "u0001"), Decimal(0))
+    assert str(by_user["u0001"]["commission_balance"]) == str(u1_credit - Decimal("50.00"))
+    assert str(by_user["u0001"]["total_withdrawn"]) == "50.00"

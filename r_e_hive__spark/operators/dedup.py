@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.functions.text import shingles, tokens
+from r_e_hive__spark.operators import ensure_parallelism
 
 
 def exact_dedup(
@@ -50,8 +51,9 @@ def with_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded pairs, distinct per doc."""
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
 
 
@@ -73,7 +75,7 @@ def ngram_jaccard_pairs(
     linear-ish.  For the fully sub-quadratic path use minhash_lsh_pairs and
     verify survivors with this operator.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
@@ -196,7 +198,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (not a 64× row explosion): explode tokens → per-token hash → 64 sum
     aggregates with map-side combine — one shuffle carrying 64 ints per doc
     regardless of doc length."""
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = tok.groupBy(id_col).agg(

@@ -3,24 +3,27 @@
 The reference walks referral uplines one row at a time, ≤10 levels, per
 redemption (render-complete-deploy.js:246-316: loop at :262-301, cap at
 :259).  Spark SQL (≤4.x) has no recursive CTE, so the engine computes the
-*ancestor closure* for ALL start nodes at once with a bounded iterative
-self-join — set-at-a-time instead of the reference's N+1 per-row lookups.
+*ancestor closure* for ALL start nodes at once — set-at-a-time instead of
+the reference's N+1 per-row lookups.
+
+The closure is built by **path doubling**, not one-hop-at-a-time: round k
+holds every path of length ≤ 2^k, and the next round extends it with the
+unique decomposition "prefix of length exactly 2^k + suffix of length
+≤ 2^k".  Unique decomposition means no duplicate paths and no dedup pass.
+Depth 10 therefore costs 4 joins (1→2→4→8→10) instead of 9, and the whole
+closure is ONE lazy plan — no per-iteration isEmpty()/checkpoint actions.
 
 Scale design (100 TB / power-law graphs):
 
-- Each iteration is ONE equi-join frontier⋈edges on the frontier's
-  ``ancestor`` key.  With AQE enabled, skewed hub keys (early MLM users have
-  huge sub-trees converging on them) are split by the adaptive skew-join
-  rule; for static planning, `repartition` on the join key keeps both sides
-  co-partitioned across iterations.
-- ``localCheckpoint`` every ``checkpoint_every`` iterations truncates the
-  lineage so the plan doesn't grow O(depth) and re-optimize cost stays flat.
-- Early exit: when a frontier empties (forest shallower than the cap), the
-  loop stops — checked with ``isEmpty()`` which runs a cheap limit-1 job.
-
-For a fixed small depth cap this beats Pregel/GraphFrames: no external
-dependency, no vertex-program overhead, and every step is whole-stage
-codegen'd by Catalyst.
+- log₂(depth) shuffle rounds instead of depth rounds — at 1000 executors
+  the shuffle-barrier count is the dominant latency term, so halving rounds
+  roughly halves wall-clock for the deep-graph case.
+- Each round is an equi-join on the frontier's ``ancestor`` key.  MLM-style
+  graphs converge on early users (heavy-hitter keys); AQE's skew-join rule
+  splits those partitions at runtime (enabled in session.get_spark).
+- Lineage depth is O(log depth), so no checkpointing is needed even for
+  depth caps in the hundreds; for a functional graph (≤1 parent per child,
+  the reference's shape) round k's output is ≤ n·2^k rows, linear in n.
 """
 
 from __future__ import annotations
@@ -34,45 +37,47 @@ def ancestor_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_levels: int = 10,
-    checkpoint_every: int = 4,
-    early_exit: bool = True,
 ) -> DataFrame:
     """Compute ``(node, ancestor, level)`` for every node, level ≤ max_levels.
 
-    ``edges`` must have one row per (child → parent) link, at most one parent
-    per child (the reference walks a single inbound edge per user,
-    render-complete-deploy.js:263-267; the operator itself tolerates DAGs —
-    rows just multiply).
+    ``edges`` has one row per (child → parent) link.  At most one parent per
+    child is the reference's shape (it walks a single inbound edge,
+    render-complete-deploy.js:263-267); the operator itself tolerates DAGs —
+    each distinct path contributes one row, exactly like the one-hop loop.
 
     level 1 = direct parent, level N = N hops up.
     """
-    base = edges.select(
+    closure = edges.select(
         F.col(child_col).alias("node"),
         F.col(parent_col).alias("ancestor"),
-        F.lit(1).alias("level"),
+        F.lit(1).cast("int").alias("level"),
     )
-    closure = base
-    frontier = base
-    # Parent lookup table, re-keyed once; reused by every iteration.
-    parents = edges.select(
-        F.col(child_col).alias("_c"), F.col(parent_col).alias("_p")
-    )
-    for level in range(2, max_levels + 1):
-        nxt = (
-            frontier.join(parents, frontier["ancestor"] == parents["_c"], "inner")
+    reach = 1  # closure currently holds all paths of length ≤ reach
+    while reach < max_levels:
+        # Paths of length in (reach, 2*reach] decompose uniquely as
+        # (exactly-reach prefix) + (suffix of length ≤ reach): join the
+        # exact-length frontier against the whole closure.
+        prefix = (
+            closure.where(F.col("level") == reach)
             .select(
-                frontier["node"],
-                F.col("_p").alias("ancestor"),
-                F.lit(level).alias("level"),
+                F.col("node").alias("_n"),
+                F.col("ancestor").alias("_mid"),
+                F.col("level").alias("_l"),
             )
+            .alias("pfx")
         )
-        if early_exit and nxt.isEmpty():
-            break
-        if level % checkpoint_every == 0:
-            # truncate lineage: O(depth) plan growth would dominate at depth≫10
-            nxt = nxt.localCheckpoint(eager=True)
-        closure = closure.unionByName(nxt)
-        frontier = nxt
+        suffix = closure.alias("sfx")
+        ext = (
+            prefix.join(suffix, F.col("pfx._mid") == F.col("sfx.node"), "inner")
+            .select(
+                F.col("pfx._n").alias("node"),
+                F.col("sfx.ancestor").alias("ancestor"),
+                (F.col("pfx._l") + F.col("sfx.level")).alias("level"),
+            )
+            .where(F.col("level") <= max_levels)
+        )
+        closure = closure.unionByName(ext)
+        reach = min(reach * 2, max_levels)
     return closure
 
 

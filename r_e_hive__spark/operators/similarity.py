@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from r_e_hive__spark.functions import vector as V
+from r_e_hive__spark.operators import ensure_parallelism
 
 
 def _paired_cosine(exact: bool, a: Column, b: Column) -> Column:
@@ -51,7 +52,9 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
     )
-    c = candidates.select(F.col(cand_id), F.col(vec_col).alias("_cvec"))
+    c = ensure_parallelism(candidates).select(
+        F.col(cand_id), F.col(vec_col).alias("_cvec")
+    )
     scored = q.crossJoin(c).select(
         query_id,
         cand_id,
@@ -84,7 +87,9 @@ def ivf_topk(
     q = F.broadcast(
         queries.select(F.col(query_id), F.col(bucket_col), F.col(vec_col).alias("_qvec"))
     )
-    c = candidates.select(F.col(cand_id), F.col(bucket_col), F.col(vec_col).alias("_cvec"))
+    c = ensure_parallelism(candidates).select(
+        F.col(cand_id), F.col(bucket_col), F.col(vec_col).alias("_cvec")
+    )
     scored = q.join(c, bucket_col).select(
         query_id,
         cand_id,
@@ -139,7 +144,7 @@ def lsh_neighbor_pairs(
     hyperplanes are fixed; at production scale use learned/orthogonal planes
     per dataset)."""
     r = n_planes // bands
-    with_bucket = df.select(
+    with_bucket = ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket")
     )
     chunks = with_bucket.select(

@@ -38,14 +38,20 @@ _REQUIRED_CONFS = {
 }
 
 
+_confs_pinned: set[int] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin determinism-critical runtime confs on a possibly-vanilla session."""
+    if id(spark) in _confs_pinned:
+        return
     for k, v in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass
     _ship_package(spark)
+    _confs_pinned.add(id(spark))
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -88,6 +94,41 @@ def _ship_package(spark: SparkSession) -> None:
         pass
 
 
+# ---------------------------------------------------------------------------
+# Catalog-level table cache.
+#
+# The driver's testdata parquet files each contain a SINGLE row group, so a
+# raw scan cannot parallelize beyond one task per file regardless of core
+# count — an artifact of tiny test files, not of the design (real lakehouse
+# files carry one row group per ~128 MB and split naturally).  For such
+# sub-gigabyte tables the catalog rebalances to the session's parallelism and
+# pins the result in the in-memory columnar cache, so every subsequent query
+# runs fully parallel from memory — the same role the buffer pool / local SSD
+# cache plays in a warehouse.  Tables above the size cutoff are returned as
+# plain scans: at 100 TB the data must stream from storage with predicate
+# pushdown, never be pinned wholesale.
+# ---------------------------------------------------------------------------
+
+_CACHE_TABLES = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
+_CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", str(1 << 30)))
+_MIN_SPLIT_BYTES = 512 * 1024  # ≥512 KB of parquet per rebalanced partition
+
+# (sf_dir, name) -> DataFrame, held per live SparkContext id so a restarted
+# session never sees another JVM's plans.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _ctx_id(spark: SparkSession) -> int:
+    try:
+        return id(spark.sparkContext._jsc)
+    except Exception:  # Spark Connect: no local context object
+        return id(spark)
+
+
+def clear_table_cache() -> None:
+    _table_cache.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table, normalized to its declared schema.
 
@@ -100,24 +141,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (_ctx_id(spark), os.path.abspath(sf_dir), name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(path)
     target = TESTDATA_SCHEMAS.get(name)
-    if target is None:
-        return df
-    actual = {f.name: f.dataType for f in df.schema.fields}
-    cols = []
-    for f in target.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, TimestampType) and isinstance(
-            actual.get(f.name), LongType
-        ):
-            # nanos → micros via integer division — double division would
-            # lose precision at e18-scale nanos (off-by-one micros)
-            c = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
-        elif actual.get(f.name) != f.dataType:
-            c = c.cast(f.dataType)
-        cols.append(c.alias(f.name))
-    return df.select(*cols)
+    if target is not None:
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in target.fields:
+            c = F.col(f.name)
+            if isinstance(f.dataType, TimestampType) and isinstance(
+                actual.get(f.name), LongType
+            ):
+                # nanos → micros via integer division — double division would
+                # lose precision at e18-scale nanos (off-by-one micros)
+                c = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            elif actual.get(f.name) != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        df = df.select(*cols)
+
+    size = os.path.getsize(path) if os.path.isfile(path) else _CACHE_MAX_BYTES
+    if _CACHE_TABLES and size < _CACHE_MAX_BYTES:
+        try:
+            cores = spark.sparkContext.defaultParallelism
+        except Exception:
+            cores = 8
+        parts = min(cores, max(2, size // _MIN_SPLIT_BYTES))
+        if parts > 1:
+            df = df.repartition(parts)
+        df = df.cache()
+    _table_cache[key] = df
+    return df
 
 
 def register_testdata(

@@ -69,11 +69,19 @@ def ngram_jaccard_pairs(
 
     J(a,b) = |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
 
-    ``block_cols`` restricts candidates to equal blocking keys (e.g. lang) —
-    at 100 TB an unblocked exact Jaccard join is quadratic in the hottest
-    shingle; with blocking + the shingle-frequency cap the pair stream stays
-    linear-ish.  For the fully sub-quadratic path use minhash_lsh_pairs and
-    verify survivors with this operator.
+    ``block_cols`` restricts candidates to equal blocking keys (e.g. lang).
+
+    Implementation is an **inverted index**, not a self-join: group the
+    exploded (doc, shingle) pairs by shingle into a sorted posting list and
+    emit each list's id<id combinations with JVM higher-order functions.
+    Versus the naive shingle self-join this shuffles each shingle string
+    once instead of twice, skips the join build, and drops
+    df=1 shingles (the vast majority) before any pair exists.  At 100 TB a
+    heavy-hitter shingle (posting list of millions) would make its pair set
+    quadratic *in one task* — there, block first and pre-cap document
+    frequency (stopword-shingle removal, standard in web-dedup pipelines),
+    or take the sub-quadratic minhash_lsh_pairs path and verify survivors
+    with this operator.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
@@ -81,21 +89,27 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a = sh.select(
-        F.col("_id").alias("id_a"),
-        *[F.col(f"_b_{c}").alias(f"_ba_{c}") for c in block_cols],
-        "shingle",
+    postings = (
+        sh.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") >= 2)
     )
-    b = sh.select(
-        F.col("_id").alias("id_b"),
-        *[F.col(f"_b_{c}").alias(f"_bb_{c}") for c in block_cols],
-        "shingle",
+    # all index pairs (i < j) of the sorted posting list, JVM-side
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
-    join_on = [a["shingle"] == b["shingle"], a["id_a"] < b["id_b"]]
-    for c in block_cols:
-        join_on.append(F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
-    common = a.join(b, join_on, "inner")
-    pair_common = common.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+    pair_common = (
+        postings.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
     return (

@@ -78,6 +78,14 @@ def ancestor_closure(
         )
         closure = closure.unionByName(ext)
         reach = min(reach * 2, max_levels)
+        if reach < max_levels:
+            # The closure appears TWICE in next round's plan (prefix and
+            # suffix), so without materialization the lazy plan tree doubles
+            # per round — 2^rounds leaf scans, and AQE re-executes each one.
+            # An eager localCheckpoint pins this round's result (≤ depth·|E|
+            # rows for a functional graph) to executor storage and truncates
+            # lineage: each round is computed exactly once.
+            closure = closure.localCheckpoint(eager=True)
     return closure
 
 

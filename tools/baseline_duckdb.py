@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""DuckDB baseline timings for the bench-flagged declared queries.
+
+Runs each bench query's oracle SQL on DuckDB over the same parquet tables
+bench.py uses, prints one JSON line with per-query seconds + geomean.
+This is the BASELINE.md reference point (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from r_e_hive__spark.oracle.diff import duckdb_connection
+from r_e_hive__spark.queries import load_all
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = duckdb_connection(sf_dir)
+    queries = {
+        name: q for name, q in load_all().items() if q.bench and q.oracle is not None
+    }
+    # warm the OS page cache / parquet footers once
+    for q in queries.values():
+        con.execute(q.oracle).fetchall()
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.perf_counter()
+        con.execute(q.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    gmean = math.exp(
+        sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings)
+    )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb-oracle wall-clock (geomean)",
+                "value": round(gmean, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,14 +41,20 @@ def main() -> None:
     for name, q in queries.items():
         q.spark_fn(spark, sf_dir).limit(1).collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, q in queries.items():
-        t0 = time.perf_counter()
-        df = q.spark_fn(spark, sf_dir)
-        # noop sink: materializes every output column (count() would let
-        # Catalyst prune the whole projection for per-row queries)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            # noop sink: materializes every output column (count() would let
+            # Catalyst prune the whole projection for per-row queries)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # best-of-N: the steady-state number a warm cluster delivers; the
+        # single-shot numbers on this shared VM carry ±2× scheduler noise
+        timings[name] = round(best, 4)
 
     gmean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -32,11 +32,83 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan, or None if opaque."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _closure_local(
+    edges: DataFrame, child_col: str, parent_col: str, max_levels: int
+) -> DataFrame:
+    """Closure for a graph small enough to fit in one executor's memory:
+    gather the edge set into a single task and run the same path-doubling
+    algorithm in vectorized pandas merges.
+
+    This is the graph analog of a broadcast hash join's build side — when
+    the dimension (here: the edge set) is broadcast-sized, shipping it to
+    one place and computing locally beats 4 shuffle rounds + lineage
+    checkpoints by an order of magnitude in job-scheduling overhead alone
+    (1 Spark job vs ~8).  The caller gates entry by Catalyst's size
+    estimate; the distributed path-doubling path below remains the 100 TB
+    strategy for graphs that don't fit.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_types = {f.name: f.dataType for f in edges.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("node", in_types[child_col], True),
+            StructField("ancestor", in_types[parent_col], True),
+            StructField("level", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches):
+        e = pd.concat(list(batches), ignore_index=True)
+        if e.empty:
+            yield pd.DataFrame({"node": [], "ancestor": [], "level": []})
+            return
+        cl = pd.DataFrame(
+            {"node": e[child_col], "ancestor": e[parent_col], "level": 1}
+        )
+        reach = 1
+        while reach < max_levels:
+            # same unique-decomposition invariant as the distributed path;
+            # null ancestors stay in the output but never extend (pandas
+            # merge would match NaN==NaN, Spark joins never match null)
+            pfx = cl[(cl["level"] == reach) & cl["ancestor"].notna()]
+            sfx = cl[cl["node"].notna()]
+            ext = pfx.merge(
+                sfx, left_on="ancestor", right_on="node", suffixes=("", "_s")
+            )
+            ext = pd.DataFrame(
+                {
+                    "node": ext["node"],
+                    "ancestor": ext["ancestor_s"],
+                    "level": ext["level"] + ext["level_s"],
+                }
+            )
+            ext = ext[ext["level"] <= max_levels]
+            cl = pd.concat([cl, ext], ignore_index=True)
+            reach = min(reach * 2, max_levels)
+        yield cl
+
+    return (
+        edges.select(child_col, parent_col).repartition(1).mapInPandas(gen, out_schema)
+    )
+
+
 def ancestor_closure(
     edges: DataFrame,
     child_col: str = "child",
     parent_col: str = "parent",
     max_levels: int = 10,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Compute ``(node, ancestor, level)`` for every node, level ≤ max_levels.
 
@@ -46,7 +118,28 @@ def ancestor_closure(
     each distinct path contributes one row, exactly like the one-hop loop.
 
     level 1 = direct parent, level N = N hops up.
+
+    ``strategy``: ``'local'`` (gather the edge set into one task, closure
+    via vectorized pandas path-doubling — for broadcast-sized graphs),
+    ``'doubling'`` (log-depth distributed shuffle rounds, the 100 TB path),
+    or ``'auto'`` — local iff Catalyst's size estimate for ``edges`` is
+    under the session's autoBroadcastJoinThreshold.  This mirrors Spark's
+    own BHJ-vs-SMJ choice, one level up: the small-graph case pays one job
+    and zero wide shuffles, the huge-graph case pays log₂(depth) rounds.
     """
+    if strategy == "auto":
+        size = _plan_size_bytes(edges)
+        try:
+            thresh = int(
+                edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except Exception:
+            thresh = 10 * 1024 * 1024
+        strategy = (
+            "local" if size is not None and 0 <= size <= max(thresh, 0) else "doubling"
+        )
+    if strategy == "local":
+        return _closure_local(edges, child_col, parent_col, max_levels)
     closure = edges.select(
         F.col(child_col).alias("node"),
         F.col(parent_col).alias("ancestor"),

@@ -29,11 +29,16 @@ def main() -> None:
     # warm the OS page cache / parquet footers once
     for q in queries.values():
         con.execute(q.oracle).fetchall()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, q in queries.items():
-        t0 = time.perf_counter()
-        con.execute(q.oracle).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        # best-of-N, same methodology as bench.py
+        timings[name] = round(best, 4)
     gmean = math.exp(
         sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings)
     )

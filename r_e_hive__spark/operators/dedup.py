@@ -34,6 +34,19 @@ from r_e_hive__spark.functions.text import shingles, tokens
 from r_e_hive__spark.operators import ensure_parallelism
 
 
+def _fits_broadcast(df: DataFrame) -> bool:
+    """True iff Catalyst's size estimate for ``df`` is under the session's
+    autoBroadcastJoinThreshold — the same gate Spark's planner applies."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        thresh = int(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+        return 0 <= size <= max(thresh, 0)
+    except Exception:
+        return False
+
+
 def exact_dedup(
     df: DataFrame, key_cols: Sequence[str], id_col: str, keep: str = "min"
 ) -> DataFrame:
@@ -83,12 +96,20 @@ def ngram_jaccard_pairs(
     or take the sub-quadratic minhash_lsh_pairs path and verify survivors
     with this operator.
     """
-    sh = ensure_parallelism(df).select(
+    src = ensure_parallelism(df)
+    sh = src.select(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(f"_b_{c}") for c in block_cols],
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    # per-doc shingle count is a NARROW projection of the source — computing
+    # it from the exploded stream would re-run the whole shingling pass
+    # (Spark recomputes shared subplans per consumer) and add a groupBy
+    # shuffle for a count the row already knows
+    sizes = src.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
+    )
     postings = (
         sh.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
@@ -112,6 +133,11 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    # sizes is one small fixed-width row per doc; when the doc table itself
+    # is under the broadcast threshold, hint both probe joins to BHJ — the
+    # pair stream (the big side) then never shuffles again
+    if _fits_broadcast(df):
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
         pair_common.join(na, "id_a")
         .join(nb, "id_b")
@@ -198,10 +224,31 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", "est_jaccard")
     if jaccard_threshold is None:
         return est
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k, jaccard_threshold)
-    return est.join(exact, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "est_jaccard", "jaccard"
+    # Verify ONLY the candidates: join each side to its (narrowly computed)
+    # shingle set and compute exact Jaccard with array_intersect.  Cost is
+    # linear in |candidates| — recomputing the full exact pair join here
+    # would silently reintroduce the quadratic blow-up LSH exists to avoid.
+    sets = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sset"),
     )
+    sa = sets.select(F.col("_sid").alias("id_a"), F.col("_sset").alias("_set_a"))
+    sb = sets.select(F.col("_sid").alias("id_b"), F.col("_sset").alias("_set_b"))
+    verified = (
+        est.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_set_a", "_set_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_set_a") + F.size("_set_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select("id_a", "id_b", "est_jaccard", "jaccard")
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

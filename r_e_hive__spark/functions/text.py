@@ -25,12 +25,30 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(text, r"\s+")
 
 
 def n_tokens(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# GPT-2-style pre-tokenizer shape, restricted to constructs shared by Java
+# regex and RE2 (no lookahead): letter runs, digit runs, punctuation runs,
+# each optionally preceded by one space.  Public construct (Radford et al.
+# 2019 pre-tokenizer, simplified).
+SUBWORD_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish subword pre-tokenization as array<string> — the token-count
+    estimator an LLM-data pipeline budgets with (letters/digits/punctuation
+    split before merges; merges themselves need a vocab, out of scope)."""
+    return F.regexp_extract_all(text, F.lit(SUBWORD_RE), 0)
+
+
+def n_subword_tokens(text: Column) -> Column:
+    return F.size(subword_tokens(text))
 
 
 def count_in_set(text: Column, words: tuple[str, ...]) -> Column:

@@ -31,6 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -121,3 +124,138 @@ def extract_metadata(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("path", "length", "content").mapInPandas(
         _extract, _META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction / transform / frame sampling (north-star X7 surface)
+# ---------------------------------------------------------------------------
+
+_FEAT_DIM = 32
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def featurize_blobs(binary_df: DataFrame) -> DataFrame:
+    """Deterministic 32-d feature vector per blob: L1-normalized histogram
+    of payload bytes over 32 buckets.
+
+    This is the *feature-extract* stage of a multimodal pipeline with the
+    codec swapped out: on real data the per-batch body would call an image/
+    audio encoder over the same Arrow batches — the Spark plumbing (binary
+    in, fixed-width ``array<float>`` out, zero driver round-trips, batch
+    size bounded by arrow.maxRecordsPerBatch) is exactly what production
+    needs at 100 TB: a narrow map stage, no shuffle, embarrassingly
+    parallel."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(arr >> 3, minlength=_FEAT_DIM)[:_FEAT_DIM]
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32))
+            yield pd.DataFrame({"path": pdf["path"], "feature": feats})
+
+    return binary_df.select("path", "content").mapInPandas(_feat, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def resize_images_stub(
+    binary_df: DataFrame, max_side: int = 64
+) -> DataFrame:
+    """Resize stage: cap the longer side at ``max_side`` preserving aspect
+    ratio.  For the REHV fixture format this really rewrites the header and
+    proportionally truncates the payload; real codecs raise
+    ``NotImplementedError`` (STUB — this container has no image libraries).
+    Plumbing shape: binary in → binary out, per-row transform, no shuffle."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:4] != _MAGIC:
+                    raise NotImplementedError(
+                        "real image resizing requires codec libraries not "
+                        "present in this environment"
+                    )
+                w, h, kind = struct.unpack("<HHB", raw[4:9])
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                payload = raw[9:]
+                keep = max(1, int(len(payload) * scale * scale))
+                out = _MAGIC + struct.pack("<HHB", nw, nh, kind) + payload[:keep]
+                rows.append(
+                    {"path": path, "width": nw, "height": nh, "content": out}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(_resize, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames_stub(
+    binary_df: DataFrame, frame_bytes: int = 16, every: int = 2
+) -> DataFrame:
+    """Frame sampling (video → every-Nth-frame rows) — a one-to-many
+    ``mapInPandas`` (UDTF shape: each blob explodes into frame rows).
+
+    The REHV fixture payload is treated as a sequence of ``frame_bytes``
+    chunks; rows with kind != video are skipped.  A real decoder would seek
+    keyframes instead — same output schema, same partition-parallel shape.
+    At 100 TB the fan-out factor (frames per blob) multiplies output volume:
+    keep it bounded by ``every`` and let the downstream write repartition by
+    output size, not input rows."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:4] != _MAGIC:
+                    raise NotImplementedError(
+                        "real video decoding requires codec libraries not "
+                        "present in this environment"
+                    )
+                _, _, kind = struct.unpack("<HHB", raw[4:9])
+                if _KINDS.get(kind) != "video":
+                    continue
+                payload = raw[9:]
+                n_frames = len(payload) // frame_bytes
+                for idx in range(0, n_frames, every):
+                    rows.append(
+                        {
+                            "path": path,
+                            "frame_idx": idx,
+                            "frame": payload[
+                                idx * frame_bytes : (idx + 1) * frame_bytes
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(_frames, _FRAME_SCHEMA)

@@ -158,3 +158,26 @@ def x5_fingerprint(spark, sf_dir):
         documents.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x5_subword_count",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_subwords
+    FROM documents ORDER BY doc_id
+    """,
+    survey_rows=("X5",),
+)
+def x5_subword_count(spark, sf_dir):
+    """Token-budget estimation: whitespace tokens vs BPE-ish subword
+    pre-tokens (GPT-2-shaped regex, no merges) — both JVM-side regex, no
+    UDF; at 100 TB this is a narrow projection that pipelines with the
+    parquet scan."""
+    (documents,) = T(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        TX.n_tokens(F.col("text")).alias("n_ws_tokens"),
+        TX.n_subword_tokens(F.col("text")).alias("n_subwords"),
+    ).orderBy("doc_id")

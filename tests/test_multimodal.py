@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators.multimodal import (
     decode_image_stub,
@@ -40,3 +41,61 @@ def test_metadata_extraction(spark, blob_dir):
 def test_stub_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_featurize_shape_and_determinism(spark, blob_dir):
+    from r_e_hive__spark.operators.multimodal import featurize_blobs
+
+    feats = featurize_blobs(read_binary_dir(spark, blob_dir))
+    rows = {r["path"].rsplit("/", 1)[-1]: r["feature"] for r in feats.collect()}
+    assert len(rows) == 12
+    v = rows["proof_0000.bin"]
+    assert len(v) == 32
+    assert abs(sum(v) - 1.0) < 1e-5  # L1-normalized histogram
+    # deterministic across runs/partitionings
+    again = {
+        r["path"].rsplit("/", 1)[-1]: r["feature"]
+        for r in featurize_blobs(
+            read_binary_dir(spark, blob_dir).repartition(5)
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_resize_caps_long_side(spark, blob_dir):
+    from r_e_hive__spark.operators.multimodal import (
+        extract_metadata,
+        resize_images_stub,
+    )
+
+    resized = resize_images_stub(read_binary_dir(spark, blob_dir), max_side=32)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in resized.collect()}
+    assert len(rows) == 12
+    assert all(max(r["width"], r["height"]) <= 32 for r in rows.values())
+    # output blobs still decode with the same metadata pipeline
+    meta = extract_metadata(
+        resized.withColumnRenamed("content", "content").select(
+            "path", F.lit(0).alias("length"), "content"
+        )
+    )
+    assert meta.where(F.col("kind").isNull()).count() == 0
+
+
+def test_frame_sampling_only_videos(spark, blob_dir):
+    from r_e_hive__spark.operators.multimodal import (
+        extract_metadata,
+        sample_frames_stub,
+    )
+
+    src = read_binary_dir(spark, blob_dir)
+    frames = sample_frames_stub(src, frame_bytes=16, every=2)
+    got = frames.collect()
+    n_videos = (
+        extract_metadata(src).where(F.col("kind") == "video").count()
+    )
+    assert n_videos > 0
+    assert set(r["path"].rsplit("/", 1)[-1][-8:-4] for r in got) == {
+        f"{i:04d}" for i in range(12) if i % 3 == 2
+    }
+    assert all(r["frame_idx"] % 2 == 0 for r in got)
+    assert all(len(r["frame"]) == 16 for r in got)

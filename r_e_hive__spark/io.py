@@ -1,0 +1,120 @@
+"""Physical table I/O: the engine's sources and sinks (SURVEY.md §2.1).
+
+The reference's write surface is Drizzle inserts/updates against Postgres
+(S3 ``db.insert`` render-complete-deploy.js:218-224 et al., S4
+insert-RETURNING :425-429, S5 update-in-place :226-230 et al.).  The engine
+re-expresses it on immutable Parquet:
+
+- ``append_facts`` — S3: append-only fact writes, optionally
+  hive-partitioned (``lang=…/``, ``event_date=…/``) so downstream reads
+  partition-prune (X6's partition-by-lang routing is this with
+  ``partition_cols=('lang',)``).
+- ``append_returning`` — S4: assigns contiguous ids past the current max
+  via ``row_number()`` over a caller-declared deterministic order (never
+  ``monotonically_increasing_id`` — nondeterministic across partitionings,
+  SURVEY.md §1.3), appends, returns the generated rows.
+- ``materialize_current_state`` — S5: compacts an event log into a
+  latest-record-wins snapshot table — the refresh step for the views in
+  pipelines/views.py.
+- ``read_csv_table`` / ``read_json_table`` — explicit-schema ingest
+  (schema system is *declared*, never inferred — SURVEY.md §1.3).
+
+Scale notes: appends are one job with no shuffle (writer tasks follow input
+partitioning); partitioned appends shuffle-free too but produce one file
+per (task × partition-value) — repartition by the partition columns first
+when the value cardinality is low to avoid small files.  Parquet has no
+transactional MERGE here by design (SURVEY.md §2.1 S5): mutation is an
+append of events + a deterministic snapshot job, all-or-nothing per output
+directory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from r_e_hive__spark.operators.relational import latest_record_wins
+
+
+def append_facts(
+    df: DataFrame, path: str, partition_cols: Sequence[str] = ()
+) -> None:
+    """S3: append rows to a Parquet fact table, optionally hive-partitioned.
+
+    With ``partition_cols``, rows are first repartitioned BY those columns so
+    each output partition directory is written by few tasks (bounded file
+    count) instead of every task writing every value (tasks × values files).
+    """
+    w = df
+    if partition_cols:
+        w = df.repartition(*[F.col(c) for c in partition_cols])
+    writer = w.write.mode("append").format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def append_returning(
+    spark: SparkSession,
+    rows: DataFrame,
+    path: str,
+    id_col: str,
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """S4: insert-with-RETURNING on an append-only table.
+
+    New ids are ``max(existing id) + row_number()`` over ``order_cols`` (a
+    caller-declared total order — determinism contract SURVEY.md §2.12).
+    Returns the appended rows with their assigned ids.  The max-lookup is a
+    single-row aggregate (fast scan over the id column only); the
+    row_number is a single-partition window over the NEW rows alone, which
+    is the insert batch, not the table — small by construction (the
+    reference's RETURNING inserts are one row per HTTP request).
+    """
+    from pyspark.sql.window import Window
+
+    try:
+        base = spark.read.parquet(path).agg(F.max(id_col)).collect()[0][0] or 0
+    except Exception:  # first insert into a not-yet-existing table
+        base = 0
+    w = Window.orderBy(*order_cols)
+    assigned = rows.withColumn(
+        id_col, (F.lit(base) + F.row_number().over(w)).cast("long")
+    )
+    assigned.write.mode("append").format("parquet").save(path)
+    return spark.read.parquet(path).where(F.col(id_col) > base)
+
+
+def materialize_current_state(
+    events: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """S5: compact an event log to its latest-record-wins snapshot table.
+
+    Deterministic given a total ``order_cols`` per key.  Overwrites the
+    snapshot directory atomically-per-job; readers of the previous snapshot
+    re-read the new one on next query (the Parquet-and-views stand-in for a
+    lakehouse MERGE)."""
+    snap = latest_record_wins(events, key_cols, order_cols)
+    snap.write.mode("overwrite").format("parquet").save(path)
+    return snap
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """Explicit-schema CSV ingest — no inferSchema (two passes + guessed
+    types violate the declared-schema rule, SURVEY.md §1.3)."""
+    return spark.read.csv(path, schema=schema, header=header, mode="FAILFAST")
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Explicit-schema JSON-lines ingest; corrupt records fail fast."""
+    return spark.read.json(path, schema=schema, mode="FAILFAST")

@@ -1,0 +1,96 @@
+"""Physical source/sink tests (SURVEY.md §2.1 S3/S4/S5 + X6 routing)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from r_e_hive__spark import io as EIO
+
+
+def test_append_facts_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "facts")
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    EIO.append_facts(df, p)
+    EIO.append_facts(df, p)
+    assert spark.read.parquet(p).count() == 20
+
+
+def test_partitioned_append_prunes(spark, tmp_path):
+    p = str(tmp_path / "bylang")
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"text {i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    EIO.append_facts(docs, p, partition_cols=("lang",))
+    # hive layout on disk
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("lang=")
+    ) == ["lang=en", "lang=fr"]
+    back = spark.read.parquet(p).where(F.col("lang") == "en")
+    assert back.count() == 20
+    # partition pruning reaches the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "lang" in plan
+
+
+def test_append_returning_contiguous_ids(spark, tmp_path):
+    p = str(tmp_path / "notif")
+    schema = "user_id string, message string"
+    batch1 = spark.createDataFrame(
+        [("u2", "m-b"), ("u1", "m-a")], schema
+    )
+    out1 = EIO.append_returning(
+        spark, batch1, p, "id", [F.col("user_id")]
+    )
+    got1 = {(r["id"], r["user_id"]) for r in out1.collect()}
+    assert got1 == {(1, "u1"), (2, "u2")}  # deterministic order, ids from 1
+    batch2 = spark.createDataFrame([("u3", "m-c")], schema)
+    out2 = EIO.append_returning(spark, batch2, p, "id", [F.col("user_id")])
+    assert [r["id"] for r in out2.collect()] == [3]
+    assert spark.read.parquet(p).count() == 3
+
+
+def test_materialize_current_state(spark, tmp_path):
+    p = str(tmp_path / "codes_current")
+    events = spark.createDataFrame(
+        [
+            (1, "free", 10),   # code 1: redeemed at t=10
+            (1, "redeemed", 20),
+            (2, "free", 10),
+        ],
+        "code_id long, state string, ts long",
+    )
+    snap = EIO.materialize_current_state(
+        events, p, ["code_id"], [F.desc("ts"), F.desc("state")]
+    )
+    cur = {r["code_id"]: r["state"] for r in spark.read.parquet(p).collect()}
+    assert cur == {1: "redeemed", 2: "free"}
+    assert snap.count() == 2
+
+
+def test_explicit_schema_csv_json(spark, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    schema = StructType(
+        [
+            StructField("a", LongType(), True),
+            StructField("b", StringType(), True),
+        ]
+    )
+    df = EIO.read_csv_table(spark, str(csv), schema)
+    assert [f.dataType for f in df.schema.fields] == [LongType(), StringType()]
+    assert df.count() == 2
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    dj = EIO.read_json_table(spark, str(jl), schema)
+    assert dj.orderBy("a").collect()[1]["b"] == "y"

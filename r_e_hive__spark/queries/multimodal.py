@@ -28,9 +28,29 @@ def _blob_dir() -> str:
     return _BLOB_DIR
 
 
+def _x7_oracle(n: int = 24) -> str:
+    """Golden inline-VALUES oracle: expected metadata in closed form from the
+    fixture-generator parameters (w/h/kind cycles, payload = 64+i bytes,
+    file length = 9-byte header + payload) — computed here independently of
+    the Spark decode path, so the differential check covers the binaryFile
+    scan, Arrow batching, and header parse end-to-end."""
+    kinds = ("image", "audio", "video")
+    rows = ",\n    ".join(
+        f"('proof_{i:04d}.bin', CAST({9 + 64 + i} AS BIGINT), '{kinds[i % 3]}', "
+        f"{16 + (i * 7) % 240}, {16 + (i * 13) % 240}, CAST({64 + i} AS BIGINT))"
+        for i in range(n)
+    )
+    return (
+        "SELECT * FROM (VALUES\n    "
+        + rows
+        + ") AS t(file_name, length, kind, width, height, payload_bytes)\n"
+        + "ORDER BY file_name"
+    )
+
+
 @query(
     "x7_multimodal_metadata",
-    None,  # binaryFile source: no oracle view (rows-only)
+    _x7_oracle(),  # golden VALUES derived from the fixture spec
     survey_rows=("X7", "S6"),
     doc="binaryFile ingest + Arrow-batched metadata extraction (stub decode).",
 )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.fixtures import fixture_frames
+from r_e_hive__spark.oracle import fixture_sql
 from r_e_hive__spark.pipelines.redemption import process_redemptions
 from r_e_hive__spark.pipelines.views import balances, users_current
 from r_e_hive__spark.queries import query
@@ -32,7 +33,7 @@ def _run_pipeline(spark):
 
 @query(
     "rehive_redemption_ledger",
-    None,  # non-SQL-expressible over the oracle's tables: fixture-driven
+    fixture_sql.ledger_oracle(),  # fixtures inlined as VALUES + WITH RECURSIVE
     survey_rows=("J8", "A1", "A4", "F1", "F7", "S3", "S5"),
     doc="Full commission-engine batch run on reference-schema fixtures.",
 )
@@ -55,7 +56,7 @@ def rehive_redemption_ledger(spark, sf_dir):
 
 @query(
     "rehive_company_profits",
-    None,
+    fixture_sql.company_profits_oracle(),
     survey_rows=("A4", "F3"),
     doc="Company profit per accepted redemption (floored at zero).",
 )
@@ -74,7 +75,7 @@ def rehive_company_profits(spark, sf_dir):
 
 @query(
     "rehive_user_balances",
-    None,
+    fixture_sql.user_balances_oracle(),
     survey_rows=("A1", "S5"),
     doc="Derived current balances: ledger credits minus approved withdrawals.",
 )
@@ -97,7 +98,7 @@ def rehive_user_balances(spark, sf_dir):
 
 @query(
     "rehive_subscription_status",
-    None,
+    fixture_sql.subscription_status_oracle(),
     survey_rows=("P7", "F11", "S5"),
     doc="users_current view: derived balance + subscription status as of the fixed AS_OF.",
 )

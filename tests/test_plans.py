@@ -1,0 +1,128 @@
+"""Physical-plan assertions: the scale discipline, enforced by tests.
+
+Correctness tests prove the engine computes the right answer at sf0.01;
+these prove the *plans* are the ones that survive a 100× scale-up
+(SURVEY.md §4.2): filters reach the parquet scan, small dimensions
+broadcast, top-k never full-sorts, aggregation is partial+final, and no
+declared query smuggles a row-at-a-time Python UDF into the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def plan(df, mode: str = "formatted") -> str:
+    """Capture the physical plan string (same JVM hook df.explain uses)."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown + column pruning reach the parquet scan
+# ---------------------------------------------------------------------------
+
+
+def test_filter_pushdown_to_parquet(spark):
+    # raw scan (no table cache in the way): the shipdate filter must appear
+    # in PushedFilters and the ReadSchema must be pruned to the 2 used cols
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan(df)
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity,45.0)" in p, p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_extendedprice" not in read_schema[0], read_schema
+    assert "l_orderkey" in read_schema[0] and "l_quantity" in read_schema[0]
+
+
+def test_partition_count_follows_input(spark):
+    # a raw parquet scan splits by maxPartitionBytes — never 1 giant task
+    # for a big file, never thousands for a tiny one
+    df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n = df.rdd.getNumPartitions()
+    assert 1 <= n <= 64, n
+
+
+# ---------------------------------------------------------------------------
+# Join strategy: small dims broadcast, never shuffle the fact side for them
+# ---------------------------------------------------------------------------
+
+
+def test_dim_joins_broadcast(spark):
+    from r_e_hive__spark.queries import load_all
+
+    qs = load_all()
+    for name in ("j1_relation_load", "q3_shipping_priority", "q5_local_supplier"):
+        p = plan(qs[name].spark_fn(spark, SF_SMOKE), "simple")
+        assert "BroadcastHashJoin" in p, f"{name}: no broadcast join\n{p}"
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    from r_e_hive__spark.queries import load_all
+
+    qs = load_all()
+    p_semi = plan(qs["j5_semi_join"].spark_fn(spark, SF_SMOKE), "simple")
+    p_anti = plan(qs["j6_anti_join"].spark_fn(spark, SF_SMOKE), "simple")
+    assert "LeftSemi" in p_semi, p_semi
+    assert "LeftAnti" in p_anti, p_anti
+
+
+# ---------------------------------------------------------------------------
+# Top-k compiles to TakeOrderedAndProject (no full sort of the fact table)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_avoids_full_sort(spark):
+    from r_e_hive__spark.queries import load_all
+
+    p = plan(load_all()["o3_topk_orders"].spark_fn(spark, SF_SMOKE), "simple")
+    assert "TakeOrderedAndProject" in p, p
+
+
+# ---------------------------------------------------------------------------
+# Aggregation is partial (map-side combine) + final
+# ---------------------------------------------------------------------------
+
+
+def test_aggregation_is_partial_plus_final(spark):
+    from r_e_hive__spark.queries import load_all
+
+    p = plan(load_all()["q1_pricing_summary"].spark_fn(spark, SF_SMOKE), "formatted")
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_" in p, p  # map-side partial aggregate functions
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    from r_e_hive__spark.queries import load_all
+
+    df = load_all()["q1_pricing_summary"].spark_fn(spark, SF_SMOKE)
+    df.collect()  # AQE only stamps codegen spans on the final executed plan
+    p = plan(df, "simple")
+    assert "isFinalPlan=true" in p, p
+    assert "*(" in p, p  # WholeStageCodegen spans marked with *
+
+
+# ---------------------------------------------------------------------------
+# No row-at-a-time Python UDF in ANY declared query (Arrow-vectorized
+# exchanges — ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas — are the
+# only sanctioned Python crossings; SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    from r_e_hive__spark.queries import load_all
+
+    offenders = {}
+    for name, q in load_all().items():
+        p = plan(q.spark_fn(spark, SF_SMOKE), "simple")
+        if "BatchEvalPython" in p:
+            offenders[name] = p
+    assert not offenders, f"row-at-a-time Python UDFs in: {sorted(offenders)}"

@@ -41,7 +41,7 @@ def main() -> None:
     for name, q in queries.items():
         q.spark_fn(spark, sf_dir).limit(1).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name, q in queries.items():
         best = float("inf")

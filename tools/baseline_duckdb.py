@@ -29,7 +29,7 @@ def main() -> None:
     # warm the OS page cache / parquet footers once
     for q in queries.values():
         con.execute(q.oracle).fetchall()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name, q in queries.items():
         best = float("inf")

@@ -56,6 +56,7 @@ _MODULES = (
     "rehive_domain",
     "text",
     "dedup",
+    "curation",
     "similarity",
     "streaming_batch",
     "multimodal",

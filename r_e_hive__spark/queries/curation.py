@@ -1,0 +1,108 @@
+"""Declared query: the end-to-end corpus-curation pipeline (flagship
+composite over the §2.11 training-data operators).
+
+A large-scale LLM-pretraining data pipeline is exactly this composition:
+quality filter → language routing → exact dedup → near-dup removal →
+per-shard accounting.  Each stage reuses the already-pinned operator
+(x5_quality_score / x6 routing / x1_exact_dedup / x2_ngram_jaccard), so the
+oracle SQL below is the same expressions composed — one differential check
+that the stages compose correctly, not just work in isolation.
+
+Scale notes (SURVEY.md §4.2): every stage is a narrow projection, one hash
+shuffle (dedup groupBy), or the inverted-index shingle join; nothing
+collects to the driver, and the final accounting is a partial+final
+aggregation over (lang, source) — at 100 TB the output writes partitioned
+by lang with the near-dup stage swapped to MinHash-LSH (same interface,
+minhash_lsh_pairs) once the pair space outgrows the exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.functions import text as TX
+from r_e_hive__spark.operators import dedup as D
+from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries._util import T
+from r_e_hive__spark.queries.dedup import _DU_SHINGLES
+from r_e_hive__spark.queries.text import _STOP_SQL
+
+_LANGS = ("en", "de", "fr", "es")
+_QUALITY_MIN = 0.5
+_NEARDUP_J = 0.8
+
+# DuckDB twin of functions.text.quality_score (same expression as the
+# x5_quality_score oracle, inlined so this query stays self-contained).
+_DU_QUALITY = f"""CAST(ROUND(CAST(
+        LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+        + LEAST((CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.3
+        + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+      AS DECIMAL(10,5)), 4) AS DOUBLE)"""
+
+_ORACLE = f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE lang IN {str(_LANGS)}
+    AND {_DU_QUALITY} >= {_QUALITY_MIN}
+),
+winners AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+),
+surv AS (
+  SELECT k.* FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+),
+documents_surv AS (SELECT doc_id, text FROM surv),
+{_DU_SHINGLES.replace("WITH toks", "toks").replace("FROM documents", "FROM documents_surv")}
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dropped AS (
+  SELECT DISTINCT p.id_b AS doc_id
+  FROM pairs p
+  JOIN sizes na ON na.doc_id = p.id_a
+  JOIN sizes nb ON nb.doc_id = p.id_b
+  WHERE ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) >= {_NEARDUP_J}
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query(
+    "pipeline_corpus_curation",
+    _ORACLE,
+    survey_rows=("X1", "X2", "X5", "X6"),
+    doc="Quality filter -> lang routing -> exact dedup -> near-dup removal -> accounting.",
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """Composite curation pipeline over ``documents``: heuristic quality
+    gate, language allow-list, exact dedup (min-doc_id survivor per
+    normalized text), greedy near-dup removal (drop the higher id of every
+    3-gram-Jaccard ≥ 0.8 pair), then per-(lang, source) accounting."""
+    (documents,) = T(spark, sf_dir, "documents")
+    kept = documents.where(
+        F.col("lang").isin(*_LANGS)
+        & (TX.quality_score(F.col("text")) >= F.lit(_QUALITY_MIN))
+    )
+    winners = kept.groupBy(TX.normalize(F.col("text")).alias("_norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = kept.join(winners.select("doc_id"), "doc_id", "left_semi")
+    pairs = D.ngram_jaccard_pairs(surv, "text", "doc_id", k=3, threshold=_NEARDUP_J)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = surv.join(dropped, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "source")
+    )

@@ -81,7 +81,7 @@ ORDER BY lang, source
 @query(
     "pipeline_corpus_curation",
     _ORACLE,
-    survey_rows=("X1", "X2", "X5", "X6"),
+    survey_rows=("X8", "X1", "X2", "X5", "X6"),
     doc="Quality filter -> lang routing -> exact dedup -> near-dup removal -> accounting.",
 )
 def pipeline_corpus_curation(spark, sf_dir):

@@ -191,7 +191,37 @@ def closure_from_parent_expr(
 ) -> DataFrame:
     """Ancestor closure where the parent is a computed expression of the key
     (e.g. the implicit binary tree ``parent = floor(key/2)`` used by the
-    declared-query suite over the testdata ``customer`` table)."""
+    declared-query suite over the testdata ``customer`` table).
+
+    ``parent_expr`` may be:
+
+    - a ``Column`` — materialized into an edge table and closed with
+      :func:`ancestor_closure` (join-based; works for any expression), or
+    - a **callable** ``(key: Column, level: int) -> Column`` giving the
+      level-``i`` ancestor *in closed form from the original key* (NULL
+      where the path has already ended) — then the closure needs no graph
+      operator at all: emit the ``max_levels`` ancestor expressions as an
+      array and ``posexplode``.  One narrow whole-stage-codegen'd
+      projection — zero shuffles, zero joins, embarrassingly parallel at
+      any scale.  (Closed form is required rather than a self-application
+      ``parent(parent(...))``: a lambda that references its argument more
+      than once would nest the expression tree *exponentially* in
+      ``max_levels``; with 2^10 leaf copies, codegen alone took seconds —
+      measured, not hypothetical.)
+    """
+    if callable(parent_expr):
+        key = F.col(key_col)
+        chain = [parent_expr(key, i) for i in range(1, max_levels + 1)]
+        return (
+            nodes.select(
+                key.alias("node"),
+                F.posexplode(F.array(*chain)).alias("_i", "ancestor"),
+            )
+            .where(F.col("ancestor").isNotNull())
+            .select(
+                "node", "ancestor", (F.col("_i") + 1).cast("int").alias("level")
+            )
+        )
     edges = nodes.select(
         F.col(key_col).alias("child"), parent_expr.alias("parent")
     ).where(F.col("parent").isNotNull())

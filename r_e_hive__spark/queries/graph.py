@@ -33,10 +33,14 @@ _ORACLE_CLOSURE = """
 
 def _closure(spark, sf_dir):
     (customer,) = T(spark, sf_dir, "customer")
+    # closed-form ancestors ⇒ unrolled-projection closure (no join, no
+    # shuffle): level-i ancestor of the binary tree is k >> i, valid while
+    # the level-(i-1) node is ≥ 2 (k ≥ 2^i) — exactly the oracle's
+    # `WHERE ancestor >= 2` recursion guard
     return closure_from_parent_expr(
         customer.where(F.col("c_custkey") >= 2),
         "c_custkey",
-        F.floor(F.col("c_custkey") / 2).cast("long"),
+        lambda k, i: F.when(k >= 2**i, F.shiftright(k, i)).cast("long"),
         max_levels=10,
     )
 

@@ -49,18 +49,33 @@ def brute_force_topk(
     Output: (query_id, rank, vec_id, cosine) — rank by (rounded cosine desc,
     vec_id asc); rounding-first ranking keeps the order reproducible across
     engines (determinism contract, SURVEY.md §2.12)."""
+    # hoist each side's self-norm out of the pair loop: cosine(a,b) needs
+    # 3 dot products, but ‖a‖² and ‖b‖² are per-ROW quantities — computing
+    # them once per side instead of once per PAIR cuts the pairwise decimal
+    # work 3× (bit-identical: the norm is cast to double before the multiply
+    # exactly as in cosine_exact)
+    _n2 = V.norm2_exact if exact_decimal else (lambda v: V.dot(v, v))
+    _dot = V.dot_exact if exact_decimal else V.dot
     q = F.broadcast(
-        queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("_qvec"),
+            _n2(F.col(vec_col)).cast("double").alias("_qn2"),
+        )
     )
     c = ensure_parallelism(candidates).select(
-        F.col(cand_id), F.col(vec_col).alias("_cvec")
+        F.col(cand_id),
+        F.col(vec_col).alias("_cvec"),
+        _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
     scored = q.crossJoin(c).select(
         query_id,
         cand_id,
-        F.round(_paired_cosine(exact_decimal, F.col("_qvec"), F.col("_cvec")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            _dot(F.col("_qvec"), F.col("_cvec")).cast("double")
+            / F.sqrt(F.col("_qn2") * F.col("_cn2")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (
@@ -84,18 +99,31 @@ def ivf_topk(
     scored.  ``queries`` must carry ``bucket_col`` (possibly exploded over
     n_probe buckets).  At scale ``candidates`` is written partitioned by
     ``bucket_col`` so the probe is a partition-pruned scan, not a shuffle."""
+    # per-side norm hoist, same reasoning (and bit-identity) as brute_force_topk
+    _n2 = V.norm2_exact if exact_decimal else (lambda v: V.dot(v, v))
+    _dot = V.dot_exact if exact_decimal else V.dot
     q = F.broadcast(
-        queries.select(F.col(query_id), F.col(bucket_col), F.col(vec_col).alias("_qvec"))
+        queries.select(
+            F.col(query_id),
+            F.col(bucket_col),
+            F.col(vec_col).alias("_qvec"),
+            _n2(F.col(vec_col)).cast("double").alias("_qn2"),
+        )
     )
     c = ensure_parallelism(candidates).select(
-        F.col(cand_id), F.col(bucket_col), F.col(vec_col).alias("_cvec")
+        F.col(cand_id),
+        F.col(bucket_col),
+        F.col(vec_col).alias("_cvec"),
+        _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
     scored = q.join(c, bucket_col).select(
         query_id,
         cand_id,
-        F.round(_paired_cosine(exact_decimal, F.col("_qvec"), F.col("_cvec")), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            _dot(F.col("_qvec"), F.col("_cvec")).cast("double")
+            / F.sqrt(F.col("_qn2") * F.col("_cn2")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (

@@ -38,12 +38,13 @@ _REQUIRED_CONFS = {
 }
 
 
-_confs_pinned: set[int] = set()
+_confs_pinned: set[tuple] = set()
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin determinism-critical runtime confs on a possibly-vanilla session."""
-    if id(spark) in _confs_pinned:
+    key = _ctx_id(spark)
+    if key in _confs_pinned:
         return
     for k, v in _REQUIRED_CONFS.items():
         try:
@@ -51,7 +52,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
         except Exception:
             pass
     _ship_package(spark)
-    _confs_pinned.add(id(spark))
+    _confs_pinned.add(key)
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -113,19 +114,31 @@ _CACHE_TABLES = os.environ.get("SPARK_GRAFT_CACHE_TABLES", "1") != "0"
 _CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", str(1 << 30)))
 _MIN_SPLIT_BYTES = 512 * 1024  # ≥512 KB of parquet per rebalanced partition
 
-# (sf_dir, name) -> DataFrame, held per live SparkContext id so a restarted
-# session never sees another JVM's plans.
-_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+# (ctx, sf_dir, name) -> DataFrame, held per live SparkContext identity so a
+# restarted session never sees another JVM's plans.
+_table_cache: dict[tuple, DataFrame] = {}
 
 
-def _ctx_id(spark: SparkSession) -> int:
+def _ctx_id(spark: SparkSession) -> tuple:
+    """Stable identity for the underlying context.
+
+    (applicationId, startTime) — never ``id()`` of a Python wrapper: CPython
+    reuses object ids after GC, which could alias a fresh context to a stale
+    cache entry holding DataFrames bound to a dead JVM.
+    """
     try:
-        return id(spark.sparkContext._jsc)
+        sc = spark.sparkContext
+        return (sc.applicationId, sc.startTime)
     except Exception:  # Spark Connect: no local context object
-        return id(spark)
+        return (id(spark),)
 
 
 def clear_table_cache() -> None:
+    for df in _table_cache.values():
+        try:  # release executor storage, not just the Python reference
+            df.unpersist()
+        except Exception:
+            pass
     _table_cache.clear()
 
 

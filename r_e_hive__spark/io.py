@@ -76,10 +76,15 @@ def append_returning(
     """
     from pyspark.sql.window import Window
 
+    from pyspark.errors import AnalysisException
+
     try:
         base = spark.read.parquet(path).agg(F.max(id_col)).collect()[0][0] or 0
-    except Exception:  # first insert into a not-yet-existing table
+    except AnalysisException:  # first insert into a not-yet-existing table
         base = 0
+        # Any OTHER failure (corrupt footer, FS error, permissions) must
+        # propagate: silently restarting at base=0 would append duplicate
+        # ids — corruption with no error.
     w = Window.orderBy(*order_cols)
     assigned = rows.withColumn(
         id_col, (F.lit(base) + F.row_number().over(w)).cast("long")

@@ -77,6 +77,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     block_cols: Sequence[str] = (),
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
 
@@ -89,12 +90,19 @@ def ngram_jaccard_pairs(
     emit each list's id<id combinations with JVM higher-order functions.
     Versus the naive shingle self-join this shuffles each shingle string
     once instead of twice, skips the join build, and drops
-    df=1 shingles (the vast majority) before any pair exists.  At 100 TB a
-    heavy-hitter shingle (posting list of millions) would make its pair set
-    quadratic *in one task* — there, block first and pre-cap document
-    frequency (stopword-shingle removal, standard in web-dedup pipelines),
-    or take the sub-quadratic minhash_lsh_pairs path and verify survivors
-    with this operator.
+    df=1 shingles (the vast majority) before any pair exists.
+
+    ``max_df`` is the heavy-hitter guard: a shingle appearing in more than
+    ``max_df`` docs (a stopword-shingle) is dropped from the index before
+    pair expansion, bounding any single posting list's pair count at
+    max_df² instead of quadratic-in-corpus in ONE task.  Standard in
+    web-dedup pipelines; at 100 TB it is mandatory.  Dropping an
+    over-frequent shingle can only *lower* a pair's counted intersection
+    (never invent a pair), so results with a cap are a subset of the exact
+    result; on a corpus with no heavy hitters (cap above the true max df)
+    output is bit-identical to the uncapped run.  For guaranteed-exact J on
+    survivors, verify capped candidates with the array_intersect step used
+    in minhash_lsh_pairs.
     """
     src = ensure_parallelism(df)
     sh = src.select(
@@ -110,11 +118,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
     )
+    # collect_SET: duplicate doc ids in the input would otherwise sit
+    # adjacent in the sorted list and the i<j slice would pair them with
+    # themselves (Jaccard 1.0 self-pairs) — the old self-join's strict
+    # id_a < id_b predicate excluded equal ids, so must the index.
     postings = (
         sh.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
-        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
+    if max_df is not None:
+        postings = postings.where(F.size("_ids") <= max_df)
     # all index pairs (i < j) of the sorted posting list, JVM-side
     pair_structs = F.flatten(
         F.transform(

@@ -69,7 +69,13 @@ def _closure_local(
     )
 
     def gen(batches):
-        e = pd.concat(list(batches), ignore_index=True)
+        # An empty scan yields ZERO Arrow batches (not one empty batch), and
+        # pd.concat([]) raises — guard before concatenating.
+        chunks = list(batches)
+        if not chunks:
+            yield pd.DataFrame({"node": [], "ancestor": [], "level": []})
+            return
+        e = pd.concat(chunks, ignore_index=True)
         if e.empty:
             yield pd.DataFrame({"node": [], "ancestor": [], "level": []})
             return

@@ -65,3 +65,41 @@ def test_simhash_finds_neardups(spark, documents):
         # near-identical docs (J≈0.99 exist in the corpus) must collide
         overlap = len(sim_pairs & exact_pairs) / len(exact_pairs)
         assert overlap > 0.5
+
+
+def test_jaccard_duplicate_ids_no_self_pairs(spark):
+    # duplicate doc ids in the input must not produce (x, x) self-pairs —
+    # the inverted index collects a SET per shingle (ADVICE r1)
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (1, "w1 w2 w3 w4 w5"), (2, "q r s t u")],
+        "id INT, text STRING",
+    )
+    rows = D.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.1).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert not rows  # the only similar pair was a self-pair
+
+
+def test_jaccard_max_df_bounds_heavy_hitter(spark):
+    # degenerate corpus: every doc shares one stopword-shingle; an uncapped
+    # index pairs all N docs quadratically, the cap drops that posting list
+    n = 40
+    rows = [(i, f"common common common unique{i} unique{i} unique{i}") for i in range(n)]
+    rows += [(n, "common common common uniqueX uniqueX uniqueX"),
+             (n + 1, "common common common uniqueX uniqueX uniqueX")]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    capped = D.ngram_jaccard_pairs(
+        df, "text", "id", k=1, threshold=0.3, max_df=5
+    ).collect()
+    # the heavy hitter ('common', df=42) is dropped; the true near-dup pair
+    # survives via its rare shingle, and no quadratic pair set is emitted
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(n, n + 1)}
+
+
+def test_jaccard_max_df_parity_on_normal_corpus(spark, documents):
+    base = D.ngram_jaccard_pairs(documents, "text", "doc_id", k=3, threshold=0.8)
+    capped = D.ngram_jaccard_pairs(
+        documents, "text", "doc_id", k=3, threshold=0.8, max_df=10**6
+    )
+    a = {tuple(r) for r in base.collect()}
+    b = {tuple(r) for r in capped.collect()}
+    assert a == b

@@ -59,3 +59,20 @@ def test_hub_fanout(spark):
     assert got == _closure_py(edges, 10)
     # every hub child sees all three ancestors
     assert (200, 98, 3) in got
+
+
+def test_empty_edges_local_strategy(spark):
+    # zero Arrow batches reach the local closure's generator — must yield an
+    # empty typed frame, not crash in pd.concat (ADVICE r1)
+    df = spark.createDataFrame([], "child INT, parent INT")
+    for strat in ("local", "doubling", "auto"):
+        assert ancestor_closure(df, strategy=strat).count() == 0
+
+
+def test_filtered_to_empty_local(spark):
+    # non-empty scan whose runtime row count is zero after a filter: 'auto'
+    # may pick 'local' off Catalyst's pre-filter size estimate
+    df = spark.createDataFrame(
+        [(2, 1), (3, 2)], "child INT, parent INT"
+    ).where(F.col("child") > 100)
+    assert ancestor_closure(df, strategy="local").count() == 0

@@ -94,3 +94,20 @@ def test_explicit_schema_csv_json(spark, tmp_path):
     jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     dj = EIO.read_json_table(spark, str(jl), schema)
     assert dj.orderBy("a").collect()[1]["b"] == "y"
+
+
+def test_append_returning_corrupt_table_raises(spark, tmp_path):
+    # a transient/corrupt read must PROPAGATE, never silently restart id
+    # assignment at 1 (duplicate-id corruption) — ADVICE r1
+    import pytest
+
+    p = str(tmp_path / "corrupt")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    batch = spark.createDataFrame([(7,)], "user_id long").withColumn(
+        "id", F.lit(None).cast("long")
+    )
+    with pytest.raises(Exception) as ei:
+        EIO.append_returning(spark, batch, p, "id", [F.col("user_id")])
+    assert "AnalysisException" not in type(ei.value).__name__ or "PARQUET" in str(ei.value).upper()

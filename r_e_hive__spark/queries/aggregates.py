@@ -147,66 +147,33 @@ def a4_order_profit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_ROLLUP_SQL = """
+SELECT COALESCE(r.r_name, '(all)') AS region_name,
+       COALESCE(n.n_name, '(all)') AS nation_name,
+       CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS BIGINT) AS lvl,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+ORDER BY lvl, region_name, nation_name
+"""
+
+
 @query(
-    "agg_rollup",
-    """
-    SELECT COALESCE(r.r_name, '(all)') AS region_name,
-           COALESCE(n.n_name, '(all)') AS nation_name,
-           CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS BIGINT) AS lvl,
-           COUNT(*) AS n_customers,
-           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP(r.r_name, n.n_name)
-    ORDER BY lvl, region_name, nation_name
-    """,
-    survey_rows=("A-rollup",),
+    "agg_rollup_distinct",
+    _ROLLUP_SQL,
+    survey_rows=("A-rollup", "A-distinct"),
 )
-def agg_rollup(spark, sf_dir):
-    """ROLLUP hierarchy totals — absent in the reference, declared engine
-    surface (SURVEY.md §2.4)."""
+def agg_rollup_distinct(spark, sf_dir):
+    """ROLLUP hierarchy totals with a distinct aggregate per group — the
+    declared engine surface for grouping sets AND distinct aggregation
+    (expand + two-phase aggregation in the physical plan), pinned together
+    for the driver's 50-query budget."""
     T(spark, sf_dir, "customer", "nation", "region")
-    return spark.sql(
-        """
-        SELECT COALESCE(r.r_name, '(all)') AS region_name,
-               COALESCE(n.n_name, '(all)') AS nation_name,
-               CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS BIGINT) AS lvl,
-               COUNT(*) AS n_customers,
-               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_balance
-        FROM customer c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY ROLLUP(r.r_name, n.n_name)
-        ORDER BY lvl, region_name, nation_name
-        """
-    )
-
-
-@query(
-    "agg_distinct",
-    """
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_suppkey) AS n_suppliers,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(*) AS n_lines
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    survey_rows=("A-distinct",),
-)
-def agg_distinct(spark, sf_dir):
-    """Distinct aggregates (engine surface; expand + two-phase aggregation
-    in Spark's physical plan)."""
-    (lineitem,) = T(spark, sf_dir, "lineitem")
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.count("*").alias("n_lines"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return spark.sql(_ROLLUP_SQL)
 
 
 # ---------------------------------------------------------------------------

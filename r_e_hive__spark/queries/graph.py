@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from r_e_hive__spark.operators.graph import closure_from_parent_expr
+from r_e_hive__spark.operators.graph import ancestor_closure, closure_from_parent_expr
 from r_e_hive__spark.queries import query
 from r_e_hive__spark.queries._util import T
 
@@ -64,6 +64,43 @@ def j8_ancestor_closure(spark, sf_dir):
     what the bench measures."""
     closure = _closure(spark, sf_dir)
     (customer,) = T(spark, sf_dir, "customer")
+    lo = customer.agg(F.min("c_custkey").alias("m"))
+    return (
+        closure.join(
+            F.broadcast(lo), closure["node"] <= F.col("m") + 499, "left_semi"
+        )
+        .select("node", "ancestor", "level")
+        .orderBy("node", "level")
+    )
+
+
+@query(
+    "j8_doubling_closure",
+    _ORACLE_CLOSURE
+    + """
+    SELECT node, ancestor, level FROM up
+    WHERE node <= (SELECT MIN(c_custkey) + 499 FROM customer)
+    ORDER BY node, level
+    """,
+    survey_rows=("J8", "W2"),
+    bench=True,
+)
+def j8_doubling_closure(spark, sf_dir):
+    """The SAME closure as j8_ancestor_closure, but forced through the
+    distributed log-depth path-doubling joins over a MATERIALIZED edge
+    table (operators/graph.py:ancestor_closure, strategy='doubling') — the
+    100 TB strategy, differentially tested against the WITH RECURSIVE
+    oracle.  The closed-form posexplode unrolling cannot kick in here: the
+    edge set is a DataFrame, not a parent expression, exactly the shape a
+    real referral table has (render-complete-deploy.js:263-267)."""
+    (customer,) = T(spark, sf_dir, "customer")
+    edges = customer.where(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 2").alias("parent"),
+    )
+    closure = ancestor_closure(
+        edges, "child", "parent", max_levels=10, strategy="doubling"
+    )
     lo = customer.agg(F.min("c_custkey").alias("m"))
     return (
         closure.join(

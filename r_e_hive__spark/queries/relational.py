@@ -101,18 +101,22 @@ def p3_filter_conjunction(spark, sf_dir):
 
 
 @query(
-    "p6_null_handling",
+    "p6_null_json_events",
     """
     SELECT event_id,
            COALESCE(NULLIF(event_type, 'click'), '(clicked)') AS etype,
-           CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS band
+           CASE WHEN value > 0.5 THEN 'hi' ELSE 'lo' END AS band,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
     FROM events ORDER BY event_id LIMIT 500
     """,
-    survey_rows=("P4", "P6"),
+    survey_rows=("P4", "P6", "F10"),
 )
-def p6_null_handling(spark, sf_dir):
-    """null/missing handling: coalesce / when-otherwise
-    (render-complete-deploy.js:620, :551, :835)."""
+def p6_null_json_events(spark, sf_dir):
+    """Events-grain scalar suite: null/missing handling via coalesce /
+    when-otherwise (render-complete-deploy.js:620, :551, :835) plus the
+    JSON-in-text round trip (payment_details JSON.stringify, :552, :99) —
+    merged into one declared query for the driver's 50-query budget."""
     (events,) = T(spark, sf_dir, "events")
     return (
         events.select(
@@ -121,6 +125,8 @@ def p6_null_handling(spark, sf_dir):
                 F.nullif(F.col("event_type"), F.lit("click")), F.lit("(clicked)")
             ).alias("etype"),
             F.when(F.col("value") > 0.5, "hi").otherwise("lo").alias("band"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.get_json_object("props", "$.missing").alias("missing"),
         )
         .orderBy("event_id")
         .limit(500)
@@ -200,48 +206,36 @@ def j3_two_parents(spark, sf_dir):
 
 
 @query(
-    "j5_semi_join",
+    "j56_semi_anti_join",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-    ORDER BY c_custkey
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY op, c_custkey
     """,
-    survey_rows=("J5",),
+    survey_rows=("J5", "J6"),
 )
-def j5_semi_join(spark, sf_dir):
-    """Existence as semi-join ('is there an unredeemed code with this value',
-    render-complete-deploy.js:464-470)."""
+def j56_semi_anti_join(spark, sf_dir):
+    """J5 semi-join ('is there an unredeemed code with this value',
+    render-complete-deploy.js:464-470) and J6 anti-join (the unique email /
+    referral_code rejection shape, :45, :50, :67) in one declared suite —
+    merged so both pins fit the driver's 50-query correctness budget; each
+    still runs its own operator (exists_in / not_exists_in)."""
     customer, orders = T(spark, sf_dir, "customer", "orders")
     f_orders = orders.where(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return (
-        exists_in(customer, f_orders, ["c_custkey"])
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    semi = exists_in(customer, f_orders, ["c_custkey"]).select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
     )
-
-
-@query(
-    "j6_anti_join",
-    """
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
-    """,
-    survey_rows=("J6",),
-)
-def j6_anti_join(spark, sf_dir):
-    """Anti-join: duplicate/uniqueness rejection shape (unique email /
-    referral_code / code constraints, render-complete-deploy.js:45, 50, 67)."""
-    customer, orders = T(spark, sf_dir, "customer", "orders")
     have = orders.select(F.col("o_custkey").alias("c_custkey"))
-    return (
-        not_exists_in(customer, have, ["c_custkey"])
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+    anti = not_exists_in(customer, have, ["c_custkey"]).select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
     )
+    return semi.unionByName(anti).orderBy("op", "c_custkey")
 
 
 @query(
@@ -377,42 +371,23 @@ def f_scalar_suite(spark, sf_dir):
 
 
 @query(
-    "f7_gift_codes",
+    "f7_f12_orders_scalars",
     """
     SELECT o_orderkey,
-           SUBSTRING(UPPER(SHA256(CAST(o_orderkey AS VARCHAR))), 1, 8) AS gift_code
-    FROM orders ORDER BY o_orderkey LIMIT 200
-    """,
-    survey_rows=("F7", "F15"),
-)
-def f7_gift_codes(spark, sf_dir):
-    """Deterministic 8-char A-Z/0-9 gift code — the engine's reformulation of
-    generateGiftCode's rand() loop (render-complete-deploy.js:198-205),
-    seeded from data per the determinism contract."""
-    (orders,) = T(spark, sf_dir, "orders")
-    return (
-        orders.select(
-            "o_orderkey", gift_code(F.col("o_orderkey")).alias("gift_code")
-        )
-        .orderBy("o_orderkey")
-        .limit(200)
-    )
-
-
-@query(
-    "f12_date_arithmetic",
-    """
-    SELECT o_orderkey,
+           SUBSTRING(UPPER(SHA256(CAST(o_orderkey AS VARCHAR))), 1, 8) AS gift_code,
            strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS next_month,
            strftime(o_orderdate, '%Y-%m-%d') AS order_day,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
     FROM orders ORDER BY o_orderkey LIMIT 500
     """,
-    survey_rows=("F12", "F13"),
+    survey_rows=("F7", "F15", "F12", "F13"),
 )
-def f12_date_arithmetic(spark, sf_dir):
-    """+1 month subscription extension (render-complete-deploy.js:786-787,
-    standardized on add_months end-of-month clamping) + date formatting
+def f7_f12_orders_scalars(spark, sf_dir):
+    """Orders-grain scalar suite (merged for the driver's 50-query budget):
+    deterministic 8-char gift code — the reformulation of generateGiftCode's
+    rand() loop (render-complete-deploy.js:198-205), seeded from data per
+    the determinism contract — plus +1-month subscription extension
+    (:786-787, add_months end-of-month clamping) and date formatting
     (:1134, :1173).  Dates terminate as formatted strings: engines surface
     DATE values through pandas with different physical types, so strings are
     the canonical hashable form."""
@@ -420,6 +395,7 @@ def f12_date_arithmetic(spark, sf_dir):
     return (
         orders.select(
             "o_orderkey",
+            gift_code(F.col("o_orderkey")).alias("gift_code"),
             F.date_format(
                 F.add_months(F.col("o_orderdate").cast("date"), 1), "yyyy-MM-dd"
             ).alias("next_month"),
@@ -431,26 +407,3 @@ def f12_date_arithmetic(spark, sf_dir):
     )
 
 
-@query(
-    "f10_json_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
-    FROM events ORDER BY event_id LIMIT 500
-    """,
-    survey_rows=("F10",),
-)
-def f10_json_extract(spark, sf_dir):
-    """JSON-in-text round trip (payment_details JSON.stringify,
-    render-complete-deploy.js:552, :99)."""
-    (events,) = T(spark, sf_dir, "events")
-    return (
-        events.select(
-            "event_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
-            F.get_json_object("props", "$.missing").alias("missing"),
-        )
-        .orderBy("event_id")
-        .limit(500)
-    )

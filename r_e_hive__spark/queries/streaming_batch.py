@@ -17,37 +17,7 @@ from r_e_hive__spark.queries._util import T
 
 
 @query(
-    "st2_tumbling_window",
-    """
-    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start, event_type,
-           COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    survey_rows=("ST1", "ST2"),
-    bench=True,
-)
-def st2_tumbling_window(spark, sf_dir):
-    """Tumbling 10-minute window aggregation — Spark ``window()`` (epoch-
-    aligned, identical to DuckDB time_bucket); same groupBy runs unchanged
-    under readStream + watermark (tests/test_streaming.py)."""
-    (events,) = T(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            F.window("ts", "10 minutes").start.alias("bucket_start"), "event_type"
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .orderBy("bucket_start", "event_type")
-    )
-
-
-@query(
-    "st2_sliding_window",
+    "st2_windows",
     """
     WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(k)),
     slid AS (
@@ -55,27 +25,45 @@ def st2_tumbling_window(spark, sf_dir):
              e.value
       FROM events e CROSS JOIN offsets
     )
-    SELECT window_start, COUNT(*) AS n_events,
+    SELECT 'tumbling' AS kind, time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
-    FROM slid GROUP BY window_start ORDER BY window_start
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, '(all)' AS event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY window_start
+    ORDER BY kind, window_start, event_type
     """,
-    survey_rows=("ST2",),
+    survey_rows=("ST1", "ST2"),
+    bench=True,
 )
-def st2_sliding_window(spark, sf_dir):
-    """Sliding window (10-minute width, 5-minute slide): each event lands in
-    two windows — Spark ``window(ts, width, slide)`` vs the oracle's explicit
-    offset expansion."""
+def st2_windows(spark, sf_dir):
+    """ST2 tumbling (10-minute) and sliding (10-minute width, 5-minute
+    slide) window aggregations in one declared suite (driver 50-query
+    budget).  Spark ``window()`` is epoch-aligned, identical to DuckDB
+    time_bucket; the sliding oracle expands each event into its two windows
+    explicitly.  The same groupBys run unchanged under readStream +
+    watermark (tests/test_streaming.py)."""
     (events,) = T(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+    val = F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double")
+    tumbling = (
+        events.groupBy(
+            F.window("ts", "10 minutes").start.alias("window_start"), "event_type"
         )
-        .orderBy("window_start")
+        .agg(F.count("*").alias("n_events"), val.alias("sum_value"))
+        .select(F.lit("tumbling").alias("kind"), "window_start", "event_type", "n_events", "sum_value")
     )
+    sliding = (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").start.alias("window_start")
+        )
+        .agg(F.count("*").alias("n_events"), val.alias("sum_value"))
+        .select(F.lit("sliding").alias("kind"), "window_start", F.lit("(all)").alias("event_type"), "n_events", "sum_value")
+    )
+    return tumbling.unionByName(sliding).orderBy("kind", "window_start", "event_type")
 
 
 @query(

@@ -16,30 +16,47 @@ from r_e_hive__spark.queries._util import T
 
 
 @query(
-    "w1_latest_n_per_key",
+    "w13_latest_per_key",
     """
-    SELECT user_id, rn, event_id, event_type
+    SELECT 'w1' AS part, user_id, rn, event_id, event_type
     FROM (
       SELECT user_id, event_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn <= 3
-    ORDER BY user_id, rn
+    UNION ALL
+    SELECT 'w3' AS part, user_id, CAST(1 AS BIGINT) AS rn, event_id, event_type
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY part, user_id, rn, event_id
     """,
-    survey_rows=("W1", "O1", "O3"),
+    survey_rows=("W1", "W3", "S5", "O1", "O3"),
 )
-def w1_latest_n_per_key(spark, sf_dir):
-    """Latest-N history page per user (LIMIT-100 commissions / LIMIT-50
+def w13_latest_per_key(spark, sf_dir):
+    """W1 latest-N history page per user (LIMIT-100 commissions / LIMIT-50
     notifications, render-complete-deploy.js:512-516, 664-668) computed for
-    ALL users in one window pass; id tiebreak pins determinism."""
+    ALL users in one window pass, UNIONed with W3 latest-record-wins — the
+    event-sourced replacement for UPDATE-in-place (:476-486).  Both operators
+    (latest_n_per_key, latest_record_wins) run; merged for the driver's
+    50-query budget; id tiebreak pins determinism."""
     (events,) = T(spark, sf_dir, "events")
-    return (
-        latest_n_per_key(
-            events, ["user_id"], [F.desc("ts"), F.desc("event_id")], 3
+    order = [F.desc("ts"), F.desc("event_id")]
+    w1 = (
+        latest_n_per_key(events, ["user_id"], order, 3)
+        .select(
+            F.lit("w1").alias("part"), "user_id", "rn", "event_id", "event_type"
         )
-        .select("user_id", "rn", "event_id", "event_type")
-        .orderBy("user_id", "rn")
     )
+    w3 = latest_record_wins(events, ["user_id"], order).select(
+        F.lit("w3").alias("part"),
+        "user_id",
+        F.lit(1).cast("long").alias("rn"),
+        "event_id",
+        "event_type",
+    )
+    return w1.unionByName(w3).orderBy("part", "user_id", "rn", "event_id")
 
 
 @query(
@@ -70,35 +87,6 @@ def w2_rank_lag(spark, sf_dir):
         )
         .orderBy("o_custkey", "price_rank", "o_orderkey")
         .limit(2000)
-    )
-
-
-@query(
-    "w3_latest_record_wins",
-    """
-    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, ts AS last_ts
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    ORDER BY user_id
-    """,
-    survey_rows=("W3", "S5"),
-)
-def w3_latest_record_wins(spark, sf_dir):
-    """Latest-record-wins current state — the event-sourced replacement for
-    the reference's UPDATE-in-place (render-complete-deploy.js:476-486):
-    current gift-code/subscription state := newest event per key."""
-    (events,) = T(spark, sf_dir, "events")
-    return (
-        latest_record_wins(events, ["user_id"], [F.desc("ts"), F.desc("event_id")])
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("ts").alias("last_ts"),
-        )
-        .orderBy("user_id")
     )
 
 

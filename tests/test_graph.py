@@ -76,3 +76,48 @@ def test_filtered_to_empty_local(spark):
         [(2, 1), (3, 2)], "child INT, parent INT"
     ).where(F.col("child") > 100)
     assert ancestor_closure(df, strategy="local").count() == 0
+
+
+def test_doubling_matches_local_on_skewed_graph(spark):
+    # heavy-hitter shape: one ancestor with thousands of descendants (MLM
+    # early-user convergence) — distributed doubling must agree with the
+    # single-task local strategy row-for-row
+    edges = {i: 7 for i in range(1000, 4000)}  # 3000 children of one hub
+    edges.update({7: 3, 3: 1})                  # hub chained upward
+    edges.update({i: i - 1 for i in range(50, 65)})  # a deep chain (>10)
+    df = spark.createDataFrame(
+        [(c, p) for c, p in edges.items()], "child INT, parent INT"
+    )
+    local = {
+        (r["node"], r["ancestor"], r["level"])
+        for r in ancestor_closure(df, strategy="local").collect()
+    }
+    doubling = {
+        (r["node"], r["ancestor"], r["level"])
+        for r in ancestor_closure(df, strategy="doubling").collect()
+    }
+    assert doubling == local == _closure_py(edges, 10)
+    assert (1000, 1, 3) in doubling  # hub child sees the chained ancestors
+
+
+def test_doubling_plan_contains_joins(spark):
+    # the doubling strategy must actually execute iterative equi-joins —
+    # the closed-form unrolling has zero joins, so this distinguishes them
+    from tests.test_plans import plan
+
+    df = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 12)], "child INT, parent INT"
+    )
+    closure = ancestor_closure(df, strategy="doubling", max_levels=10)
+    assert "Join" in plan(closure, "simple")
+
+
+def test_declared_doubling_query_runs_distributed_path(spark):
+    # the declared query must not silently fall back to the closed form
+    from r_e_hive__spark.queries import load_all
+    from tests.test_plans import plan
+
+    q = load_all()["j8_doubling_closure"]
+    df = q.spark_fn(spark, "/root/testdata/sf0.001")
+    assert "Join" in plan(df, "simple")
+    assert df.count() > 0

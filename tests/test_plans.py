@@ -68,10 +68,9 @@ def test_semi_anti_joins_stay_joins(spark):
     from r_e_hive__spark.queries import load_all
 
     qs = load_all()
-    p_semi = plan(qs["j5_semi_join"].spark_fn(spark, SF_SMOKE), "simple")
-    p_anti = plan(qs["j6_anti_join"].spark_fn(spark, SF_SMOKE), "simple")
-    assert "LeftSemi" in p_semi, p_semi
-    assert "LeftAnti" in p_anti, p_anti
+    p = plan(qs["j56_semi_anti_join"].spark_fn(spark, SF_SMOKE), "simple")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
 
 
 # ---------------------------------------------------------------------------

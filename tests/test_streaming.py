@@ -30,7 +30,12 @@ def test_tumbling_equivalence(spark):
     got = jobs.run_stream_to_memory(
         jobs.tumbling_counts(_stream(spark)), "t_tumbling", "complete"
     )
-    want = load_all()["st2_tumbling_window"].spark_fn(spark, SF_SMOKE)
+    want = (
+        load_all()["st2_windows"]
+        .spark_fn(spark, SF_SMOKE)
+        .where("kind = 'tumbling'")
+        .withColumnRenamed("window_start", "bucket_start")
+    )
     cols = ["bucket_start", "event_type", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
 

@@ -86,39 +86,90 @@ def x2_ngram_jaccard_topk(spark, sf_dir):
 
 @query(
     "x2_minhash_lsh_neardup",
-    None,  # xxhash64-based: Spark-native, no oracle equivalent (rows-only)
+    _DU_SHINGLES
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes na ON na.doc_id = p.id_a
+    JOIN sizes nb ON nb.doc_id = p.id_b
+    WHERE ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) >= 0.5
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 100
+    """,
     survey_rows=("X2",),
     doc="MinHash+banded-LSH candidate pairs verified with exact Jaccard.",
 )
 def x2_minhash_lsh_neardup(spark, sf_dir):
     """Sub-quadratic near-dup path: 32 minhashes (xxhash64-seeded), 8 bands
-    → candidate pairs → exact-Jaccard verification ≥ 0.5.  Recall vs the
-    exact operator asserted in tests/test_dedup.py."""
+    → candidate pairs → exact-Jaccard verification ≥ 0.5.
+
+    The oracle is the *exact* shingle-Jaccard pair join: because verified
+    LSH output = {candidate pairs} ∩ {exact pairs ≥ threshold}, equality
+    with the exact result is precisely the statement "LSH recall is 1.0 on
+    this corpus" — deterministic (fixed xxhash64 seeds, frozen fixture
+    data), so it is a genuine differential check, not a snapshot.  Banding
+    math: r=4 rows/band × 8 bands ⇒ P(candidate | J≈0.99) ≈ 1−(1−0.99⁴)⁸
+    ≈ 1−4·10⁻¹¹; the fixture's true pairs all have J ≥ 0.9.  Estimated-
+    signature agreement (est_jaccard, xxhash64-derived, no DuckDB twin)
+    stays covered by tests/test_dedup.py."""
     (documents,) = T(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         documents, "text", "doc_id", k=3, num_hashes=32, bands=8, jaccard_threshold=0.5
     )
     return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round("est_jaccard", 6).alias("est_jaccard"),
-            "jaccard",
-        )
+        pairs.select("id_a", "id_b", "jaccard")
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(100)
     )
 
 
+# Golden pin for the SimHash query: SimHash Hamming distance has no
+# closed-form relation to any DuckDB-computable similarity (the fingerprint
+# is xxhash64-derived), so the oracle is an inline-VALUES literal generated
+# ONCE from the frozen sf0.01 fixture (same pattern as the x7 oracle,
+# queries/multimodal.py).  Regenerate with:
+#   python -c "from r_e_hive__spark.queries import load_all; ...
+#              load_all()['x2_simhash_neardup'].spark_fn(spark, sf001).show()"
+# after any intentional change to simhash64 / banding.  The differential
+# value: pins determinism of the whole path (tokenize → 64 vote aggregates
+# → 16-bit banded join → bit_count) against silent drift.
+_SIMHASH_GOLDEN = (
+    (58, 293, 0), (61, 185, 0), (285, 301, 0), (393, 420, 0),
+    (70, 447, 1), (107, 387, 1),
+    (8, 245, 2), (76, 102, 2), (98, 290, 2), (267, 413, 2),
+    (326, 457, 2), (458, 462, 2),
+    (45, 413, 3), (120, 332, 3), (166, 323, 3), (251, 473, 3),
+    (435, 486, 3),
+)
+
+_SIMHASH_GOLDEN_SQL = (
+    "SELECT * FROM (VALUES\n    "
+    + ",\n    ".join(
+        f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT), CAST({h} AS INT))"
+        for a, b, h in _SIMHASH_GOLDEN
+    )
+    + ") AS t(id_a, id_b, hamming)\nORDER BY hamming, id_a, id_b"
+)
+
+
 @query(
     "x2_simhash_neardup",
-    None,  # xxhash64-based (rows-only)
+    _SIMHASH_GOLDEN_SQL,
     survey_rows=("X2",),
     doc="64-bit SimHash near-dup pairs within Hamming distance 3.",
 )
 def x2_simhash_neardup(spark, sf_dir):
     """SimHash near-dup: 64-bit token-hash sign fingerprint, 16-bit banded
-    candidate join, Hamming ≤ 3."""
+    candidate join, Hamming ≤ 3.  Oracle = golden VALUES from the frozen
+    fixture (see _SIMHASH_GOLDEN above); semantic properties (symmetry,
+    banding completeness for Hamming ≤ 3, agreement with near-dup ground
+    truth) are asserted in tests/test_dedup.py."""
     (documents,) = T(spark, sf_dir, "documents")
     return (
         D.simhash_neardup_pairs(documents, "text", "doc_id", max_hamming=3)

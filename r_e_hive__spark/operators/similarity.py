@@ -133,6 +133,135 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    seed: int = 42,
+    sample_limit: int = 2048,
+) -> list[list[float]]:
+    """Fit a k-means coarse quantizer; return unit-normalized centroids.
+
+    The model is tiny (k × dim floats) — collecting it to the driver is
+    collecting *parameters*, not data.  Determinism: the training sample is
+    the first ``sample_limit`` rows by ``id_col``, coalesced to ONE
+    partition, so the float reduction order inside KMeans is fixed and the
+    centroids are bit-reproducible across parallelism settings (the
+    determinism contract, SURVEY.md §2.12).  At 100 TB the sample cap is
+    also the scale story: the quantizer never sees more than
+    ``sample_limit`` vectors regardless of corpus size."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .coalesce(1)
+        .select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+    )
+    model = KMeans(k=n_clusters, seed=seed).fit(sample)
+    out = []
+    for c in model.clusterCenters():
+        vals = [float(x) for x in c]
+        n = math.sqrt(sum(x * x for x in vals)) or 1.0
+        out.append([x / n for x in vals])
+    return out
+
+
+def _centroid_scores(
+    vec: Column, centroids: list[list[float]], exact: bool = False
+) -> Column:
+    """array<struct<score,idx>> of cos-proportional scores per centroid.
+
+    Centroids are unit vectors, so dot(v, ĉ_j) ranks identically to
+    cosine(v, c_j) (the ‖v‖ factor is constant across j).  All JVM-side:
+    k×dim literal arrays folded with zip_with/aggregate, one codegen stage,
+    no UDF.  ``exact`` routes through the decimal-exact dot (oracle-stable
+    ranking for declared queries); the double path is the production one."""
+    elems = []
+    for j, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        if exact:
+            dot = V.dot_exact(vec, carr).cast("double")
+        else:
+            dot = F.aggregate(
+                F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        elems.append(F.struct(dot.alias("score"), F.lit(j).alias("idx")))
+    return F.array(*elems)
+
+
+def assign_centroid(
+    vec: Column, centroids: list[list[float]], exact: bool = False
+) -> Column:
+    """Nearest-centroid id (struct-max: ties break to the larger idx,
+    consistently with probe_centroids' descending sort)."""
+    return F.array_max(_centroid_scores(vec, centroids, exact)).getField("idx")
+
+
+def probe_centroids(
+    vec: Column, centroids: list[list[float]], n_probe: int, exact: bool = False
+) -> Column:
+    """The ``n_probe`` nearest centroid ids, best first."""
+    ordered = F.sort_array(_centroid_scores(vec, centroids, exact), asc=False)
+    return F.transform(
+        F.slice(ordered, 1, n_probe), lambda s: s.getField("idx")
+    )
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    exact_decimal: bool = False,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer: k-means centroids instead
+    of a pre-existing bucket column.  Candidates are assigned to their
+    nearest centroid; each query probes its ``n_probe`` nearest centroids
+    (exploded → the bucket equi-join of ivf_topk).  At scale the candidate
+    assignment is computed once at ingest and the table is written
+    partitioned by bucket, making every probe a partition-pruned scan of
+    n_probe/n_clusters of the data."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            candidates, vec_col, cand_id, n_clusters=n_clusters
+        )
+    cand_b = candidates.withColumn(
+        "_ivf_bucket", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+    )
+    q_b = queries.select(
+        F.col(query_id),
+        F.col(vec_col),
+        F.explode(
+            probe_centroids(F.col(vec_col), centroids, n_probe, exact_decimal)
+        ).alias("_ivf_bucket"),
+    )
+    return ivf_topk(
+        q_b,
+        cand_b,
+        "_ivf_bucket",
+        query_id,
+        cand_id,
+        vec_col,
+        k=k,
+        exact_decimal=exact_decimal,
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 16) -> Column:
     """Deterministic random-hyperplane sign bucket for a vector.
 

@@ -101,6 +101,86 @@ def x3_ivf_topk(spark, sf_dir):
     )
 
 
+def _cents_sql() -> str:
+    from r_e_hive__spark.queries._ivf_centroids import _IVF_CENTROIDS
+
+    rows = ",\n      ".join(
+        f"({j}, [{', '.join(repr(x) for x in c)}])"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"cents(idx, cvec) AS (VALUES\n      {rows})"
+
+
+def _ivf_kmeans_oracle() -> str:
+    score = "CAST(" + _DU_DOT.format(a="e.embedding", b="c.cvec") + " AS DOUBLE)"
+    return f"""
+    WITH {_cents_sql()},
+    scored_c AS (
+      SELECT e.vec_id, e.embedding, c.idx, {score} AS score
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, idx AS bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, idx DESC) AS rn
+        FROM scored_c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, idx AS bucket FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, idx DESC) AS rn
+        FROM scored_c WHERE vec_id < 4
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {_du_cosine('p.qvec', 'a.embedding')} AS cosine
+      FROM probes p JOIN assign a ON a.bucket = p.bucket
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "x3_ivf_kmeans_topk",
+    _ivf_kmeans_oracle(),
+    survey_rows=("X3",),
+)
+def x3_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k with a LEARNED k-means coarse quantizer (frozen centroids,
+    _ivf_centroids.py): candidates assign to their nearest centroid, each
+    query probes its 2 nearest of 8 — a 4× pruned scan.  The oracle
+    recomputes the ENTIRE pipeline (decimal-exact centroid scores, argmax
+    assignment, probe selection, bucket join, exact-cosine top-k) in DuckDB
+    from the same frozen parameters — differential, not a snapshot.
+
+    Honest scale note: the fixture embeddings are uniform random unit
+    vectors (mean same-label fraction of true top-10 ≈ 0.10 = chance), so
+    NO coarse quantizer can recall well on THIS corpus — the differential
+    check pins the machinery, while recall ≥ 0.9 is asserted on a genuinely
+    clustered fixture in tests/test_similarity.py."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    from r_e_hive__spark.queries._ivf_centroids import _IVF_CENTROIDS
+
+    queries = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_kmeans_topk(
+        queries,
+        embeddings,
+        "query_id",
+        "vec_id",
+        "embedding",
+        k=10,
+        n_probe=2,
+        exact_decimal=True,
+        centroids=_IVF_CENTROIDS,
+    )
+
+
 @query(
     "x4_neardup_pairs",
     f"""

@@ -1,0 +1,83 @@
+"""Persistent Hive-metastore catalog tests (VERDICT round-2 item 4).
+
+``spark.sql.catalogImplementation`` is a static conf — it cannot be enabled
+on the suite's shared session — and embedded Derby allows one live
+connection per JVM.  So the create → STOP → new session → query-by-name
+round trip runs in a SUBPROCESS with its own sequential SparkSessions; the
+test asserts on its structured output.  This is a real restart (new JVM,
+new context), not a ``newSession()`` alias.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import json, sys
+warehouse, sf_dir = sys.argv[1], sys.argv[2]
+
+from r_e_hive__spark.metastore import (
+    analyze_tables, get_hive_spark, persist_testdata, table_row_count_stat,
+)
+
+# --- session 1: create tables, analyze, stop -------------------------------
+spark = get_hive_spark(warehouse, app_name="ms-create")
+persisted = persist_testdata(spark, sf_dir, tables=("region", "nation", "customer"))
+analyze_tables(spark, ("region", "nation", "customer"))
+n_customer_1 = spark.table("customer").count()
+stat_rows = table_row_count_stat(spark, "customer")
+spark.stop()
+
+# --- session 2: fresh context over the same warehouse ----------------------
+spark2 = get_hive_spark(warehouse, app_name="ms-reopen")
+tables = sorted(t.name for t in spark2.catalog.listTables())
+n_customer_2 = spark2.table("customer").count()
+joined = spark2.sql(
+    "SELECT r.r_name, COUNT(*) AS n FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name ORDER BY r.r_name"
+).collect()
+is_hive = spark2.conf.get("spark.sql.catalogImplementation")
+cbo = spark2.conf.get("spark.sql.cbo.enabled")
+spark2.stop()
+
+print("RESULT:" + json.dumps({
+    "persisted": persisted,
+    "tables_after_restart": tables,
+    "n_customer_1": n_customer_1,
+    "n_customer_2": n_customer_2,
+    "stat_rows": stat_rows,
+    "n_regions_joined": len(joined),
+    "catalog_impl": is_hive,
+    "cbo": cbo,
+}))
+"""
+
+
+def test_hive_catalog_survives_session_restart(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, str(tmp_path / "wh"), "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/tmp",  # NOT the repo: the package must ship via its install path
+        env={
+            **__import__("os").environ,
+            "PYTHONPATH": "/root/repo",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")][-1]
+    out = json.loads(line[len("RESULT:"):])
+    assert out["catalog_impl"] == "hive"
+    assert out["cbo"] == "true"
+    assert set(out["persisted"]) == {"region", "nation", "customer"}
+    # the second, restarted session sees the tables by NAME from the metastore
+    assert {"region", "nation", "customer"} <= set(out["tables_after_restart"])
+    assert out["n_customer_1"] == out["n_customer_2"] > 0
+    # ANALYZE landed: the metastore carries a real rowCount for the CBO
+    assert out["stat_rows"] == out["n_customer_1"]
+    assert out["n_regions_joined"] == 5

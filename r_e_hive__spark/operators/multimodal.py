@@ -94,6 +94,64 @@ def decode_image_stub(content: bytes) -> dict:
     }
 
 
+def _pillow_meta(content: bytes) -> dict | None:
+    """Capability-gated Pillow fallback for formats the built-in parsers
+    don't cover (WEBP/TIFF/BMP/...).  Returns None when Pillow is absent —
+    the container ships without it; on a real cluster this path activates
+    automatically."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: import-not-at-top
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            return {
+                "kind": "image",
+                "width": int(im.width),
+                "height": int(im.height),
+                "payload_bytes": int(im.width) * int(im.height) * len(im.getbands()),
+            }
+    except Exception:
+        return None
+
+
+def decode_blob(content: bytes) -> dict:
+    """Best-effort blob metadata: REHV fixture header, then REAL formats.
+
+    PNG/JPEG/GIF are parsed with the pure-stdlib parsers in
+    functions/png_codec.py (no codec library needed for metadata — PNG pixel
+    decode is also real, via zlib); anything else tries Pillow when
+    importable.  ``payload_bytes`` = decoded pixel bytes (w*h*channels) for
+    images, payload length for REHV blobs."""
+    from r_e_hive__spark.functions import png_codec as C
+
+    if content[:4] == _MAGIC:
+        return decode_image_stub(content)
+    if C.is_png(content):
+        w, h, depth, color = C.png_meta(content)
+        ch = {0: 1, 2: 3, 6: 4}.get(color)
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "payload_bytes": (w * h * ch * depth // 8) if ch else None,
+        }
+    if content[:2] == b"\xff\xd8":
+        w, h = C.jpeg_dims(content)
+        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = C.gif_dims(content)
+        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+    meta = _pillow_meta(content)
+    if meta is not None:
+        return meta
+    raise NotImplementedError(
+        "unrecognized blob format and no codec library available"
+    )
+
+
 def extract_metadata(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column.
 
@@ -108,8 +166,8 @@ def extract_metadata(binary_df: DataFrame) -> DataFrame:
                 pdf["path"], pdf["length"], pdf["content"]
             ):
                 try:
-                    meta = decode_image_stub(bytes(content))
-                except NotImplementedError:
+                    meta = decode_blob(bytes(content))
+                except (NotImplementedError, ValueError):
                     meta = {
                         "kind": None,
                         "width": None,
@@ -180,27 +238,43 @@ def resize_images_stub(
     binary_df: DataFrame, max_side: int = 64
 ) -> DataFrame:
     """Resize stage: cap the longer side at ``max_side`` preserving aspect
-    ratio.  For the REHV fixture format this really rewrites the header and
-    proportionally truncates the payload; real codecs raise
-    ``NotImplementedError`` (STUB — this container has no image libraries).
-    Plumbing shape: binary in → binary out, per-row transform, no shuffle."""
+    ratio.  REAL for PNG (pure-stdlib decode → nearest-neighbor resample →
+    re-encode, functions/png_codec.py) and for the REHV fixture format
+    (header rewrite + proportional payload truncation); other formats raise
+    ``NotImplementedError`` unless Pillow is importable.  Plumbing shape:
+    binary in → binary out, per-row transform, no shuffle."""
+    from r_e_hive__spark.functions import png_codec as C
+
+    def _resize_png(raw: bytes) -> tuple[int, int, bytes]:
+        import numpy as np
+
+        arr = C.png_decode(raw)
+        h, w = arr.shape[:2]
+        scale = min(1.0, max_side / max(w, h, 1))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        ys = (np.arange(nh) * h // nh).astype(int)
+        xs = (np.arange(nw) * w // nw).astype(int)
+        return nw, nh, C.png_encode(arr[ys][:, xs])
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
-                if raw[:4] != _MAGIC:
+                if C.is_png(raw):
+                    nw, nh, out = _resize_png(raw)
+                elif raw[:4] == _MAGIC:
+                    w, h, kind = struct.unpack("<HHB", raw[4:9])
+                    scale = min(1.0, max_side / max(w, h, 1))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    payload = raw[9:]
+                    keep = max(1, int(len(payload) * scale * scale))
+                    out = _MAGIC + struct.pack("<HHB", nw, nh, kind) + payload[:keep]
+                else:
                     raise NotImplementedError(
-                        "real image resizing requires codec libraries not "
-                        "present in this environment"
+                        "resize supports PNG (built-in codec) and REHV blobs; "
+                        "other formats need Pillow"
                     )
-                w, h, kind = struct.unpack("<HHB", raw[4:9])
-                scale = min(1.0, max_side / max(w, h, 1))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                payload = raw[9:]
-                keep = max(1, int(len(payload) * scale * scale))
-                out = _MAGIC + struct.pack("<HHB", nw, nh, kind) + payload[:keep]
                 rows.append(
                     {"path": path, "width": nw, "height": nh, "content": out}
                 )

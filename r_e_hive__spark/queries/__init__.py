@@ -43,6 +43,11 @@ class Query:
     bench: bool = False  # include in bench.py headline set
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # For golden-VALUES oracles pinned to one scale factor: the sf dir the
+    # golden was generated from (the driver gate's sf0.01).  Local tests run
+    # the differential at this SF instead of the smoke SF — a VALUES literal
+    # can only equal the query output at the scale it was captured at.
+    golden_sf: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -75,6 +80,7 @@ def query(
     survey_rows: tuple[str, ...] = (),
     bench: bool = False,
     doc: str = "",
+    golden_sf: str | None = None,
 ):
     """Decorator registering a declared query."""
 
@@ -88,6 +94,7 @@ def query(
             survey_rows=survey_rows,
             bench=bench,
             doc=doc or (fn.__doc__ or ""),
+            golden_sf=golden_sf,
         )
         return fn
 

@@ -163,6 +163,7 @@ _SIMHASH_GOLDEN_SQL = (
     _SIMHASH_GOLDEN_SQL,
     survey_rows=("X2",),
     doc="64-bit SimHash near-dup pairs within Hamming distance 3.",
+    golden_sf="/root/testdata/sf0.01",
 )
 def x2_simhash_neardup(spark, sf_dir):
     """SimHash near-dup: 64-bit token-hash sign fingerprint, 16-bit banded

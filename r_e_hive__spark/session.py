@@ -58,6 +58,11 @@ def get_spark(
         # The driver testdata stores TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert in catalog.load_table.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # local[N] hosts every executor thread inside the driver JVM: the
+        # 1g default heap OOMs as soon as the cached tables + shuffle
+        # buffers of an sf1+ run exceed it.  Only honored at JVM creation
+        # (harmless no-op when attaching to a live session).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # local runs: keep the UI off and the JVM quiet
         "spark.ui.enabled": "false",
         "spark.sql.warehouse.dir": os.environ.get(

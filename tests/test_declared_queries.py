@@ -17,7 +17,10 @@ QUERIES = list(load_all().values())
 
 @pytest.mark.parametrize("q", QUERIES, ids=[q.name for q in QUERIES])
 def test_declared_query_matches_oracle(spark, oracle_smoke, q):
-    res = run_diff(spark, oracle_smoke, q, SF_SMOKE)
+    # Golden-VALUES oracles are pinned to one SF (the driver's sf0.01);
+    # run those at their pin SF — the VALUES literal reads no views, so the
+    # smoke-SF DuckDB connection is still valid for them.
+    res = run_diff(spark, oracle_smoke, q, q.golden_sf or SF_SMOKE)
     assert res.ok, f"{q.name}: {res.detail}"
     if q.oracle is not None:
         assert res.n_spark == res.n_oracle

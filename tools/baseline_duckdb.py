@@ -23,6 +23,18 @@ from r_e_hive__spark.queries import load_all
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     con = duckdb_connection(sf_dir)
+    # Methodology parity with bench.py (which pins small tables in Spark's
+    # in-memory columnar cache): materialize each parquet view as a native
+    # DuckDB table so both engines measure warm in-memory compute, not
+    # Spark-memory vs DuckDB-parquet-scan.  Opt out with
+    # SPARK_GRAFT_DUCKDB_WARM=0 to time the cold parquet path.
+    if os.environ.get("SPARK_GRAFT_DUCKDB_WARM", "1") != "0":
+        for (name,) in con.execute(
+            "SELECT view_name FROM duckdb_views() WHERE NOT internal"
+        ).fetchall():
+            con.execute(f'CREATE TABLE "t_{name}" AS SELECT * FROM "{name}"')
+            con.execute(f'DROP VIEW "{name}"')
+            con.execute(f'ALTER TABLE "t_{name}" RENAME TO "{name}"')
     queries = {
         name: q for name, q in load_all().items() if q.bench and q.oracle is not None
     }

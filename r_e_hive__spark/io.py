@@ -57,6 +57,76 @@ def append_facts(
     writer.save(path)
 
 
+def sequence_ids(
+    rows: DataFrame,
+    order_cols: Sequence[Column],
+    out_col: str = "_seq",
+    distributed: bool | None = None,
+) -> DataFrame:
+    """Assign the global 1..N sequence over a caller-declared total order.
+
+    ``distributed=None`` (auto) picks by Catalyst's size estimate, the same
+    gate ``operators/graph.ancestor_closure`` uses:
+
+    - **small** (broadcast-sized; the reference's RETURNING inserts are one
+      row per HTTP request): one single-partition ``row_number`` window —
+      one shuffle, minimal jobs.
+    - **large**: the scalable two-phase scheme — ``repartitionByRange`` on
+      the order (Spark's distributed sort), per-partition counts rolled
+      into prefix-sum offsets (one tiny row per partition, broadcast back),
+      plus the within-partition ``row_number``.  No single task ever sees
+      more than one partition of data, so the assignment scales to any
+      batch size.  The assigned sequence equals the rank in the total
+      order, so it is identical under either strategy and independent of
+      partition boundaries.
+    """
+    from pyspark.sql.window import Window
+
+    if distributed is None:
+        try:
+            size = int(
+                rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            thresh = int(
+                rows.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+            distributed = not (0 <= size <= max(thresh, 0))
+        except Exception:
+            distributed = False
+    if not distributed:
+        w = Window.orderBy(*order_cols)
+        return rows.withColumn(out_col, F.row_number().over(w).cast("long"))
+
+    # The sorted batch feeds TWO subtrees (offset counts + the join back),
+    # and repartitionByRange's sampled bounds are not guaranteed identical
+    # across re-executions — pin one materialization so both subtrees see
+    # the SAME partitioning (same trick as the closure operator's rounds).
+    ranged = (
+        rows.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # one row per partition — prefix-sum window over ≤ #partitions rows
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off", F.sum("_cnt").over(Window.orderBy("_pid")) - F.col("_cnt")
+        )
+        .select("_pid", "_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def append_returning(
     spark: SparkSession,
     rows: DataFrame,
@@ -69,13 +139,12 @@ def append_returning(
     New ids are ``max(existing id) + row_number()`` over ``order_cols`` (a
     caller-declared total order — determinism contract SURVEY.md §2.12).
     Returns the appended rows with their assigned ids.  The max-lookup is a
-    single-row aggregate (fast scan over the id column only); the
-    row_number is a single-partition window over the NEW rows alone, which
-    is the insert batch, not the table — small by construction (the
-    reference's RETURNING inserts are one row per HTTP request).
+    single-row aggregate (fast scan over the id column only); the sequence
+    assignment is :func:`sequence_ids` — one single-partition window for
+    insert-batch-sized inputs (the reference's RETURNING inserts are one
+    row per HTTP request), the two-phase distributed scheme when the batch
+    is big (backfill/bulk-load shape).
     """
-    from pyspark.sql.window import Window
-
     from pyspark.errors import AnalysisException
 
     try:
@@ -85,9 +154,8 @@ def append_returning(
         # Any OTHER failure (corrupt footer, FS error, permissions) must
         # propagate: silently restarting at base=0 would append duplicate
         # ids — corruption with no error.
-    w = Window.orderBy(*order_cols)
-    assigned = rows.withColumn(
-        id_col, (F.lit(base) + F.row_number().over(w)).cast("long")
+    assigned = sequence_ids(rows, order_cols, out_col=id_col).withColumn(
+        id_col, (F.lit(base) + F.col(id_col)).cast("long")
     )
     assigned.write.mode("append").format("parquet").save(path)
     return spark.read.parquet(path).where(F.col(id_col) > base)

@@ -35,19 +35,24 @@ from r_e_hive__spark.queries._util import T
 def s4_append_returning(spark, sf_dir):
     """Append + RETURNING (insert-then-return-generated-row,
     render-complete-deploy.js:425-429): Spark has no auto-increment, so the
-    engine assigns ids as max(existing) + row_number over a deterministic
-    order — never monotonically_increasing_id (nondeterministic across
-    partitionings, SURVEY.md §1.3)."""
+    engine assigns ids as max(existing) + the io.sequence_ids global
+    sequence over a deterministic order — never
+    monotonically_increasing_id (nondeterministic across partitionings,
+    SURVEY.md §1.3).  sequence_ids auto-gates between a single-partition
+    window (insert-batch-sized input) and the two-phase distributed
+    assignment (bulk-load-sized input); the ids are identical either way."""
+    from r_e_hive__spark.io import sequence_ids
+
     (orders,) = T(spark, sf_dir, "orders")
     mx = orders.where(F.col("o_orderstatus") != "P").agg(
         F.max("o_orderkey").alias("mx")
     )
     batch = orders.where(F.col("o_orderstatus") == "P")
-    w = Window.orderBy("o_orderkey")
     return (
-        batch.crossJoin(F.broadcast(mx))
+        sequence_ids(batch, [F.col("o_orderkey")], out_col="_seq")
+        .crossJoin(F.broadcast(mx))
         .select(
-            (F.col("mx") + F.row_number().over(w)).alias("new_id"),
+            (F.col("mx") + F.col("_seq")).alias("new_id"),
             F.col("o_orderkey").alias("source_key"),
             "o_custkey",
         )

@@ -111,3 +111,47 @@ def test_append_returning_corrupt_table_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         EIO.append_returning(spark, batch, p, "id", [F.col("user_id")])
     assert "AnalysisException" not in type(ei.value).__name__ or "PARQUET" in str(ei.value).upper()
+
+
+# ---------------------------------------------------------------------------
+# sequence_ids: the distributed two-phase assignment vs the window path
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_ids_strategies_agree(spark):
+    # non-trivial order: descending value with an id tiebreak, scrambled input
+    df = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 8191).alias("v"),
+        )
+        .repartition(16)
+    )
+    order = [F.desc("v"), F.asc("id")]
+    small = EIO.sequence_ids(df, order, out_col="seq", distributed=False)
+    big = EIO.sequence_ids(df, order, out_col="seq", distributed=True)
+    a = {(r["id"], r["seq"]) for r in small.collect()}
+    b = {(r["id"], r["seq"]) for r in big.collect()}
+    assert a == b
+    # and it is the rank in the declared total order
+    ranked = sorted(small.collect(), key=lambda r: (-r["v"], r["id"]))
+    assert [r["seq"] for r in ranked] == list(range(1, 5001))
+
+
+def test_sequence_ids_distributed_avoids_global_window(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    plan = EIO.sequence_ids(
+        df, [F.asc("v"), F.asc("id")], distributed=True
+    )._jdf.queryExecution().executedPlan().toString()
+    # every Window over the DATA must be keyed by _pid; the only global
+    # window allowed is the prefix-sum over the per-partition counts
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "_pid" in m.group(0)
+
+
+def test_sequence_ids_empty_input(spark):
+    df = spark.range(0).select(F.col("id"))
+    assert EIO.sequence_ids(df, [F.asc("id")], distributed=True).count() == 0

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from r_e_hive__spark.functions import fixedpoint as fp
 from r_e_hive__spark.queries import query
 from r_e_hive__spark.queries._util import T
 
@@ -35,6 +36,32 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# Spark-side formulation of _Q1_SPARK: fixed-point money arithmetic
+# (functions/fixedpoint.py).  Each money column converts to BIGINT units
+# once; products and sums run in integer codegen; the six per-group totals
+# convert back to exact decimal.  Bit-identical to the decimal oracle
+# (asserted at four SFs in tests/test_fixedpoint.py), ~3x faster at sf5.
+_EP = fp.unscaled_fast_sql("l_extendedprice")          # cents
+_QTY = fp.unscaled_fast_sql("l_quantity")              # hundredths
+_DM = f"(100 - {fp.unscaled_fast_sql('l_discount')})"  # (1-d) in hundredths
+_TP = f"(100 + {fp.unscaled_fast_sql('l_tax')})"       # (1+t) in hundredths
+_Q1_SPARK_FIXED = f"""
+SELECT l_returnflag, l_linestatus,
+  {fp.money_of_units_sql(f'SUM({_QTY})', 2)} AS sum_qty,
+  {fp.money_of_units_sql(f'SUM({_EP})', 2)} AS sum_base_price,
+  {fp.money_of_units_sql(f'SUM({_EP} * {_DM})', 4)} AS sum_disc_price,
+  {fp.money_of_units_sql(f'SUM({_EP} * {_DM} * {_TP})', 6, round_to=4)} AS sum_charge,
+  ROUND({fp.money_of_units_sql(f'SUM({_QTY})', 2)} / COUNT(*), 4) AS avg_qty,
+  ROUND({fp.money_of_units_sql(f'SUM({_EP})', 2)} / COUNT(*), 4) AS avg_price,
+  ROUND({fp.money_of_units_sql(f"SUM({fp.unscaled_fast_sql('l_discount')})", 2)} / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 @query(
     "q1_pricing_summary",
     _Q1_SPARK,  # identical dialect-neutral SQL runs on DuckDB
@@ -43,10 +70,12 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark, sf_dir):
     """Flagship aggregation: partial (map-side) + final hash aggregation over
-    decimal-exact money math — the batch generalization of the reference's
-    running-balance SUM fragments (render-complete-deploy.js:228, 287, 862)."""
+    exact money math — the batch generalization of the reference's
+    running-balance SUM fragments (render-complete-deploy.js:228, 287, 862).
+    Fixed-point formulation (functions/fixedpoint.py): decimal-exact results
+    from integer accumulation, bit-identical to the decimal oracle SQL."""
     T(spark, sf_dir, "lineitem")
-    return spark.sql(_Q1_SPARK)
+    return spark.sql(_Q1_SPARK_FIXED)
 
 
 # ---------------------------------------------------------------------------
@@ -195,12 +224,35 @@ ORDER BY revenue DESC, l.l_orderkey LIMIT 10
 """
 
 
+# revenue in fixed-point: SUM(cents * (1-d in hundredths)) -> scale-4 units
+_REV_FIXED = fp.money_of_units_sql(
+    f"SUM({fp.unscaled_fast_sql('l.l_extendedprice')}"
+    f" * (100 - {fp.unscaled_fast_sql('l.l_discount')}))",
+    4,
+)
+
+_Q3_SPARK = f"""
+SELECT l.l_orderkey,
+  {_REV_FIXED} AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
 @query("q3_shipping_priority", _Q3, survey_rows=("J4", "A1", "O3"), bench=True)
 def q3_shipping_priority(spark, sf_dir):
     """Join-heavy 3-table aggregation with selective filters — exercises
-    filter pushdown on both fact scans, shuffle-join ordering, and top-k."""
+    filter pushdown on both fact scans, shuffle-join ordering, and top-k.
+    Spark side runs the fixed-point revenue sum (functions/fixedpoint.py)."""
     T(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql(_Q3)
+    return spark.sql(_Q3_SPARK)
 
 
 _Q5 = """
@@ -228,13 +280,13 @@ ORDER BY revenue DESC, nation_name
 # oracle; 1.6-1.8x faster at sf1 (measured).  At 100 TB the ordering matters
 # even more: the pruned build sides are what keep the one unavoidable
 # fact-fact shuffle minimal.
-_Q5_SPARK = """
+_Q5_SPARK = f"""
 WITH local_nation AS (
   SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'AMERICA'
 )
 SELECT n.n_name AS nation_name,
-  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l.l_discount AS DECIMAL(3,2)))), 4) AS DOUBLE) AS revenue
+  {_REV_FIXED} AS revenue
 FROM (SELECT c_custkey, c_nationkey FROM customer
       WHERE c_nationkey IN (SELECT n_nationkey FROM local_nation)) c
 JOIN orders o ON c.c_custkey = o.o_custkey

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from r_e_hive__spark.functions import fixedpoint as fp
 from r_e_hive__spark.queries import query
 from r_e_hive__spark.queries._util import T
 
@@ -81,9 +82,13 @@ def st2_windows(spark, sf_dir):
                 ),
             )
         ).alias("g"),
-        "value",
+        # fixed-point money: convert to integer cents ONCE, before the
+        # 3-way explode; sums accumulate in codegen and the per-window
+        # total converts back to exact decimal (bit-identical to the
+        # decimal oracle; see functions/fixedpoint.py)
+        fp.unscaled_fast("value").alias("value_units"),
     )
-    val = F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double")
+    val = fp.money_of_units(F.sum("value_units"), 2)
     return (
         assigned.groupBy("g.kind", "g.window_start", "g.event_type")
         .agg(F.count("*").alias("n_events"), val.alias("sum_value"))

@@ -44,17 +44,25 @@ def read_event_stream(
     file (the streaming file source itself only takes directories, so a
     file path becomes parent-dir + pathGlobFilter).
 
-    The driver testdata stores TIMESTAMP(NANOS) (no native Spark type): the
-    stream schema reads ``ts`` as long nanos and converts to micros exactly
-    like catalog.load_table."""
+    ``ts`` layout is detected from the parquet footer (one batch-reader
+    schema probe, no data read), exactly like catalog.load_table handles
+    both generations of driver testdata: INT64 TIMESTAMP(NANOS) (no native
+    Spark type — read as long nanos under ``nanosAsLong`` and truncated to
+    micros) vs native TIMESTAMP(MICROS) (read as-is)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    probe = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    ts_is_long = isinstance(probe.get("ts"), LongType)
     target = TESTDATA_SCHEMAS["events"]
     read_schema = StructType(
         [
-            StructField(f.name, LongType() if f.name == "ts" else f.dataType, True)
+            StructField(
+                f.name,
+                LongType() if (f.name == "ts" and ts_is_long) else f.dataType,
+                True,
+            )
             for f in target.fields
         ]
     )
@@ -66,7 +74,9 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", fname)
         path = parent
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -262,21 +262,61 @@ def ivf_kmeans_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, dim: int = 64, n_planes: int = 16) -> Column:
+def hyperplane_bucket(
+    vec: Column,
+    dim: int = 64,
+    n_planes: int = 16,
+    planes: list[list[int]] | None = None,
+    exact: bool = False,
+) -> Column:
     """Deterministic random-hyperplane sign bucket for a vector.
 
-    Hyperplane h_p component i = sin(p·1009 + i·9973) — a fixed, engine-
-    portable pseudo-random direction (no rand(): determinism contract).
+    Default direction: h_p component i = sin(p·1009 + i·9973) — a fixed,
+    engine-portable pseudo-random direction (no rand(): determinism
+    contract), evaluated in doubles (the scale path).
+
+    ``planes`` supplies frozen integer-quantized plane coefficients instead
+    (the production pattern: planes are a model artifact shipped with the
+    job).  With ``exact=True`` the projection is Σ decimal(v_i)·c_pi in
+    exact decimal×integer arithmetic, so sign(<v,h_p>) is bit-reproducible
+    in any engine that has exact decimals (the DuckDB oracle recomputes the
+    identical buckets — no float sign-boundary risk).
+
     Bucket = integer whose bit p is sign(<v, h_p>)."""
     bits = []
     for p in range(n_planes):
-        comps = F.array(*[F.lit(p * 1009 + i * 9973) for i in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, s: x.cast("double") * F.sin(s)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        if planes is not None:
+            comps = F.array(*[F.lit(int(c)) for c in planes[p][:dim]])
+            if exact:
+                proj = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        comps,
+                        lambda x, s: x.cast("double").cast("decimal(12,6)")
+                        * s.cast("decimal(6,0)"),
+                    ),
+                    F.lit(0).cast("decimal(38,6)"),
+                    lambda acc, v: acc + v,
+                )
+                zero: Column = F.lit(0).cast("decimal(38,6)")
+            else:
+                proj = F.aggregate(
+                    F.zip_with(vec, comps, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                zero = F.lit(0.0)
+        else:
+            comps = F.array(*[F.lit(p * 1009 + i * 9973) for i in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(vec, comps, lambda x, s: x.cast("double") * F.sin(s)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            zero = F.lit(0.0)
+        bits.append(
+            F.when(proj > zero, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-        bits.append(F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
@@ -292,6 +332,7 @@ def lsh_neighbor_pairs(
     bands: int = 4,
     cosine_threshold: float = 0.8,
     exact_decimal: bool = False,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """All-pairs near-neighbor search via hyperplane-LSH banding.
 
@@ -299,10 +340,16 @@ def lsh_neighbor_pairs(
     candidates, then verified with exact cosine ≥ threshold.  Join is equi on
     (band_id, chunk) — sub-quadratic as long as buckets stay balanced (the
     hyperplanes are fixed; at production scale use learned/orthogonal planes
-    per dataset)."""
+    per dataset).  ``planes`` = frozen integer-quantized hyperplanes; with
+    ``exact_decimal`` the bucketing itself is decimal-exact and therefore
+    oracle-reproducible (see hyperplane_bucket)."""
     r = n_planes // bands
     with_bucket = ensure_parallelism(df).select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(
+            F.col(vec_col), dim, n_planes, planes=planes, exact=exact_decimal and planes is not None
+        ).alias("_bucket"),
     )
     chunks = with_bucket.select(
         id_col,

@@ -215,17 +215,73 @@ def x4_neardup_pairs(spark, sf_dir):
     )
 
 
+def _lsh_oracle() -> str:
+    """Full differential oracle for the hyperplane-LSH pair query.
+
+    Recomputes the ENTIRE pipeline in DuckDB from the same frozen quantized
+    planes (queries/_lsh_planes.py): decimal-exact sign projections →
+    16-bit bucket → 4×4-bit band chunks → candidate equi-join → exact-
+    cosine verification.  Every arithmetic step is exact (decimal×integer),
+    so bucket assignment — the only part a float formulation could get
+    wrong at a sign boundary — is bit-identical across engines."""
+    from r_e_hive__spark.queries._lsh_planes import _LSH_PLANES
+
+    rows = ",\n      ".join(
+        f"({p}, {list(c)!r})".replace("'", "") for p, c in enumerate(_LSH_PLANES)
+    )
+    cos = _du_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH planes(p, coeffs) AS (VALUES
+      {rows}),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(12,6)) * pl.coeffs[i])) AS proj
+      FROM embeddings e CROSS JOIN planes pl
+    ),
+    bucket AS (
+      SELECT vec_id,
+             SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    chunks AS (
+      SELECT b.vec_id, t.band_id, (CAST(b.bucket AS BIGINT) >> (4 * t.band_id)) & 15 AS chunk
+      FROM bucket b CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM chunks a JOIN chunks b ON a.band_id = b.band_id AND a.chunk = b.chunk
+                                  AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos} AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= 0.30
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 100
+    """
+
+
 @query(
     "x4_lsh_neighbor_pairs",
-    None,  # hyperplane-LSH bucketing: Spark-native fast path (rows-only)
+    _lsh_oracle(),
     survey_rows=("X4",),
     doc="Hyperplane-LSH banded near-neighbor pairs, exact-cosine verified.",
 )
 def x4_lsh_neighbor_pairs(spark, sf_dir):
-    """Random-hyperplane LSH self-join (16 planes, 4 bands) verified with
-    exact cosine ≥ 0.30 — recall vs x4_neardup_pairs asserted in
-    tests/test_similarity.py."""
+    """Random-hyperplane LSH self-join (16 frozen quantized planes, 4
+    bands) verified with exact cosine ≥ 0.30 — recall vs x4_neardup_pairs
+    asserted in tests/test_similarity.py.
+
+    Differential, not rows-only: the DuckDB oracle (_lsh_oracle) replays
+    bucketing, banding, candidate join, and verification from the same
+    frozen planes in exact decimal arithmetic — the statement checked is
+    "the sub-quadratic path produces exactly these pairs", not merely "it
+    produces 100 rows"."""
     (embeddings,) = T(spark, sf_dir, "embeddings")
+    from r_e_hive__spark.queries._lsh_planes import _LSH_PLANES
+
     return (
         S.lsh_neighbor_pairs(
             embeddings,
@@ -236,6 +292,7 @@ def x4_lsh_neighbor_pairs(spark, sf_dir):
             bands=4,
             cosine_threshold=0.30,
             exact_decimal=True,
+            planes=_LSH_PLANES,
         )
         .orderBy(F.desc("cosine"), "id_a", "id_b")
         .limit(100)

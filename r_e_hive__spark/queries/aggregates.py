@@ -40,7 +40,7 @@ ORDER BY l_returnflag, l_linestatus
 # (functions/fixedpoint.py).  Each money column converts to BIGINT units
 # once; products and sums run in integer codegen; the six per-group totals
 # convert back to exact decimal.  Bit-identical to the decimal oracle
-# (asserted at four SFs in tests/test_fixedpoint.py), ~3x faster at sf5.
+# (asserted per shipped SF in tests/test_fixedpoint.py), ~3x faster at sf5.
 _EP = fp.unscaled_fast_sql("l_extendedprice")          # cents
 _QTY = fp.unscaled_fast_sql("l_quantity")              # hundredths
 _DM = f"(100 - {fp.unscaled_fast_sql('l_discount')})"  # (1-d) in hundredths

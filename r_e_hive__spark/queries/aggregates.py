@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from r_e_hive__spark.catalog import _ctx_id
 from r_e_hive__spark.functions import fixedpoint as fp
 from r_e_hive__spark.queries import query
 from r_e_hive__spark.queries._util import T
@@ -297,10 +298,70 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, nation_name
 """
 
+# Broadcast variant: pre-join the selective customer side into orders once
+# ("co"), then BROADCAST it into the lineitem probe — lineitem is never
+# shuffled at all (the single remaining wide exchange in the shuffle plan).
+# Only valid while co is broadcast-sized, hence the cardinality gate below.
+_Q5_SPARK_BCAST = f"""
+WITH local_nation AS (
+  SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+),
+co AS (
+  SELECT o.o_orderkey, c.c_nationkey
+  FROM (SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM local_nation)) c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT /*+ BROADCAST(co) */ n.n_name AS nation_name,
+  {_REV_FIXED} AS revenue
+FROM lineitem l
+JOIN co ON l.l_orderkey = co.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = co.c_nationkey
+JOIN local_nation n ON co.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name
+"""
+
+# Broadcast the (filtered-customer ⋈ orders) build side while its estimated
+# row count stays under this bound (~64 MB of HashedRelation at ~64 B/row).
+_Q5_BCAST_MAX_BUILD_ROWS = 1_000_000
+# strategy decision per (session, sf_dir): the cardinality probe is 3 tiny
+# jobs on cached dims — cached so steady-state executions pay zero probes
+_Q5_GATE_CACHE: dict[tuple, bool] = {}
+
 
 @query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
 def q5_local_supplier(spark, sf_dir):
     """Six-table join (two broadcastable dims, one co-location predicate) —
-    the plan-quality probe for join strategy selection at scale."""
-    T(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    return spark.sql(_Q5_SPARK)
+    the plan-quality probe for join strategy selection at scale.
+
+    Join strategy is cardinality-gated at the orchestration layer (Catalyst
+    without table stats estimates the (customer ⋈ orders) build side at
+    ~10⁶× its true size, so neither CBO nor a static hint can decide this):
+    count the region's customers (one metadata-cheap job on the cached dim)
+    and scale by orders-per-customer — exact under uniform FK fan-out, the
+    same arithmetic a CBO with NDV stats performs.  Build side small ⇒
+    broadcast it into the lineitem probe and lineitem is NEVER shuffled
+    (3× at sf1, measured); build side large (the 100 TB regime: one
+    region's orders are still TBs) ⇒ selective-first shuffle plan with the
+    runtime bloom filter pruning the lineitem exchange."""
+    cust, orders, *_ = T(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    key = (_ctx_id(spark), sf_dir)
+    broadcast_ok = _Q5_GATE_CACHE.get(key)
+    if broadcast_ok is None:
+        n_cust = cust.count()
+        n_local = (
+            spark.sql(
+                """SELECT COUNT(*) AS n FROM customer
+                   WHERE c_nationkey IN (
+                     SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'AMERICA')"""
+            ).collect()[0].n
+        )
+        est_build_rows = (orders.count() * n_local) // max(n_cust, 1)
+        broadcast_ok = est_build_rows <= _Q5_BCAST_MAX_BUILD_ROWS
+        _Q5_GATE_CACHE[key] = broadcast_ok
+    return spark.sql(_Q5_SPARK_BCAST if broadcast_ok else _Q5_SPARK)

@@ -125,3 +125,38 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         if "BatchEvalPython" in p:
             offenders[name] = p
     assert not offenders, f"row-at-a-time Python UDFs in: {sorted(offenders)}"
+
+
+# ---------------------------------------------------------------------------
+# q5 cardinality gate: broadcast-sized build => lineitem is never shuffled;
+# oversized build => selective-first shuffle plan
+# ---------------------------------------------------------------------------
+
+
+def test_q5_gate_picks_broadcast_then_shuffle(spark):
+    from r_e_hive__spark.catalog import _ctx_id
+    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries import aggregates as agg
+
+    q5 = load_all()["q5_local_supplier"]
+    key = (_ctx_id(spark), SF_SMOKE)
+
+    agg._Q5_GATE_CACHE.pop(key, None)
+    p = plan(q5.spark_fn(spark, SF_SMOKE), "simple")
+    assert agg._Q5_GATE_CACHE[key] is True
+    # build side broadcast: the lineitem probe feeds a BroadcastHashJoin and
+    # no exchange hashes on the lineitem join key
+    assert "BroadcastHashJoin [l_orderkey" in p, p
+
+    # force the at-scale decision and assert the shuffle plan comes back.
+    # At smoke scale every table is under the auto-broadcast threshold, so
+    # disable it for the check — at real scale the fact side exceeds it.
+    agg._Q5_GATE_CACHE[key] = False
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_big = plan(q5.spark_fn(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big, p_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        agg._Q5_GATE_CACHE.pop(key, None)

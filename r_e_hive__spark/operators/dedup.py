@@ -325,3 +325,54 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    broadcast_bench: bool | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥1 word
+    ``k``-shingle with any benchmark document.
+
+    Returns one row per contaminated training doc:
+    ``(train_id, n_bench_docs, n_shared_shingles)`` — distinct benchmark
+    documents hit and distinct shingles shared (evidence strength for a
+    drop/keep decision downstream).
+
+    The reference has no analog; this is the eval-leak guard every
+    LLM-training corpus runs before a freeze (n-gram overlap
+    decontamination, GPT-3 appendix C shape — public method).
+
+    Scale: the benchmark side is tiny relative to the corpus (thousands of
+    eval docs vs billions of training docs), so its exploded distinct
+    shingle set is broadcast — the training corpus is scanned once,
+    shingled in-task, hash-joined against the broadcast set with NO
+    shuffle of the big side; only the (contaminated-doc, shingle) hits —
+    a vanishingly small stream — shuffle into the per-doc aggregate.
+    ``broadcast_bench=None`` auto-gates on Catalyst's estimate of the
+    *pre-explode* bench relation (post-explode estimates are unknowable);
+    pass ``False`` to force a shuffle join when the "benchmark" is itself
+    corpus-sized (dataset-vs-dataset overlap audits).
+    """
+    sh = lambda df, alias: df.select(  # noqa: E731
+        F.col(id_col).alias(alias),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    tsh = sh(train, "train_id")
+    bsh = sh(bench, "bench_id")
+    if broadcast_bench is None:
+        broadcast_bench = _fits_broadcast(bench)
+    if broadcast_bench:
+        bsh = F.broadcast(bsh)
+    return (
+        tsh.join(bsh, "shingle")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )

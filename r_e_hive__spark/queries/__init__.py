@@ -70,6 +70,7 @@ _MODULES = (
     "rehive_domain",
     "text",
     "dedup",
+    "shards",
     "curation",
 )
 

@@ -132,44 +132,12 @@ def a1_user_balance(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "a4_order_profit",
-    """
-    SELECT o.o_orderkey,
-      CAST(GREATEST(CAST(0 AS DECIMAL(14,4)),
-           CAST(o.o_totalprice AS DECIMAL(12,2)) - SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(l.l_discount AS DECIMAL(3,2)))
-      ) AS DOUBLE) AS retained
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderkey, o.o_totalprice
-    ORDER BY retained DESC, o.o_orderkey LIMIT 100
-    """,
-    survey_rows=("A4", "F3"),
-)
-def a4_order_profit(spark, sf_dir):
-    """profit = price − Σ commissions, floored at 0 (`Math.max(0, ...)`,
-    render-complete-deploy.js:303-311) — re-expressed per order with the
-    discount ledger as the commission analog."""
-    orders, lineitem = T(spark, sf_dir, "orders", "lineitem")
-    comm = F.sum(
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * F.col("l_discount").cast("decimal(3,2)")
-    )
-    return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(comm.alias("_comm"))
-        .select(
-            "o_orderkey",
-            F.greatest(
-                F.lit(0).cast("decimal(14,4)"),
-                F.col("o_totalprice").cast("decimal(12,2)") - F.col("_comm"),
-            )
-            .cast("double")
-            .alias("retained"),
-        )
-        .orderBy(F.desc("retained"), F.asc("o_orderkey"))
-        .limit(100)
-    )
+# (The standalone a4_order_profit pinning query was retired in round 3:
+# A4's floored-profit semantic — `Math.max(0, ...)`,
+# render-complete-deploy.js:303-311 — is pinned by rehive_company_profits,
+# which computes the identical GREATEST(0, price − Σ commissions) over the
+# actual fixture pipeline, and the driver's declared surface is capped at
+# 50 queries.)
 
 
 # ---------------------------------------------------------------------------

@@ -64,41 +64,11 @@ def x3_cosine_topk(spark, sf_dir):
     )
 
 
-@query(
-    "x3_ivf_topk",
-    f"""
-    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qvec FROM embeddings WHERE vec_id < 4),
-    scored AS (
-      SELECT q.query_id, e.vec_id, {_du_cosine('q.qvec', 'e.embedding')} AS cosine
-      FROM q JOIN embeddings e ON e.label = q.label
-    )
-    SELECT query_id, rank, vec_id, cosine FROM (
-      SELECT query_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-      FROM scored
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-    survey_rows=("X3",),
-)
-def x3_ivf_topk(spark, sf_dir):
-    """IVF-pruned top-k: probe only the query's coarse bucket (the ``label``
-    column stands in for a centroid assignment).  At scale candidates are
-    stored partitioned by bucket → partition-pruned scan instead of full."""
-    (embeddings,) = T(spark, sf_dir, "embeddings")
-    queries = embeddings.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "label", "embedding"
-    )
-    return S.ivf_topk(
-        queries,
-        embeddings,
-        "label",
-        "query_id",
-        "vec_id",
-        "embedding",
-        k=5,
-        exact_decimal=True,
-    )
+# (The label-bucket IVF placeholder query was retired in round 3: the
+# learned-k-means variant below pins X3's IVF path with a stronger oracle,
+# and the driver's declared surface is capped at 50 queries.  The
+# ``ivf_topk`` operator itself remains exercised both here and in
+# tests/test_similarity.py.)
 
 
 def _cents_sql() -> str:

@@ -43,18 +43,22 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name, q in queries.items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # noop sink: materializes every output column (count() would let
             # Catalyst prune the whole projection for per-row queries)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 4))
         # best-of-N: the steady-state number a warm cluster delivers; the
-        # single-shot numbers on this shared VM carry ±2× scheduler noise
-        timings[name] = round(best, 4)
+        # single-shot numbers on this shared VM carry ±2× scheduler noise.
+        # The full per-rep array ships in the JSON so a reader can separate
+        # VM noise from plan regressions without re-running (VERDICT r3 §7).
+        rep_times[name] = samples
+        timings[name] = min(samples)
 
     gmean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +69,7 @@ def main() -> None:
                 "value": round(gmean, 4),
                 "unit": "sec",
                 "queries": timings,
+                "reps": rep_times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -104,23 +104,29 @@ def a1_user_balance(spark, sf_dir):
     """current balance = Σcredits − Σdebits, the engine's derived-view
     replacement for the reference's `balance = balance ± x` in-place updates
     (render-complete-deploy.js:228, 725); HAVING = the sufficiency check
-    (:541-545)."""
+    (:541-545).
+
+    Fixed-point formulation (functions/fixedpoint.py): the signed amount is
+    integer cents, the per-user total accumulates as a plain BIGINT inside
+    whole-stage codegen, and the HAVING bound (0.50) compares as 50 cents —
+    bit-identical to the decimal oracle (ROUND on a scale-2-exact total is a
+    no-op) with zero BigDecimal allocation in the aggregate."""
     (events,) = T(spark, sf_dir, "events")
-    amount = (
-        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)"))
-        .when(F.col("event_type") == "error", -F.col("value").cast("decimal(12,2)"))
-        .otherwise(F.lit(0).cast("decimal(12,2)"))
+    units = (
+        F.when(F.col("event_type") == "purchase", fp.unscaled_fast("value"))
+        .when(F.col("event_type") == "error", -fp.unscaled_fast("value"))
+        .otherwise(F.lit(0).cast("long"))
     )
     return (
         events.groupBy("user_id")
         .agg(
-            F.sum(amount).alias("_bal"),
+            F.sum(units).alias("_units"),
             F.count("*").alias("n_events"),
         )
-        .where(F.col("_bal") >= F.lit(0.5).cast("decimal(3,2)"))
+        .where(F.col("_units") >= 50)
         .select(
             "user_id",
-            F.round(F.col("_bal"), 2).cast("double").alias("balance"),
+            fp.money_of_units(F.col("_units"), 2).alias("balance"),
             "n_events",
         )
         .orderBy("user_id")

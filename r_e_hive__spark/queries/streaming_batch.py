@@ -191,12 +191,18 @@ def st6_running_state(spark, sf_dir):
     """Per-key running balance — the batch formulation of the stateful
     streaming operator (ledger semantics render-complete-deploy.js:228);
     the applyInPandasWithState streaming twin lives in streaming/jobs.py
-    with equivalence asserted in tests/test_streaming.py."""
+    with equivalence asserted in tests/test_streaming.py.
+
+    Fixed-point formulation (functions/fixedpoint.py): the signed amount is
+    integer cents and the running window sum accumulates as a BIGINT — the
+    window frame never touches BigDecimal; the per-row terminal conversion
+    back to exact decimal is bit-identical to the decimal oracle (ROUND on
+    a scale-2-exact total is a no-op)."""
     (events,) = T(spark, sf_dir, "events")
-    amount = (
-        F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)"))
-        .when(F.col("event_type") == "error", -F.col("value").cast("decimal(12,2)"))
-        .otherwise(F.lit(0).cast("decimal(12,2)"))
+    units = (
+        F.when(F.col("event_type") == "purchase", fp.unscaled_fast("value"))
+        .when(F.col("event_type") == "error", -fp.unscaled_fast("value"))
+        .otherwise(F.lit(0).cast("long"))
     )
     w = (
         Window.partitionBy("user_id")
@@ -207,7 +213,7 @@ def st6_running_state(spark, sf_dir):
         events.select(
             "user_id",
             "event_id",
-            F.round(F.sum(amount).over(w), 2).cast("double").alias("balance_after"),
+            fp.money_of_units(F.sum(units).over(w), 2).alias("balance_after"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -283,10 +283,33 @@ def hyperplane_bucket(
     identical buckets — no float sign-boundary risk).
 
     Bucket = integer whose bit p is sign(<v, h_p>)."""
+    if exact and planes is None:
+        raise ValueError(
+            "hyperplane_bucket: exact=True requires frozen integer planes "
+            "(the default sin() directions are double-only)"
+        )
+    if planes is not None:
+        bad = [p for p, pl in enumerate(planes[:n_planes]) if len(pl) != dim]
+        if len(planes) < n_planes or bad:
+            raise ValueError(
+                f"hyperplane_bucket: need {n_planes} planes of dim {dim}, "
+                f"got {len(planes)} planes (wrong-length planes: {bad})"
+            )
+    # Runtime dimension guard: zip_with null-pads a short vector, which
+    # would silently zero the whole projection (bit=0) while an exact-SQL
+    # oracle's NULL-skipping sum could still yield bit=1 — a latent
+    # cross-engine bucket divergence (ADVICE r3).  Fail loudly instead.
+    # assert_true returns NULL on success, so the WHEN always selects vec.
+    vec = F.when(
+        F.assert_true(
+            F.size(vec) == dim, f"hyperplane_bucket: vector dim != {dim}"
+        ).isNull(),
+        vec,
+    )
     bits = []
     for p in range(n_planes):
         if planes is not None:
-            comps = F.array(*[F.lit(int(c)) for c in planes[p][:dim]])
+            comps = F.array(*[F.lit(int(c)) for c in planes[p]])
             if exact:
                 proj = F.aggregate(
                     F.zip_with(

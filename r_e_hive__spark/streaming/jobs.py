@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -53,8 +54,14 @@ def read_event_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    probe = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
-    ts_is_long = isinstance(probe.get("ts"), LongType)
+    try:
+        probe = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        ts_is_long = isinstance(probe.get("ts"), LongType)
+    except AnalysisException:
+        # the source directory exists but holds no files yet — a normal
+        # Structured Streaming startup (files arrive after the query starts).
+        # Default to the NANOS layout the driver testdata ships (ADVICE r3).
+        ts_is_long = True
     target = TESTDATA_SCHEMAS["events"]
     read_schema = StructType(
         [

@@ -33,16 +33,6 @@ _ADVERSARIAL = [
 ]
 
 
-def _duck_one(expr: str, val: float) -> object:
-    con = duckdb.connect()
-    try:
-        return con.execute(f"SELECT {expr}", ).fetchone()[0] if "?" not in expr else con.execute(
-            f"SELECT {expr}", [val]
-        ).fetchone()[0]
-    finally:
-        con.close()
-
-
 @pytest.mark.parametrize(
     ("typ", "int_digits"),
     [("DECIMAL(12,2)", 10), ("DECIMAL(10,5)", 5), ("DECIMAL(12,6)", 6)],

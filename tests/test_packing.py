@@ -1,0 +1,125 @@
+"""operators/packing: the two prefix-sum strategies must be bit-identical.
+
+The smoke-scale declared query (x9_token_shards) always takes the
+one-window branch, so this file is the only CI coverage of the
+scale-critical two-phase distributed prefix-sum (ADVICE r3) — mirroring
+tests/test_io.py's sequence_ids parity suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators import packing as P
+
+
+def _fixture(spark):
+    # multi-group, multi-partition, scrambled order with a non-id sort key:
+    # 4 language groups x ~1250 docs, weights 0..512 incl. zero-weight docs
+    return (
+        spark.range(0, 5000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("lang_"), (F.col("id") % 4).cast("string")).alias("lang"),
+            ((F.col("id") * 2654435761) % 513).alias("n_tokens"),
+        )
+        .repartition(16)
+    )
+
+
+def test_weighted_prefix_sum_strategies_agree(spark):
+    df = _fixture(spark)
+    kwargs = dict(
+        weight_col="n_tokens",
+        order_cols=[F.asc("doc_id")],
+        partition_cols=["lang"],
+        out_col="cum",
+    )
+    small = P.weighted_prefix_sum(df, distributed=False, **kwargs)
+    big = P.weighted_prefix_sum(df, distributed=True, **kwargs)
+    a = {(r["doc_id"], r["cum"]) for r in small.collect()}
+    b = {(r["doc_id"], r["cum"]) for r in big.collect()}
+    assert a == b
+    # and the running total really is the within-group inclusive prefix sum
+    rows = sorted(small.collect(), key=lambda r: (r["lang"], r["doc_id"]))
+    seen: dict[str, int] = {}
+    for r in rows:
+        seen[r["lang"]] = seen.get(r["lang"], 0) + r["n_tokens"]
+        assert r["cum"] == seen[r["lang"]], r
+
+
+def test_pack_shards_strategies_agree(spark):
+    df = _fixture(spark)
+    kwargs = dict(
+        weight_col="n_tokens",
+        order_cols=[F.asc("doc_id")],
+        budget=2048,
+        partition_cols=["lang"],
+    )
+    small = P.pack_shards(df, distributed=False, **kwargs)
+    big = P.pack_shards(df, distributed=True, **kwargs)
+    a = {(r["doc_id"], r["shard_id"]) for r in small.collect()}
+    b = {(r["doc_id"], r["shard_id"]) for r in big.collect()}
+    assert a == b
+    # shard ids are dense, start at 0, and non-decreasing in pack order
+    rows = sorted(small.collect(), key=lambda r: (r["lang"], r["doc_id"]))
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["shard_id"])
+    for lang, shards in by_lang.items():
+        assert shards[0] == 0, lang
+        assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:])), lang
+
+
+def test_pack_shards_distributed_no_global_window(spark):
+    # every window over the DATA must be keyed by _pid; only the tiny
+    # per-(partition, group) offsets table may window globally per group
+    df = _fixture(spark)
+    plan = (
+        P.pack_shards(
+            df,
+            "n_tokens",
+            order_cols=[F.asc("doc_id")],
+            budget=2048,
+            partition_cols=["lang"],
+            distributed=True,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    data_windows = [
+        m.group(0)
+        for m in re.finditer(r"Window \[sum\(cast\(n_tokens[^\n]*", plan)
+    ]
+    assert all("_pid" in w for w in data_windows), data_windows
+
+
+def test_pack_shards_empty_and_oversized(spark):
+    empty = spark.range(0).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit(1).alias("n_tokens"),
+    )
+    assert (
+        P.pack_shards(
+            empty, "n_tokens", [F.asc("doc_id")], budget=10, distributed=True
+        ).count()
+        == 0
+    )
+    # a single over-budget doc occupies its own shard without stalling
+    rows = (
+        P.pack_shards(
+            spark.createDataFrame(
+                [(1, 5), (2, 100), (3, 5)], "doc_id long, n_tokens long"
+            ),
+            "n_tokens",
+            [F.asc("doc_id")],
+            budget=10,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["shard_id"] for r in rows] == [0, 0, 10]

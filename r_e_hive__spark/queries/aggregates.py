@@ -303,6 +303,31 @@ _Q5_BCAST_MAX_BUILD_ROWS = 1_000_000
 # strategy decision per (session, sf_dir): the cardinality probe is 3 tiny
 # jobs on cached dims — cached so steady-state executions pay zero probes
 _Q5_GATE_CACHE: dict[tuple, bool] = {}
+# audit trail: which estimator decided — "stats" (catalog ANALYZE rowCounts,
+# zero fact-table jobs) or "probe" (count jobs on the cached tables)
+_Q5_GATE_SOURCE: dict[tuple, str] = {}
+
+
+def _analyzed_row_count(spark, table: str) -> int | None:
+    """rowCount from the persistent catalog's ANALYZE statistics — the CBO
+    food metastore.analyze_tables computes.  The name is fully qualified so
+    a temp view of the same name (the declared-query path) never shadows the
+    catalog table.  None when the session has no such table or no stats —
+    i.e. the driver's vanilla temp-view-only session."""
+    try:
+        db = spark.catalog.currentDatabase  # property pre-Spark-4, method in 4.x
+        if callable(db):
+            db = db()
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED spark_catalog.{db}.{table}").collect()
+    except Exception:
+        return None
+    for row in rows:
+        if row["col_name"] == "Statistics":
+            for part in row["data_type"].split(","):
+                part = part.strip()
+                if part.endswith("rows"):
+                    return int(part.split()[0])
+    return None
 
 
 @query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
@@ -312,30 +337,52 @@ def q5_local_supplier(spark, sf_dir):
 
     Join strategy is cardinality-gated at the orchestration layer (Catalyst
     without table stats estimates the (customer ⋈ orders) build side at
-    ~10⁶× its true size, so neither CBO nor a static hint can decide this):
-    count the region's customers (one metadata-cheap job on the cached dim)
-    and scale by orders-per-customer — exact under uniform FK fan-out, the
-    same arithmetic a CBO with NDV stats performs.  Build side small ⇒
-    broadcast it into the lineitem probe and lineitem is NEVER shuffled
-    (3× at sf1, measured); build side large (the 100 TB regime: one
-    region's orders are still TBs) ⇒ selective-first shuffle plan with the
-    runtime bloom filter pruning the lineitem exchange."""
+    ~10⁶× its true size, so a static hint cannot decide this).  Estimator
+    precedence (VERDICT r3 item 4):
+
+    1. **Catalog ANALYZE stats** — when the session's persistent catalog
+       holds analyzed `orders`/`nation` tables (metastore.analyze_tables),
+       the build estimate is ``rowCount(orders) × local_nations /
+       total_nations`` — the customer term cancels under the CBO's
+       NDV-uniformity assumption, so NO fact table is ever scanned to
+       decide; only the ≤25-row dims are probed.
+    2. **Probe fallback** — stat-less sessions (the driver's vanilla
+       temp-view catalog) count the region's customers on the cached dims
+       and scale by orders-per-customer; exact under uniform FK fan-out.
+
+    Build side small ⇒ broadcast it into the lineitem probe and lineitem is
+    NEVER shuffled (3× at sf1, measured); build side large (the 100 TB
+    regime: one region's orders are still TBs) ⇒ selective-first shuffle
+    plan with the runtime bloom filter pruning the lineitem exchange."""
     cust, orders, *_ = T(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
     key = (_ctx_id(spark), sf_dir)
     broadcast_ok = _Q5_GATE_CACHE.get(key)
     if broadcast_ok is None:
-        n_cust = cust.count()
-        n_local = (
+        n_local_nations, n_nations = (
             spark.sql(
-                """SELECT COUNT(*) AS n FROM customer
-                   WHERE c_nationkey IN (
-                     SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
-                     WHERE r_name = 'AMERICA')"""
-            ).collect()[0].n
+                """SELECT SUM(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END) AS loc,
+                          COUNT(*) AS tot
+                   FROM nation JOIN region ON n_regionkey = r_regionkey"""
+            ).collect()[0]
         )
-        est_build_rows = (orders.count() * n_local) // max(n_cust, 1)
+        n_orders_stat = _analyzed_row_count(spark, "orders")
+        if n_orders_stat is not None:
+            est_build_rows = (n_orders_stat * n_local_nations) // max(n_nations, 1)
+            _Q5_GATE_SOURCE[key] = "stats"
+        else:
+            n_cust = cust.count()
+            n_local = (
+                spark.sql(
+                    """SELECT COUNT(*) AS n FROM customer
+                       WHERE c_nationkey IN (
+                         SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+                         WHERE r_name = 'AMERICA')"""
+                ).collect()[0].n
+            )
+            est_build_rows = (orders.count() * n_local) // max(n_cust, 1)
+            _Q5_GATE_SOURCE[key] = "probe"
         broadcast_ok = est_build_rows <= _Q5_BCAST_MAX_BUILD_ROWS
         _Q5_GATE_CACHE[key] = broadcast_ok
     return spark.sql(_Q5_SPARK_BCAST if broadcast_ok else _Q5_SPARK)

@@ -243,3 +243,32 @@ def fixture_frames(spark: SparkSession) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(f"rehive_{name}")
         out[name] = df
     return out
+
+
+def power_law_edges(n_hub: int = 10_000) -> list[tuple[int, int]]:
+    """Deterministic heavy-hitter referral graph (VERDICT r3 item 3).
+
+    The reference's real graph is power-law MLM — uplines converge on early
+    users (SURVEY.md §4.2; the walk at render-complete-deploy.js:262-301
+    hits the same few ancestor rows for most redemptions).  Shape:
+
+    - node 7 is the mega-hub: ``n_hub`` direct children (ids 1000..)
+      — one join key carrying ~10⁴× the median key's rows,
+    - the hub chains upward 7 → 3 → 1 (so every hub child has 3 ancestors
+      and the heavy key's matches propagate through rounds),
+    - a geometric mid-tail: hubs of 100/10 children each,
+    - one chain deeper than the 10-level cap (ids 50..64), so the cap and
+      the skew interact in the same closure.
+
+    At most one parent per child (the reference's shape).  Pure arithmetic,
+    no randomness — the same edge set in every engine, so the DuckDB
+    WITH RECURSIVE oracle can replay it bit-for-bit
+    (tests/test_graph_skew.py).
+    """
+    edges: list[tuple[int, int]] = [(1000 + i, 7) for i in range(n_hub)]
+    edges += [(7, 3), (3, 1)]
+    edges += [(100_000 + i, 11) for i in range(100)]  # mid hub
+    edges += [(200_000 + i, 13) for i in range(10)]   # small hub
+    edges += [(11, 1), (13, 3)]
+    edges += [(i, i - 1) for i in range(51, 65)]      # depth-14 chain
+    return edges

@@ -137,12 +137,27 @@ _BALANCE_OUT_SCHEMA = StructType(
 )
 
 
-def running_balance_stateful(stream: DataFrame) -> DataFrame:
+def running_balance_stateful(
+    stream: DataFrame, watermark: str | None = None
+) -> DataFrame:
     """ST6: custom stateful per-key balance via applyInPandasWithState.
 
     State = one running balance per user (credit on 'purchase', debit on
     'error' — the ledger semantics of render-complete-deploy.js:228).
-    Emits (user_id, n_events_in_batch, balance_after_batch) per update."""
+    Emits (user_id, n_events_in_batch, balance_after_batch) per update.
+
+    With ``watermark`` set, rows arriving later than the late-events
+    watermark (max event time seen through the PREVIOUS micro-batch minus
+    the delay) are dropped before they reach the state function — asserted
+    across real micro-batch boundaries in tests/test_streaming.py.  Spark
+    applies that input filter to flatMapGroupsWithState-family operators
+    only under EventTimeTimeout, so the watermarked variant runs with that
+    timeout conf (no timeout timestamp is ever set, so no key times out —
+    the filter is the only behavior change)."""
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
 
     def update(
         key: tuple[Any, ...],
@@ -169,7 +184,7 @@ def running_balance_stateful(stream: DataFrame) -> DataFrame:
             outputStructType=_BALANCE_OUT_SCHEMA,
             stateStructType=_BALANCE_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -60,6 +60,39 @@ def write_blob_fixtures(dir_path: str, n: int = 24) -> list[str]:
     return paths
 
 
+def real_format_fixtures() -> dict[str, bytes]:
+    """Deterministic REAL-format blobs (round 4): an 8-bit RGB PNG through
+    the actual png_codec encoder, a PCM WAV, and a 24-bit BMP — so the
+    declared X7 query exercises the real parsers, not only the REHV stub."""
+    import numpy as np
+
+    from r_e_hive__spark.functions import media_codec as M
+    from r_e_hive__spark.functions import png_codec as C
+
+    x, y = np.meshgrid(np.arange(20), np.arange(12))
+    img = np.stack(
+        [(x * 9 + y * 4) % 256, (x * 3 + y * 17) % 256, (x + y * 29) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    return {
+        "real_0000.png": C.png_encode(img),
+        "real_0001.wav": M.wav_encode(1234, sample_rate=8000, channels=1, bits=16),
+        "real_0002.bmp": M.bmp_encode(17, 9),
+    }
+
+
+def write_real_blob_fixtures(dir_path: str) -> list[str]:
+    """Write the real-format fixtures alongside the REHV blobs."""
+    os.makedirs(dir_path, exist_ok=True)
+    paths = []
+    for fname, blob in real_format_fixtures().items():
+        p = os.path.join(dir_path, fname)
+        with open(p, "wb") as f:
+            f.write(blob)
+        paths.append(p)
+    return paths
+
+
 def read_binary_dir(spark: SparkSession, dir_path: str) -> DataFrame:
     """binaryFile source: (path, modificationTime, length, content)."""
     return spark.read.format("binaryFile").load(dir_path)
@@ -122,13 +155,26 @@ def decode_blob(content: bytes) -> dict:
 
     PNG/JPEG/GIF are parsed with the pure-stdlib parsers in
     functions/png_codec.py (no codec library needed for metadata — PNG pixel
-    decode is also real, via zlib); anything else tries Pillow when
-    importable.  ``payload_bytes`` = decoded pixel bytes (w*h*channels) for
-    images, payload length for REHV blobs."""
+    decode is also real, via zlib); WAV (RIFF walk) and BMP come from
+    functions/media_codec.py; anything else tries Pillow when importable.
+    ``payload_bytes`` = decoded pixel bytes (w*h*channels) for images, PCM
+    data bytes for audio, payload length for REHV blobs."""
+    from r_e_hive__spark.functions import media_codec as M
     from r_e_hive__spark.functions import png_codec as C
 
     if content[:4] == _MAGIC:
         return decode_image_stub(content)
+    if M.is_wav(content):
+        wm = M.wav_meta(content)
+        return {
+            "kind": "audio",
+            "width": None,
+            "height": None,
+            "payload_bytes": wm["data_bytes"],
+        }
+    if M.is_bmp(content):
+        w, h, bpp = M.bmp_meta(content)
+        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * (bpp // 8)}
     if C.is_png(content):
         w, h, depth, color = C.png_meta(content)
         ch = {0: 1, 2: 3, 6: 4}.get(color)

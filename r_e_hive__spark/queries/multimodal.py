@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from r_e_hive__spark.operators.multimodal import (
     extract_metadata,
     read_binary_dir,
+    real_format_fixtures,
     write_blob_fixtures,
+    write_real_blob_fixtures,
 )
 from r_e_hive__spark.queries import query
 
@@ -25,6 +27,7 @@ def _blob_dir() -> str:
     if _BLOB_DIR is None:
         _BLOB_DIR = tempfile.mkdtemp(prefix="rehive_blobs_")
         write_blob_fixtures(_BLOB_DIR)
+        write_real_blob_fixtures(_BLOB_DIR)  # real PNG/WAV/BMP (round 4)
     return _BLOB_DIR
 
 
@@ -33,16 +36,30 @@ def _x7_oracle(n: int = 24) -> str:
     fixture-generator parameters (w/h/kind cycles, payload = 64+i bytes,
     file length = 9-byte header + payload) — computed here independently of
     the Spark decode path, so the differential check covers the binaryFile
-    scan, Arrow batching, and header parse end-to-end."""
+    scan, Arrow batching, and header parse end-to-end.
+
+    The three REAL-format rows (PNG via the actual zlib encoder, PCM WAV,
+    24-bit BMP) carry closed-form metadata too: pixel/sample math from the
+    generator parameters (20×12×3 PNG = 720 pixel bytes; 1234 16-bit mono
+    samples = 2468 PCM bytes in a 44-byte-header file; 17×9 BMP = 459 pixel
+    bytes in 54 + 9·52 padded bytes).  Only the PNG's FILE length comes from
+    the deterministic encoder itself (zlib output size has no closed form)."""
     kinds = ("image", "audio", "video")
-    rows = ",\n    ".join(
+    rows = [
         f"('proof_{i:04d}.bin', CAST({9 + 64 + i} AS BIGINT), '{kinds[i % 3]}', "
         f"{16 + (i * 7) % 240}, {16 + (i * 13) % 240}, CAST({64 + i} AS BIGINT))"
         for i in range(n)
-    )
+    ]
+    png_len = len(real_format_fixtures()["real_0000.png"])
+    rows += [
+        f"('real_0000.png', CAST({png_len} AS BIGINT), 'image', 20, 12, CAST(720 AS BIGINT))",
+        f"('real_0001.wav', CAST({44 + 2468} AS BIGINT), 'audio', "
+        f"CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(2468 AS BIGINT))",
+        f"('real_0002.bmp', CAST({54 + 9 * 52} AS BIGINT), 'image', 17, 9, CAST(459 AS BIGINT))",
+    ]
     return (
         "SELECT * FROM (VALUES\n    "
-        + rows
+        + ",\n    ".join(rows)
         + ") AS t(file_name, length, kind, width, height, payload_bytes)\n"
         + "ORDER BY file_name"
     )
@@ -52,16 +69,19 @@ def _x7_oracle(n: int = 24) -> str:
     "x7_multimodal_metadata",
     _x7_oracle(),  # golden VALUES derived from the fixture spec
     survey_rows=("X7", "S6"),
-    doc="binaryFile ingest + Arrow-batched metadata extraction (stub decode).",
+    doc="binaryFile ingest + Arrow-batched metadata extraction "
+    "(REHV stub + real PNG/WAV/BMP parsers).",
 )
 def x7_multimodal_metadata(spark, sf_dir):
     """Binary artifact ingest (payment-proof analog, render-complete-
-    deploy.js:181-195) → mapInPandas header decode → typed metadata."""
+    deploy.js:181-195) → mapInPandas decode → typed metadata.  The fixture
+    dir mixes REHV stub blobs with REAL formats (PNG / PCM WAV / 24-bit
+    BMP) decoded by the pure-stdlib codecs in functions/."""
     blobs = read_binary_dir(spark, _blob_dir())
     meta = extract_metadata(blobs)
     return (
         meta.select(
-            F.regexp_extract("path", r"(proof_\d+\.bin)$", 1).alias("file_name"),
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("file_name"),
             "length",
             "kind",
             "width",

@@ -141,3 +141,52 @@ def test_stateful_balance_equivalence(spark):
     g = {r["user_id"]: round(r["balance"], 2) for r in got_final.collect()}
     w_ = {r["user_id"]: round(r["balance"], 2) for r in final_batch.collect()}
     assert g == w_
+
+
+def test_stream_merge_to_snapshot_upsert(spark, tmp_path):
+    """foreachBatch upsert sink: after N micro-batches the parquet snapshot
+    equals the batch latest-record-wins over all events — the streaming
+    replacement for the reference's UPDATE-in-place balance writes."""
+    import os
+    from datetime import datetime
+
+    from r_e_hive__spark.operators.relational import latest_record_wins
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(fname, rows):
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, h, m), uid, et, v, None)
+             for i, (h, m, uid, et, v) in enumerate(rows)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    write_file("b1.parquet", [(10, 0, 1, "purchase", 1.0), (10, 5, 2, "purchase", 9.0)])
+    write_file("b2.parquet", [(11, 0, 1, "purchase", 4.0)])
+    write_file("b3.parquet", [(12, 0, 2, "error", 2.0), (12, 5, 3, "purchase", 7.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    snap_path = str(tmp_path / "snapshot")
+    q = jobs.stream_merge_to_snapshot(
+        stream,
+        snap_path,
+        key_cols=["user_id"],
+        order_cols=[F.desc("ts"), F.desc("event_id")],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = _rows(spark.read.parquet(snap_path), ["user_id", "ts", "value"])
+    want_df = latest_record_wins(
+        spark.read.parquet(str(src) + "/*.parquet"),
+        ["user_id"],
+        [F.desc("ts"), F.desc("event_id")],
+    )
+    assert got == _rows(want_df, ["user_id", "ts", "value"])
+    assert len(got) == 3  # one current-state row per user

@@ -152,6 +152,7 @@ def ancestor_closure(
         F.lit(1).cast("int").alias("level"),
     )
     reach = 1  # closure currently holds all paths of length ≤ reach
+    rounds = 0
     while reach < max_levels:
         # Paths of length in (reach, 2*reach] decompose uniquely as
         # (exactly-reach prefix) + (suffix of length ≤ reach): join the
@@ -177,13 +178,17 @@ def ancestor_closure(
         )
         closure = closure.unionByName(ext)
         reach = min(reach * 2, max_levels)
-        if reach < max_levels:
+        rounds += 1
+        if reach < max_levels and rounds % 2 == 0:
             # The closure appears TWICE in next round's plan (prefix and
             # suffix), so without materialization the lazy plan tree doubles
             # per round — 2^rounds leaf scans, and AQE re-executes each one.
-            # An eager localCheckpoint pins this round's result (≤ depth·|E|
-            # rows for a functional graph) to executor storage and truncates
-            # lineage: each round is computed exactly once.
+            # An eager localCheckpoint pins the result (≤ depth·|E| rows for
+            # a functional graph) to executor storage and truncates lineage.
+            # Cadence: every OTHER round — lineage is then bounded at two
+            # un-truncated doublings (4 leaf scans of the last checkpoint),
+            # while the barrier count halves.  A/B at sf0.1 (BASELINE.md):
+            # every round 1.04 s, every other 0.94 s, never 1.82 s.
             closure = closure.localCheckpoint(eager=True)
     return closure
 

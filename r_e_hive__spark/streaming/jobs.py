@@ -87,15 +87,26 @@ def read_event_stream(
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """ST2 + ST4: watermarked tumbling-window aggregation (append-safe)."""
+    """ST2 + ST4: watermarked tumbling-window aggregation (append-safe).
+
+    Groups by the WINDOW STRUCT (not ``window().start``): projecting
+    ``.start`` before the groupBy strips the event-time metadata and append
+    mode then rejects the aggregation as un-watermarked; the start column
+    is projected after aggregation instead."""
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "10 minutes").start.alias("bucket_start"), "event_type")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
             .cast("double")
             .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 

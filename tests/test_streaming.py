@@ -26,6 +26,18 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def _pin_mtime(pq_dir, order):
+    """FileStreamSource orders files by modification time; parquet dirs
+    written back-to-back can collide at mtime granularity, reordering the
+    intended micro-batches.  Pin strictly increasing mtimes per batch."""
+    import os
+
+    base = 1_700_000_000 + order * 100
+    for root, _dirs, files in os.walk(pq_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (base, base))
+
+
 def test_tumbling_equivalence(spark):
     got = jobs.run_stream_to_memory(
         jobs.tumbling_counts(_stream(spark)), "t_tumbling", "complete"
@@ -73,7 +85,7 @@ def test_stateful_balance_multibatch_with_late_drop(spark, tmp_path):
     src = tmp_path / "events"
     os.makedirs(src)
 
-    def write_batch(fname, rows):
+    def write_batch(fname, rows, order):
         df = spark.createDataFrame(
             [
                 (i, datetime(2024, 1, 1, h, m), uid, et, v, None)
@@ -82,14 +94,15 @@ def test_stateful_balance_multibatch_with_late_drop(spark, tmp_path):
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
         )
         df.coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+        _pin_mtime(src / fname, order)
 
     # batch 1: user 1 buys 1.00 + 2.00           -> balance 3.00
-    write_batch("b1.parquet", [(10, 0, 1, "purchase", 1.0), (10, 5, 1, "purchase", 2.0)])
+    write_batch("b1.parquet", [(10, 0, 1, "purchase", 1.0), (10, 5, 1, "purchase", 2.0)], 1)
     # batch 2: user 1 buys 4.00, user 2 appears  -> balances 7.00 / 5.00
-    write_batch("b2.parquet", [(11, 0, 1, "purchase", 4.0), (11, 5, 2, "purchase", 5.0)])
+    write_batch("b2.parquet", [(11, 0, 1, "purchase", 4.0), (11, 5, 2, "purchase", 5.0)], 2)
     # batch 3: a LATE user-1 row at 09:00 (watermark after batch 2 is
     # 11:05 - 30min = 10:35 -> dropped) + an on-time 8.00 purchase
-    write_batch("b3.parquet", [(9, 0, 1, "purchase", 100.0), (11, 30, 1, "purchase", 8.0)])
+    write_batch("b3.parquet", [(9, 0, 1, "purchase", 100.0), (11, 30, 1, "purchase", 8.0)], 3)
 
     # one parquet dir per micro-batch: glob the part files via subdirs
     stream = (
@@ -164,8 +177,11 @@ def test_stream_merge_to_snapshot_upsert(spark, tmp_path):
         ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
 
     write_file("b1.parquet", [(10, 0, 1, "purchase", 1.0), (10, 5, 2, "purchase", 9.0)])
+    _pin_mtime(src / "b1.parquet", 1)
     write_file("b2.parquet", [(11, 0, 1, "purchase", 4.0)])
+    _pin_mtime(src / "b2.parquet", 2)
     write_file("b3.parquet", [(12, 0, 2, "error", 2.0), (12, 5, 3, "purchase", 7.0)])
+    _pin_mtime(src / "b3.parquet", 3)
 
     stream = (
         spark.readStream.schema(schema)
@@ -190,3 +206,56 @@ def test_stream_merge_to_snapshot_upsert(spark, tmp_path):
     )
     assert got == _rows(want_df, ["user_id", "ts", "value"])
     assert len(got) == 3  # one current-state row per user
+def test_windowed_agg_multibatch_append_watermark(spark, tmp_path):
+    """ST4 across REAL micro-batches in APPEND mode: a 10-minute window is
+    emitted only once the watermark (max event time - 30min) passes its
+    end, and a row arriving behind the watermark never lands in an
+    already-finalized window."""
+    import os
+    from datetime import datetime
+
+    src = tmp_path / "ev4"
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(fname, rows):
+        spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, h, m), uid, et, v, None)
+             for i, (h, m, uid, et, v) in enumerate(rows)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / fname))
+
+    # batch 1: two events in the 10:00 window
+    write_file("b1.parquet", [(10, 1, 1, "purchase", 1.0), (10, 8, 1, "purchase", 2.0)])
+    _pin_mtime(src / "b1.parquet", 1)
+    # batch 2: 11:00 -> commits watermark 10:30 (passes the 10:00 window)
+    write_file("b2.parquet", [(11, 0, 1, "purchase", 4.0)])
+    _pin_mtime(src / "b2.parquet", 2)
+    # batch 3: 12:00 -> the 10:00 window is finalized and emitted here;
+    # commits watermark 11:30
+    write_file("b3.parquet", [(12, 0, 1, "purchase", 8.0)])
+    _pin_mtime(src / "b3.parquet", 3)
+    # batch 4: LATE row at 10:05 — the watermark in effect (>= 10:30; the
+    # late-event filter applies the PREVIOUS batch's committed watermark,
+    # one batch behind the newest data) is far past its [10:00,10:10)
+    # window, so it must neither reopen nor re-emit the finalized window
+    write_file("b4.parquet", [(10, 5, 1, "purchase", 100.0), (13, 0, 1, "purchase", 16.0)])
+    _pin_mtime(src / "b4.parquet", 4)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    got = jobs.run_stream_to_memory(
+        jobs.tumbling_counts(stream, watermark="30 minutes"), "t_append_wm", "append"
+    )
+    rows = {r["bucket_start"]: r for r in got.collect()}
+    ten = rows[datetime(2024, 1, 1, 10, 0)]
+    # the finalized 10:00 window holds ONLY the two on-time events — the
+    # late 100.00 was dropped, not merged and not re-emitted
+    assert (ten["n_events"], round(ten["sum_value"], 2)) == (2, 3.0)
+    # 11:00 window emitted once the watermark passed 11:10
+    assert rows[datetime(2024, 1, 1, 11, 0)]["n_events"] == 1
+    # 13:00's window is still open at end-of-stream: not emitted in append
+    assert datetime(2024, 1, 1, 13, 0) not in rows

@@ -318,6 +318,11 @@ def _analyzed_row_count(spark, table: str) -> int | None:
         db = spark.catalog.currentDatabase  # property pre-Spark-4, method in 4.x
         if callable(db):
             db = db()
+        # existence probe first: DESCRIBE on a missing table raises AND logs
+        # an ERROR-level analyzer message — noisy on every stat-less session.
+        # The db-qualified name can never match a temp view.
+        if not spark.catalog.tableExists(f"{db}.{table}"):
+            return None
         rows = spark.sql(f"DESCRIBE TABLE EXTENDED spark_catalog.{db}.{table}").collect()
     except Exception:
         return None

@@ -298,8 +298,13 @@ ORDER BY revenue DESC, nation_name
 """
 
 # Broadcast the (filtered-customer ⋈ orders) build side while its estimated
-# row count stays under this bound (~64 MB of HashedRelation at ~64 B/row).
-_Q5_BCAST_MAX_BUILD_ROWS = 1_000_000
+# row count stays under this bound: ~256 MB of HashedRelation at ~64 B/row —
+# the classic executor-side broadcast ceiling.  Retuned in round 4 from 1 M
+# after a measured cliff at sf5 (build ≈ 1.5 M rows): broadcast 1.9 s vs
+# shuffle 16.5 s.  Above this size the fan-out cost (build × executor
+# count) overtakes shuffling the fact side, which is the 100 TB regime the
+# selective-first shuffle plan exists for.
+_Q5_BCAST_MAX_BUILD_ROWS = 4_000_000
 # strategy decision per (session, sf_dir): the cardinality probe is 3 tiny
 # jobs on cached dims — cached so steady-state executions pay zero probes
 _Q5_GATE_CACHE: dict[tuple, bool] = {}

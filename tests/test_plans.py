@@ -166,6 +166,30 @@ def test_running_balance_window_accumulates_in_long(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_q3_gate_picks_broadcast_then_shuffle(spark):
+    from r_e_hive__spark.catalog import _ctx_id
+    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries import aggregates as agg
+
+    q3 = load_all()["q3_shipping_priority"]
+    key = (_ctx_id(spark), SF_SMOKE)
+
+    agg._Q3_GATE_CACHE.pop(key, None)
+    p = plan(q3.spark_fn(spark, SF_SMOKE), "simple")
+    assert agg._Q3_GATE_CACHE[key] is True
+    assert "BroadcastHashJoin [l_orderkey" in p, p
+
+    agg._Q3_GATE_CACHE[key] = False
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_big = plan(q3.spark_fn(spark, SF_SMOKE), "simple")
+        assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big, p_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        agg._Q3_GATE_CACHE.pop(key, None)
+
+
 def test_q5_gate_picks_broadcast_then_shuffle(spark):
     from r_e_hive__spark.catalog import _ctx_id
     from r_e_hive__spark.queries import load_all

@@ -26,7 +26,9 @@ def is_wav(b: bytes) -> bool:
 
 def wav_meta(b: bytes) -> dict:
     """Walk the RIFF chunks: (channels, sample_rate, bits_per_sample,
-    data_bytes, n_samples) — header-only, no sample decode needed."""
+    data_bytes, n_samples) — header-only, no sample decode needed.
+    Truncated/malformed containers raise ValueError (never struct.error:
+    callers route on exception type — ADVICE-class robustness)."""
     if not is_wav(b):
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data_bytes = 12, None, None
@@ -34,6 +36,8 @@ def wav_meta(b: bytes) -> dict:
         cid = b[pos : pos + 4]
         (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         if cid == b"fmt ":
+            if pos + 24 > len(b):
+                raise ValueError("truncated WAV fmt chunk")
             tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", b[pos + 8 : pos + 24]
             )
@@ -90,17 +94,29 @@ def is_bmp(b: bytes) -> bool:
 
 def bmp_meta(b: bytes) -> tuple[int, int, int]:
     """(width, height, bits_per_pixel) from BITMAPINFOHEADER.  A negative
-    stored height means top-down row order — dimensions are |height|."""
+    stored height means top-down row order — dimensions are |height|.
+
+    Structural validation is strict because the 'BM' magic is only two
+    bytes: truncated buffers and unknown header sizes raise ValueError,
+    non-24-bpp and compressed bitmaps raise NotImplementedError (the
+    module's documented scope guard) so callers fall through to a richer
+    decoder instead of mis-reporting palette images."""
     if not is_bmp(b):
         raise ValueError("not a BMP")
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
     (hdr_size,) = struct.unpack("<I", b[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError(f"BMP header size {hdr_size} (core header)")
+    if hdr_size not in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+        raise ValueError(f"unknown BMP header size {hdr_size}")
     w, h = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
     (compression,) = struct.unpack("<I", b[30:34])
     if compression != 0:
         raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp BMP (palette/alpha) needs Pillow")
+    if not (0 < abs(w) < 1 << 24 and 0 < abs(h) < 1 << 24):
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
     return abs(w), abs(h), bpp
 
 

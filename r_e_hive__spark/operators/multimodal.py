@@ -60,10 +60,17 @@ def write_blob_fixtures(dir_path: str, n: int = 24) -> list[str]:
     return paths
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def real_format_fixtures() -> dict[str, bytes]:
     """Deterministic REAL-format blobs (round 4): an 8-bit RGB PNG through
     the actual png_codec encoder, a PCM WAV, and a 24-bit BMP — so the
-    declared X7 query exercises the real parsers, not only the REHV stub."""
+    declared X7 query exercises the real parsers, not only the REHV stub.
+    Cached: the registry's golden oracle needs the PNG byte length at
+    import time and the fixture writer needs the same bytes again —
+    encode once (code-review r4)."""
     import numpy as np
 
     from r_e_hive__spark.functions import media_codec as M
@@ -164,17 +171,31 @@ def decode_blob(content: bytes) -> dict:
 
     if content[:4] == _MAGIC:
         return decode_image_stub(content)
+    # WAV/BMP magics are short (4/2 bytes): a malformed or false-positive
+    # match falls THROUGH to the Pillow probe / not-implemented tail instead
+    # of failing the whole query (best-effort contract; code-review r4).
     if M.is_wav(content):
-        wm = M.wav_meta(content)
-        return {
-            "kind": "audio",
-            "width": None,
-            "height": None,
-            "payload_bytes": wm["data_bytes"],
-        }
+        try:
+            wm = M.wav_meta(content)
+            return {
+                "kind": "audio",
+                "width": None,
+                "height": None,
+                "payload_bytes": wm["data_bytes"],
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     if M.is_bmp(content):
-        w, h, bpp = M.bmp_meta(content)
-        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * (bpp // 8)}
+        try:
+            w, h, bpp = M.bmp_meta(content)
+            return {
+                "kind": "image",
+                "width": w,
+                "height": h,
+                "payload_bytes": w * h * (bpp // 8),
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     if C.is_png(content):
         w, h, depth, color = C.png_meta(content)
         ch = {0: 1, 2: 3, 6: 4}.get(color)
@@ -213,7 +234,7 @@ def extract_metadata(binary_df: DataFrame) -> DataFrame:
             ):
                 try:
                     meta = decode_blob(bytes(content))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     meta = {
                         "kind": None,
                         "width": None,

@@ -299,10 +299,14 @@ def hyperplane_bucket(
     # would silently zero the whole projection (bit=0) while an exact-SQL
     # oracle's NULL-skipping sum could still yield bit=1 — a latent
     # cross-engine bucket divergence (ADVICE r3).  Fail loudly instead.
-    # assert_true returns NULL on success, so the WHEN always selects vec.
+    # A NULL vector is NOT a dimension error: it passes through (projection
+    # NULL → every bit 0 → bucket 0, the pre-guard behavior; downstream
+    # exact-similarity verification filters such rows).  assert_true
+    # returns NULL on success, so the WHEN always selects vec.
     vec = F.when(
         F.assert_true(
-            F.size(vec) == dim, f"hyperplane_bucket: vector dim != {dim}"
+            vec.isNull() | (F.size(vec) == dim),
+            f"hyperplane_bucket: vector dim != {dim}",
         ).isNull(),
         vec,
     )

@@ -257,22 +257,27 @@ def q3_shipping_priority(spark, sf_dir):
     catalog rowCount stats and no date histogram the gate is CONSERVATIVE
     (no selectivity credit → whole-orders estimate), preferring the
     shuffle plan that is correct at any scale."""
-    cust, orders, *_ = T(spark, sf_dir, "customer", "orders", "lineitem")
-    key = (_ctx_id(spark), sf_dir)
-    broadcast_ok = _Q3_GATE_CACHE.get(key)
-    if broadcast_ok is None:
-        n_orders_stat = _analyzed_row_count(spark, "orders")
+    T(spark, sf_dir, "customer", "orders", "lineitem")
+
+    def estimate():
+        n_orders_stat = _analyzed_row_count(spark, "orders", sf_dir)
         if n_orders_stat is not None:
-            est_build_rows = n_orders_stat
-        else:
-            n_cust = cust.count()
-            n_building = cust.where(F.col("c_mktsegment") == "BUILDING").count()
-            n_dated = orders.where(
-                F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp")
-            ).count()
-            est_build_rows = (n_dated * n_building) // max(n_cust, 1)
-        broadcast_ok = est_build_rows <= _Q5_BCAST_MAX_BUILD_ROWS
-        _Q3_GATE_CACHE[key] = broadcast_ok
+            # conservative: no date histogram -> no selectivity credit
+            return n_orders_stat, "stats"
+        # ONE probe job: segment fraction and the date-filtered order count
+        # in a single action over the cached tables
+        r = spark.sql(
+            """SELECT
+                 (SELECT COUNT(*) FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00') AS n_dated,
+                 SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_seg,
+                 COUNT(*) AS n_cust
+               FROM customer"""
+        ).collect()[0]
+        n_seg = int(r.n_seg or 0)
+        return (int(r.n_dated) * n_seg) // max(int(r.n_cust), 1), "probe"
+
+    broadcast_ok = _gated_broadcast(spark, sf_dir, _Q3_GATE_CACHE, estimate)
     return spark.sql(_Q3_SPARK_BCAST if broadcast_ok else _Q3_SPARK)
 
 
@@ -343,9 +348,9 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, nation_name
 """
 
-# Broadcast the (filtered-customer ⋈ orders) build side while its estimated
-# row count stays under this bound: ~256 MB of HashedRelation at ~64 B/row —
-# the classic executor-side broadcast ceiling.  Retuned in round 4 from 1 M
+# Broadcast a gated build side (q3 AND q5) while its estimated row count
+# stays under this bound: ~256 MB of HashedRelation at ~64 B/row — the
+# classic executor-side broadcast ceiling.  Retuned in round 4 from 1 M
 # after a measured cliff at sf5 (build ≈ 1.5 M rows): broadcast 1.9 s vs
 # shuffle 16.5 s.  Above this size the fan-out cost (build × executor
 # count) overtakes shuffling the fact side, which is the 100 TB regime the
@@ -359,12 +364,22 @@ _Q5_GATE_CACHE: dict[tuple, bool] = {}
 _Q5_GATE_SOURCE: dict[tuple, str] = {}
 
 
-def _analyzed_row_count(spark, table: str) -> int | None:
+def _analyzed_row_count(spark, table: str, sf_dir: str | None = None) -> int | None:
     """rowCount from the persistent catalog's ANALYZE statistics — the CBO
     food metastore.analyze_tables computes.  The name is fully qualified so
     a temp view of the same name (the declared-query path) never shadows the
     catalog table.  None when the session has no such table or no stats —
-    i.e. the driver's vanilla temp-view-only session."""
+    i.e. the driver's vanilla temp-view-only session.
+
+    With ``sf_dir`` given, the catalog stat is trusted only when the
+    catalog table's byte size is within 8× of the sf_dir parquet file's —
+    a zero-job sanity band so a session whose catalog was ANALYZEd against
+    a DIFFERENT scale factor cannot poison a broadcast decision for this
+    one (both sides are parquet of the same rows, so genuine matches sit
+    well inside the band while scale factors differ by orders of
+    magnitude; code-review r4)."""
+    import os as _os
+
     try:
         db = spark.catalog.currentDatabase  # property pre-Spark-4, method in 4.x
         if callable(db):
@@ -377,13 +392,45 @@ def _analyzed_row_count(spark, table: str) -> int | None:
         rows = spark.sql(f"DESCRIBE TABLE EXTENDED spark_catalog.{db}.{table}").collect()
     except Exception:
         return None
+    n_rows = stat_bytes = None
     for row in rows:
         if row["col_name"] == "Statistics":
             for part in row["data_type"].split(","):
                 part = part.strip()
                 if part.endswith("rows"):
-                    return int(part.split()[0])
-    return None
+                    n_rows = int(part.split()[0])
+                elif part.endswith("bytes"):
+                    stat_bytes = int(part.split()[0])
+    if n_rows is not None and sf_dir is not None and stat_bytes:
+        try:
+            file_bytes = _os.path.getsize(_os.path.join(sf_dir, f"{table}.parquet"))
+        except OSError:
+            file_bytes = None
+        if file_bytes and not (1 / 8 <= stat_bytes / file_bytes <= 8):
+            return None  # stats describe different data than sf_dir
+    return n_rows
+
+
+def _gated_broadcast(
+    spark,
+    sf_dir: str,
+    cache: dict,
+    estimate,
+    source: dict | None = None,
+) -> bool:
+    """Shared cardinality-gate machinery for the broadcast-vs-shuffle plan
+    choice (q3/q5): one decision per (session, sf_dir), cached so
+    steady-state executions pay zero probe jobs.  ``estimate`` returns
+    (estimated_build_rows, source_label)."""
+    key = (_ctx_id(spark), sf_dir)
+    ok = cache.get(key)
+    if ok is None:
+        est_rows, src = estimate()
+        ok = est_rows <= _Q5_BCAST_MAX_BUILD_ROWS
+        cache[key] = ok
+        if source is not None:
+            source[key] = src
+    return ok
 
 
 @query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
@@ -413,32 +460,30 @@ def q5_local_supplier(spark, sf_dir):
     cust, orders, *_ = T(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
-    key = (_ctx_id(spark), sf_dir)
-    broadcast_ok = _Q5_GATE_CACHE.get(key)
-    if broadcast_ok is None:
-        n_local_nations, n_nations = (
-            spark.sql(
-                """SELECT SUM(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END) AS loc,
-                          COUNT(*) AS tot
-                   FROM nation JOIN region ON n_regionkey = r_regionkey"""
-            ).collect()[0]
-        )
-        n_orders_stat = _analyzed_row_count(spark, "orders")
+
+    def estimate():
+        row = spark.sql(
+            """SELECT SUM(CASE WHEN r_name = 'AMERICA' THEN 1 ELSE 0 END) AS loc,
+                      COUNT(*) AS tot
+               FROM nation JOIN region ON n_regionkey = r_regionkey"""
+        ).collect()[0]
+        # SUM over zero rows is SQL NULL — treat as 0 local nations
+        n_local_nations, n_nations = int(row.loc or 0), int(row.tot)
+        n_orders_stat = _analyzed_row_count(spark, "orders", sf_dir)
         if n_orders_stat is not None:
-            est_build_rows = (n_orders_stat * n_local_nations) // max(n_nations, 1)
-            _Q5_GATE_SOURCE[key] = "stats"
-        else:
-            n_cust = cust.count()
-            n_local = (
-                spark.sql(
-                    """SELECT COUNT(*) AS n FROM customer
-                       WHERE c_nationkey IN (
-                         SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
-                         WHERE r_name = 'AMERICA')"""
-                ).collect()[0].n
-            )
-            est_build_rows = (orders.count() * n_local) // max(n_cust, 1)
-            _Q5_GATE_SOURCE[key] = "probe"
-        broadcast_ok = est_build_rows <= _Q5_BCAST_MAX_BUILD_ROWS
-        _Q5_GATE_CACHE[key] = broadcast_ok
+            return (n_orders_stat * n_local_nations) // max(n_nations, 1), "stats"
+        n_cust = cust.count()
+        n_local = (
+            spark.sql(
+                """SELECT COUNT(*) AS n FROM customer
+                   WHERE c_nationkey IN (
+                     SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'AMERICA')"""
+            ).collect()[0].n
+        )
+        return (orders.count() * n_local) // max(n_cust, 1), "probe"
+
+    broadcast_ok = _gated_broadcast(
+        spark, sf_dir, _Q5_GATE_CACHE, estimate, _Q5_GATE_SOURCE
+    )
     return spark.sql(_Q5_SPARK_BCAST if broadcast_ok else _Q5_SPARK)

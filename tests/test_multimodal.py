@@ -305,3 +305,35 @@ def test_declared_x7_covers_real_formats(spark):
     assert rows["real_0001.wav"]["kind"] == "audio"
     assert rows["real_0001.wav"]["payload_bytes"] == 2468
     assert rows["real_0002.bmp"]["height"] == 9
+
+
+def test_malformed_wav_bmp_blobs_degrade_to_null_rows():
+    """Code-review r4: short magics ('BM', RIFF) on truncated/unsupported
+    payloads must fall through decode_blob's best-effort contract — never
+    raise struct.error out of the metadata path."""
+    import pytest as _pytest
+
+    from r_e_hive__spark.operators.multimodal import decode_blob
+
+    for blob in (
+        b"BM",                       # 2-byte false positive
+        b"BM" + b"\x00" * 20,        # truncated header
+        b"RIFF\x10\x00\x00\x00WAVE",  # RIFF/WAVE with no chunks
+        b"RIFF\xff\xff\xff\xffWAVEfmt ",  # truncated fmt chunk
+    ):
+        with _pytest.raises((NotImplementedError, ValueError)):
+            decode_blob(blob)
+
+
+def test_palette_bmp_rejected_for_pillow_fallback():
+    # an 8-bpp palette BMP must NOT be mis-reported by the 24-bpp parser
+    import struct
+
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    hdr = b"BM" + struct.pack("<IHHI", 1000, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 10, 10, 1, 8, 0, 100, 0, 0, 0, 0)
+    with _pytest.raises(NotImplementedError):
+        M.bmp_meta(hdr + b"\x00" * 200)

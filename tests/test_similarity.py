@@ -141,3 +141,25 @@ def test_kmeans_centroids_deterministic(spark, clustered):
     a = S.kmeans_centroids(clustered, n_clusters=5)
     b = S.kmeans_centroids(clustered, n_clusters=5)
     assert a == b
+
+
+def test_hyperplane_bucket_null_vector_passes_through(spark):
+    """Code-review r4: a NULL embedding row buckets to 0 (pre-guard
+    behavior) instead of failing the whole query via assert_true."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding"), dim=8, n_planes=4).alias("b"),
+        ).collect()
+    }
+    assert rows[2] == 0
+    assert isinstance(rows[1], int)

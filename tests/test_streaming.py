@@ -259,3 +259,19 @@ def test_windowed_agg_multibatch_append_watermark(spark, tmp_path):
     assert rows[datetime(2024, 1, 1, 11, 0)]["n_events"] == 1
     # 13:00's window is still open at end-of-stream: not emitted in append
     assert datetime(2024, 1, 1, 13, 0) not in rows
+
+
+def test_read_event_stream_starts_on_empty_dir(spark, tmp_path):
+    """ADVICE r3: a stream may start against an existing-but-empty source
+    directory (files arrive later) — the schema probe must fall back
+    instead of raising AnalysisException."""
+    import os
+
+    d = tmp_path / "empty_src"
+    os.makedirs(d)
+    stream = jobs.read_event_stream(spark, str(d))
+    assert stream.isStreaming
+    got = jobs.run_stream_to_memory(
+        jobs.tumbling_counts(stream), "t_empty_start", "append"
+    )
+    assert got.count() == 0

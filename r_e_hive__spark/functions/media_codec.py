@@ -1,15 +1,21 @@
-"""Pure-stdlib WAV (RIFF) and BMP codecs (SURVEY.md §2.11 X7; VERDICT r3
-item 6) — the audio/bitmap siblings of png_codec.py.
+"""Pure-stdlib WAV/BMP/TIFF codecs and WEBP/FLAC header parsers
+(SURVEY.md §2.11 X7; VERDICT r3 item 6) — siblings of png_codec.py.
 
-Like PNG, neither format needs a codec library for the engine's multimodal
+Like PNG, none of these need a codec library for the engine's multimodal
 surface: WAV is a RIFF container around raw PCM (header walk = full
-metadata; the data chunk IS the samples), and BMP's BITMAPINFOHEADER is a
-fixed-layout struct.  Both a parser and a deterministic encoder are
-provided so fixtures are REAL format files, not synthetic headers —
-`decode_blob` (operators/multimodal.py) routes on the magic bytes.
+metadata; the data chunk IS the samples), BMP's BITMAPINFOHEADER and
+TIFF's IFD are fixed-layout structs, WEBP is a RIFF container whose
+VP8/VP8L/VP8X chunk headers carry the dimensions, and FLAC's mandatory
+STREAMINFO block carries the full audio parameters.  WAV/BMP/TIFF also
+get deterministic encoders so fixtures are REAL format files, not
+synthetic headers — `decode_blob` (operators/multimodal.py) routes on
+the magic bytes.
 
-Scope guard: PCM WAV (format tag 1) and uncompressed 24-bit BI_RGB BMP.
-Anything else raises so callers can fall through to richer libraries.
+Scope guard: PCM WAV (format tag 1), uncompressed 24-bit BI_RGB BMP,
+uncompressed 8-bit RGB TIFF, WEBP/FLAC metadata only (their payloads are
+entropy-coded streams — full pixel/sample decode falls through to Pillow
+or a real decoder on a production cluster).  Anything else raises so
+callers can fall through to richer libraries.
 """
 
 from __future__ import annotations
@@ -118,6 +124,171 @@ def bmp_meta(b: bytes) -> tuple[int, int, int]:
     if not (0 < abs(w) < 1 << 24 and 0 < abs(h) < 1 << 24):
         raise ValueError(f"implausible BMP dimensions {w}x{h}")
     return abs(w), abs(h), bpp
+
+
+# --- TIFF ------------------------------------------------------------------
+
+
+def is_tiff(b: bytes) -> bool:
+    return b[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def tiff_meta(b: bytes) -> tuple[int, int, int]:
+    """(width, height, bits_per_sample) from the first IFD.
+
+    Walks the IFD entry table in either byte order (II little / MM big).
+    SHORT or LONG dimension tags are both accepted (the spec allows
+    either); BitsPerSample with count>1 (e.g. 8,8,8 RGB) dereferences the
+    value offset.  Compressed TIFFs (tag 259 != 1) raise
+    NotImplementedError so callers fall through to a real decoder."""
+    if not is_tiff(b):
+        raise ValueError("not a TIFF")
+    bo = "<" if b[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF: IFD offset past EOF")
+    (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + n_entries * 12 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    width = height = None
+    bits, compression = 1, 1
+
+    def _value(entry: bytes) -> int:
+        tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
+        # SHORT(3) inline in the first 2 value bytes, LONG(4) in all 4.
+        if typ == 3 and count == 1:
+            return struct.unpack(bo + "H", entry[8:10])[0]
+        if typ == 4 and count == 1:
+            return struct.unpack(bo + "I", entry[8:12])[0]
+        if typ == 3 and count > 1:  # e.g. BitsPerSample = (8,8,8)
+            (off,) = struct.unpack(bo + "I", entry[8:12])
+            if off + 2 > len(b):
+                raise ValueError("truncated TIFF value offset")
+            return struct.unpack(bo + "H", b[off : off + 2])[0]
+        raise NotImplementedError(f"TIFF value type {typ} count {count}")
+
+    for i in range(n_entries):
+        entry = b[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        (tag,) = struct.unpack(bo + "H", entry[:2])
+        if tag == 256:
+            width = _value(entry)
+        elif tag == 257:
+            height = _value(entry)
+        elif tag == 258:
+            bits = _value(entry)
+        elif tag == 259:
+            compression = _value(entry)
+    if width is None or height is None:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if compression != 1:
+        raise NotImplementedError(f"compressed TIFF (method {compression})")
+    return width, height, bits
+
+
+def tiff_encode(width: int, height: int) -> bytes:
+    """Deterministic uncompressed 8-bit RGB little-endian TIFF: one strip,
+    pixel (x,y) a fixed arithmetic pattern.  A real, spec-complete file —
+    the same contract as bmp_encode/wav_encode."""
+    strip = bytearray()
+    for y in range(height):
+        for x in range(width):
+            strip += bytes(((x * 7 + y * 13 + c * 5) % 256) for c in range(3))
+    # layout: header(8) · strip data · BitsPerSample array(6) · IFD
+    strip_off = 8
+    bps_off = strip_off + len(strip)
+    ifd_off = bps_off + 6
+    entries = [
+        (256, 4, 1, width),  # ImageWidth
+        (257, 4, 1, height),  # ImageLength
+        (258, 3, 3, bps_off),  # BitsPerSample -> (8,8,8)
+        (259, 3, 1, 1),  # Compression = none
+        (262, 3, 1, 2),  # Photometric = RGB
+        (273, 4, 1, strip_off),  # StripOffsets
+        (277, 3, 1, 3),  # SamplesPerPixel
+        (278, 4, 1, height),  # RowsPerStrip (single strip)
+        (279, 4, 1, len(strip)),  # StripByteCounts
+    ]
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += bytes(strip)
+    out += struct.pack("<HHH", 8, 8, 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        if typ == 3 and count == 1:
+            out += struct.pack("<HHIHH", tag, typ, count, value, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, count, value)
+    out += struct.pack("<I", 0)  # next-IFD terminator
+    return out
+
+
+# --- WEBP (RIFF container; header-only metadata) ---------------------------
+
+
+def is_webp(b: bytes) -> bool:
+    return b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+
+
+def webp_meta(b: bytes) -> tuple[int, int, str]:
+    """(width, height, variant) from the first VP8/VP8L/VP8X chunk.
+
+    - VP8  (lossy):   frame tag + '\\x9d\\x01\\x2a' sync + 14-bit w/h
+    - VP8L (lossless): 0x2F signature + packed 14-bit (w-1),(h-1)
+    - VP8X (extended): 24-bit (w-1),(h-1) canvas size
+    Metadata only — the payload is an entropy-coded stream (scope guard in
+    the module docstring)."""
+    if not is_webp(b):
+        raise ValueError("not a WEBP")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + length]
+        if cid == b"VP8 ":
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("malformed VP8 frame header")
+            w, h = struct.unpack("<HH", body[6:10])
+            return w & 0x3FFF, h & 0x3FFF, "lossy"
+        if cid == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("malformed VP8L signature")
+            (bits,) = struct.unpack("<I", body[1:5])
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "lossless"
+        if cid == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, "extended"
+        pos += 8 + length + (length & 1)
+    raise ValueError("WEBP missing VP8/VP8L/VP8X chunk")
+
+
+# --- FLAC (STREAMINFO metadata block) --------------------------------------
+
+
+def is_flac(b: bytes) -> bool:
+    return b[:4] == b"fLaC"
+
+
+def flac_meta(b: bytes) -> dict:
+    """(channels, sample_rate, bits_per_sample, n_samples) from the
+    mandatory STREAMINFO block (always first, spec §: METADATA_BLOCK).
+    Sample decode is out of scope (entropy-coded frames)."""
+    if not is_flac(b):
+        raise ValueError("not a FLAC file")
+    if len(b) < 4 + 4 + 34:
+        raise ValueError("truncated FLAC header")
+    if b[4] & 0x7F != 0:  # first block must be STREAMINFO (type 0)
+        raise ValueError("FLAC first metadata block is not STREAMINFO")
+    info = b[8:42]
+    # bits 80..: 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit samples
+    packed = int.from_bytes(info[10:18], "big")
+    return {
+        "sample_rate": (packed >> 44) & 0xFFFFF,
+        "channels": ((packed >> 41) & 0x7) + 1,
+        "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+        "n_samples": packed & 0xFFFFFFFFF,
+    }
 
 
 def bmp_encode(width: int, height: int) -> bytes:

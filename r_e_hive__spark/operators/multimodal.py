@@ -85,6 +85,7 @@ def real_format_fixtures() -> dict[str, bytes]:
         "real_0000.png": C.png_encode(img),
         "real_0001.wav": M.wav_encode(1234, sample_rate=8000, channels=1, bits=16),
         "real_0002.bmp": M.bmp_encode(17, 9),
+        "real_0003.tif": M.tiff_encode(11, 7),
     }
 
 
@@ -211,6 +212,38 @@ def decode_blob(content: bytes) -> dict:
     if content[:6] in (b"GIF87a", b"GIF89a"):
         w, h = C.gif_dims(content)
         return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+    # TIFF / WEBP / FLAC (round 4 breadth): same short-magic fall-through
+    # contract as WAV/BMP above.
+    if M.is_tiff(content):
+        try:
+            w, h, bits = M.tiff_meta(content)
+            return {
+                "kind": "image",
+                "width": w,
+                "height": h,
+                "payload_bytes": w * h * 3 * bits // 8,
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    if M.is_webp(content):
+        try:
+            w, h, _variant = M.webp_meta(content)
+            return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    if M.is_flac(content):
+        try:
+            fm = M.flac_meta(content)
+            return {
+                "kind": "audio",
+                "width": None,
+                "height": None,
+                "payload_bytes": fm["n_samples"]
+                * fm["channels"]
+                * (fm["bits_per_sample"] // 8),
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     meta = _pillow_meta(content)
     if meta is not None:
         return meta

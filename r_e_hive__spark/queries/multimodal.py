@@ -38,12 +38,14 @@ def _x7_oracle(n: int = 24) -> str:
     the Spark decode path, so the differential check covers the binaryFile
     scan, Arrow batching, and header parse end-to-end.
 
-    The three REAL-format rows (PNG via the actual zlib encoder, PCM WAV,
-    24-bit BMP) carry closed-form metadata too: pixel/sample math from the
-    generator parameters (20×12×3 PNG = 720 pixel bytes; 1234 16-bit mono
-    samples = 2468 PCM bytes in a 44-byte-header file; 17×9 BMP = 459 pixel
-    bytes in 54 + 9·52 padded bytes).  Only the PNG's FILE length comes from
-    the deterministic encoder itself (zlib output size has no closed form)."""
+    The four REAL-format rows (PNG via the actual zlib encoder, PCM WAV,
+    24-bit BMP, uncompressed RGB TIFF) carry closed-form metadata too:
+    pixel/sample math from the generator parameters (20×12×3 PNG = 720
+    pixel bytes; 1234 16-bit mono samples = 2468 PCM bytes in a
+    44-byte-header file; 17×9 BMP = 459 pixel bytes in 54 + 9·52 padded
+    bytes; 11×7 TIFF = 231 strip bytes in an 8 + 231 + 6 + 2 + 9·12 + 4 =
+    359-byte file).  Only the PNG's FILE length comes from the
+    deterministic encoder itself (zlib output size has no closed form)."""
     kinds = ("image", "audio", "video")
     rows = [
         f"('proof_{i:04d}.bin', CAST({9 + 64 + i} AS BIGINT), '{kinds[i % 3]}', "
@@ -56,6 +58,8 @@ def _x7_oracle(n: int = 24) -> str:
         f"('real_0001.wav', CAST({44 + 2468} AS BIGINT), 'audio', "
         f"CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(2468 AS BIGINT))",
         f"('real_0002.bmp', CAST({54 + 9 * 52} AS BIGINT), 'image', 17, 9, CAST(459 AS BIGINT))",
+        f"('real_0003.tif', CAST({8 + 231 + 6 + 2 + 9 * 12 + 4} AS BIGINT), "
+        f"'image', 11, 7, CAST(231 AS BIGINT))",
     ]
     return (
         "SELECT * FROM (VALUES\n    "
@@ -70,13 +74,14 @@ def _x7_oracle(n: int = 24) -> str:
     _x7_oracle(),  # golden VALUES derived from the fixture spec
     survey_rows=("X7", "S6"),
     doc="binaryFile ingest + Arrow-batched metadata extraction "
-    "(REHV stub + real PNG/WAV/BMP parsers).",
+    "(REHV stub + real PNG/WAV/BMP/TIFF parsers).",
 )
 def x7_multimodal_metadata(spark, sf_dir):
     """Binary artifact ingest (payment-proof analog, render-complete-
     deploy.js:181-195) → mapInPandas decode → typed metadata.  The fixture
     dir mixes REHV stub blobs with REAL formats (PNG / PCM WAV / 24-bit
-    BMP) decoded by the pure-stdlib codecs in functions/."""
+    BMP / uncompressed RGB TIFF) decoded by the pure-stdlib codecs in
+    functions/."""
     blobs = read_binary_dir(spark, _blob_dir())
     meta = extract_metadata(blobs)
     return (

@@ -337,3 +337,110 @@ def test_palette_bmp_rejected_for_pillow_fallback():
     hdr += struct.pack("<IiiHHIIiiII", 40, 10, 10, 1, 8, 0, 100, 0, 0, 0, 0)
     with _pytest.raises(NotImplementedError):
         M.bmp_meta(hdr + b"\x00" * 200)
+
+
+def test_tiff_roundtrip_and_meta():
+    # the deterministic encoder emits a real spec-complete file the parser
+    # round-trips; closed-form file length = 8 + w*h*3 + 6 + 2 + 9*12 + 4
+    from r_e_hive__spark.functions import media_codec as M
+
+    blob = M.tiff_encode(11, 7)
+    assert len(blob) == 8 + 11 * 7 * 3 + 6 + 2 + 9 * 12 + 4
+    assert M.is_tiff(blob)
+    assert M.tiff_meta(blob) == (11, 7, 8)
+
+
+def test_tiff_big_endian_and_rejections():
+    import struct
+
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    # big-endian (MM) IFD with LONG dims and inline SHORT tags
+    ifd = struct.pack(">H", 4)
+    ifd += struct.pack(">HHII", 256, 4, 1, 33)
+    ifd += struct.pack(">HHIHH", 257, 3, 1, 21, 0)
+    ifd += struct.pack(">HHIHH", 258, 3, 1, 8, 0)
+    ifd += struct.pack(">HHIHH", 259, 3, 1, 1, 0)
+    ifd += struct.pack(">I", 0)
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd
+    assert M.tiff_meta(blob) == (33, 21, 8)
+    # compressed -> NotImplementedError (falls through to Pillow)
+    lzw = bytearray(M.tiff_encode(4, 4))
+    # entry 4 (tag 259 Compression) value lives at ifd+2+3*12+8
+    (ifd_off,) = struct.unpack("<I", bytes(lzw[4:8]))
+    lzw[ifd_off + 2 + 3 * 12 + 8 : ifd_off + 2 + 3 * 12 + 10] = struct.pack("<H", 5)
+    with _pytest.raises(NotImplementedError):
+        M.tiff_meta(bytes(lzw))
+    with _pytest.raises(ValueError):
+        M.tiff_meta(b"II*\x00\x08\x00\x00\x00")  # IFD past EOF
+
+
+def test_webp_meta_all_variants():
+    import struct
+
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    def riff(chunk_id, body):
+        chunk = chunk_id + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # lossy VP8: 3-byte frame tag, sync code, 14-bit w/h (spec layout)
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 160, 120) + b"\x00" * 8
+    assert M.webp_meta(riff(b"VP8 ", vp8)) == (160, 120, "lossy")
+    # lossless VP8L: 0x2F then packed (w-1) | (h-1)<<14
+    bits = (47 - 1) | ((31 - 1) << 14)
+    assert M.webp_meta(riff(b"VP8L", b"\x2f" + struct.pack("<I", bits))) == (
+        47, 31, "lossless",
+    )
+    # extended VP8X: 24-bit canvas (w-1), (h-1)
+    vp8x = b"\x00\x00\x00\x00" + (199).to_bytes(3, "little") + (99).to_bytes(3, "little")
+    assert M.webp_meta(riff(b"VP8X", vp8x)) == (200, 100, "extended")
+    with _pytest.raises(ValueError):
+        M.webp_meta(riff(b"VP8 ", b"\x00\x00\x00BAD!" + b"\x00" * 6))
+    with _pytest.raises(ValueError):
+        M.webp_meta(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
+
+
+def test_flac_streaminfo_meta():
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    # hand-built STREAMINFO per spec: 44100 Hz, 2ch, 16-bit, 88200 samples
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 88200
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    blob = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + info
+    assert M.flac_meta(blob) == {
+        "sample_rate": 44100,
+        "channels": 2,
+        "bits_per_sample": 16,
+        "n_samples": 88200,
+    }
+    with _pytest.raises(ValueError):
+        M.flac_meta(b"fLaC" + b"\x84\x00\x00\x10" + b"\x00" * 40)  # non-STREAMINFO first
+
+
+def test_decode_blob_routes_tiff_webp_flac():
+    import struct
+
+    from r_e_hive__spark.functions import media_codec as M
+    from r_e_hive__spark.operators.multimodal import decode_blob
+
+    tif = decode_blob(M.tiff_encode(11, 7))
+    assert tif == {"kind": "image", "width": 11, "height": 7, "payload_bytes": 231}
+    bits = (64 - 1) | ((32 - 1) << 14)
+    body = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    webp = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert decode_blob(webp) == {
+        "kind": "image", "width": 64, "height": 32, "payload_bytes": 64 * 32 * 3,
+    }
+    packed = (8000 << 44) | (0 << 41) | ((8 - 1) << 36) | 4000
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + info
+    assert decode_blob(flac) == {
+        "kind": "audio", "width": None, "height": None, "payload_bytes": 4000,
+    }

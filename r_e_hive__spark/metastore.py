@@ -96,6 +96,59 @@ def persist_testdata(
     return out
 
 
+#: Default bucketing layout: the engine's hottest join axis.  orders and
+#: lineitem co-bucketed on the order key means the fact-fact join — the one
+#: join whose BOTH sides are too big to broadcast at 100 TB — needs no
+#: exchange on either side; customer rides its own key for the
+#: customer⋈orders hop (one side still shuffles there, which is the correct
+#: trade: lineitem is ~4× orders and orders ~10× customer).
+BUCKET_SPECS: dict[str, str] = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+}
+
+
+def persist_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    specs: dict[str, str] | None = None,
+    buckets: int = 16,
+    suffix: str = "_b",
+    mode: str = "overwrite",
+) -> list[str]:
+    """``bucketBy(buckets, key).sortBy(key).saveAsTable`` each table.
+
+    Bucketing is the catalog-durable form of co-partitioning: every writer
+    hash-partitions rows into ``buckets`` files per partition by the join
+    key, and the catalog records the layout, so any later join or
+    aggregation on that key skips its exchange entirely (asserted by
+    tests/test_metastore.py: the bucketed orders⋈lineitem sort-merge join
+    plans with ZERO Exchange operators).  At 100 TB this converts the
+    biggest shuffle in the workload — repartitioning the fact table per
+    query — into a one-time write-side cost amortized over every
+    subsequent query.  ``sortBy`` additionally pre-orders rows within each
+    bucket file so single-file buckets can skip the merge sort.
+
+    Works with both the in-memory session catalog and the Hive metastore
+    (``get_hive_spark``); bucket counts must match across join sides, so
+    all tables share one ``buckets`` value."""
+    from r_e_hive__spark.catalog import load_table
+
+    out = []
+    for name, key in (specs or BUCKET_SPECS).items():
+        df = load_table(spark, sf_dir, name)
+        (
+            df.write.mode(mode)
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .saveAsTable(name + suffix)
+        )
+        out.append(name + suffix)
+    return out
+
+
 def analyze_tables(
     spark: SparkSession, tables: tuple[str, ...], columns: bool = True
 ) -> None:

@@ -99,6 +99,70 @@ def test_q5_gate_prefers_analyze_stats(spark):
         agg._Q5_GATE_SOURCE.pop(key, None)
 
 
+def test_bucketed_join_plans_with_zero_exchange(spark):
+    """Co-located join via bucketing (SURVEY.md §1.4): orders and lineitem
+    bucketed on the order key join with NO Exchange on either side — the
+    100 TB fact-fact join with the per-query shuffle amortized into the
+    write.  Broadcast is disabled for the assertion so the plan must be a
+    sort-merge join; at real scale neither side is broadcastable anyway."""
+    from r_e_hive__spark.metastore import persist_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    names = []
+    try:
+        names = persist_bucketed(
+            spark, sf, specs={"orders": "o_orderkey", "lineitem": "l_orderkey"},
+            buckets=4,
+        )
+        with _no_broadcast(spark):
+            joined = (
+                spark.table("orders_b")
+                .join(
+                    spark.table("lineitem_b"),
+                    spark.table("orders_b")["o_orderkey"]
+                    == spark.table("lineitem_b")["l_orderkey"],
+                )
+                .groupBy("o_orderstatus")
+                .count()
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the join itself is exchange-free; only the tiny post-join
+            # groupBy (on a different key) may shuffle its partials
+            join_part = plan.split("HashAggregate")[-1]
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in join_part, join_part
+            n = joined.count()
+        # parity with the unbucketed path
+        from r_e_hive__spark.catalog import load_table
+
+        o, l = load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+        expect = (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .count()
+            .count()
+        )
+        assert n == expect > 0
+    finally:
+        for t in names:
+            spark.sql(f"DROP TABLE IF EXISTS spark_catalog.default.{t}")
+
+
+def _no_broadcast(spark):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return _cm()
+
+
 def test_hive_catalog_survives_session_restart(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT, str(tmp_path / "wh"), "/root/testdata/sf0.001"],

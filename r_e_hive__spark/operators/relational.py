@@ -92,3 +92,38 @@ def top_k(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
     this as TakeOrderedAndProject: per-partition heaps + driver merge — no
     full sort, no single-node shuffle even at 100 TB."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    spray_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join (SURVEY.md §4.2's salting fallback).
+
+    AQE's skew-join rule only splits partitions inside sort-merge joins it
+    can observe at runtime; when the skew sits under an operator AQE won't
+    rewrite (or AQE is off), the classic fix is explicit: spray each fact
+    row into one of ``salt`` sub-keys and replicate every dim row across
+    all ``salt`` sub-keys, so a heavy-hitter key's rows land on ``salt``
+    reducers instead of one.  Cost: dim side × ``salt`` (keep it the small
+    side); result is identical to ``fact.join(dim, on, how)``.
+
+    The spray uses ``xxhash64`` over ``spray_cols`` (default: all fact
+    columns) — deterministic per row content; rows that are bytewise
+    identical share a bucket, so pass a unique id column as ``spray_cols``
+    when the fact table carries true duplicates.  Supported ``how``: inner
+    / left (dim-preserving joins would need the mirrored construction).
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_col = "__salt"
+    cols = [F.col(c) for c in (spray_cols or fact.columns)]
+    f = fact.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(salt)))
+    d = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, [on, salt_col], how).drop(salt_col)

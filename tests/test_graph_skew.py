@@ -101,3 +101,44 @@ def test_doubling_plan_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_parity_and_balance(spark):
+    """The explicit salting fallback (SURVEY.md §4.2): a 90%-hot-key fact
+    joined to a small dim must (a) equal the plain join under every
+    supported join type, and (b) actually spread the hot key across `salt`
+    sub-keys so no reducer sees more than ~1/salt of it."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.relational import salted_join
+
+    n, salt = 20_000, 8
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, on="k", salt=salt, how=how)
+        want = fact.join(dim, "k", how)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    # balance: the hot key's rows split across all salt sub-keys, each
+    # bucket within 3x of the ideal 1/salt share (xxhash64 uniformity)
+    sprayed = fact.withColumn(
+        "s", F.pmod(F.xxhash64("k", "payload"), F.lit(salt))
+    ).where(F.col("k") == 7)
+    buckets = {r["s"]: r["count"] for r in sprayed.groupBy("s").count().collect()}
+    hot = sum(buckets.values())
+    assert len(buckets) == salt
+    assert max(buckets.values()) < 3 * hot / salt
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, on="k", how="right")

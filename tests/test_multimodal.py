@@ -444,3 +444,31 @@ def test_decode_blob_routes_tiff_webp_flac():
     assert decode_blob(flac) == {
         "kind": "audio", "width": None, "height": None, "payload_bytes": 4000,
     }
+
+
+def test_codec_roundtrips_property():
+    """Property: every encoder emits a file its parser round-trips, for any
+    plausible dimensions — not just the golden fixture sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 64), h=st.integers(1, 64))
+    def _img(w, h):
+        assert M.tiff_meta(M.tiff_encode(w, h)) == (w, h, 8)
+        assert M.bmp_meta(M.bmp_encode(w, h)) == (w, h, 24)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(1, 5000),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2),
+    )
+    def _wav(n, rate, ch):
+        m = M.wav_meta(M.wav_encode(n, sample_rate=rate, channels=ch))
+        assert (m["n_samples"], m["sample_rate"], m["channels"]) == (n, rate, ch)
+
+    _img()
+    _wav()

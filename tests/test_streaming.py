@@ -275,3 +275,51 @@ def test_read_event_stream_starts_on_empty_dir(spark, tmp_path):
         jobs.tumbling_counts(stream), "t_empty_start", "append"
     )
     assert got.count() == 0
+
+
+def test_stream_merge_to_snapshot_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch must re-derive the
+    SAME snapshot.  Simulated the strong way — after the first run
+    completes, every batch is replayed from scratch (fresh checkpoint over
+    the same source, snapshot left in place); the snapshot must not change."""
+    import os
+    from datetime import datetime
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0), 1, "purchase", 1.0, None),
+        (1, datetime(2024, 1, 1, 11, 0), 1, "purchase", 4.0, None),
+        (2, datetime(2024, 1, 1, 12, 0), 2, "error", 2.0, None),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1.parquet")
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        q = jobs.stream_merge_to_snapshot(
+            stream,
+            str(tmp_path / "snapshot"),
+            key_cols=["user_id"],
+            order_cols=[F.desc("ts"), F.desc("event_id")],
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+        return _rows(
+            spark.read.parquet(str(tmp_path / "snapshot")),
+            ["user_id", "ts", "value"],
+        )
+
+    first = run("ckpt1")
+    replayed = run("ckpt2")  # fresh checkpoint: all batches replayed
+    assert replayed == first
+    assert len(first) == 2

@@ -60,6 +60,17 @@ def main() -> None:
         rep_times[name] = samples
         timings[name] = min(samples)
 
+    # Environment calibration: a fixed, data-independent, plan-stable probe
+    # (sum over a 200M-row range — pure JVM codegen, no IO, no shuffle read)
+    # so a reader can normalize cross-round query times against the VM's
+    # actual CPU availability at record time.  r2→r3's "regression" was
+    # exactly this number moving (BASELINE.md, bench-variance section).
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        calib.append(round(time.perf_counter() - t0, 4))
+
     gmean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -70,6 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": rep_times,
+                "calibration": {"range_sum_200m": calib},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

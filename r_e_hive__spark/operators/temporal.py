@@ -1,0 +1,204 @@
+"""Temporal joins: as-of join and range (interval) join (SURVEY.md §2.11).
+
+Two operators the north star names as canonical "Spark lacks it, build it
+from compositions" cases.  Both are pure DataFrame compositions — no UDF,
+no driver loop — with plans that survive a 100× scale-up:
+
+- ``asof_join``: for every left row, the single most recent right row at or
+  before the left timestamp (per key) — the P7 subscription-status lookup
+  (render-complete-deploy.js:582-610 reads "the newest subscription row as
+  of now") generalized to arbitrary event-to-dimension alignment.  Built as
+  the union-tag trick: one shuffle + one sort per key (a single window),
+  NOT a per-left-row subquery.  DuckDB's native ASOF JOIN is the
+  differential oracle (tests/test_temporal.py).
+- ``range_join``: left points joined to right intervals containing them.
+  The naive formulation is an inequality theta-join — Spark plans that as
+  BroadcastNestedLoopJoin (O(n·m), a 100 TB disaster).  The scale path
+  bins: each interval explodes into the fixed-width bins it covers, each
+  point hashes to exactly one bin, and the join becomes an equi-join on
+  (key, bin) + a residual filter.  Expansion = interval_len/bin_width + 1
+  per interval — pick bin_width near the median interval length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    right_on: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Per-key as-of alignment: each left row gains the right row whose
+    ``on`` value is the nearest at-or-before it (``backward``, inclusive —
+    DuckDB/QuestDB ASOF semantics) or at-or-after it (``forward``).
+
+    Plan shape: union the two sides with a side tag, then ONE window per
+    key ordered by (on, side) carrying ``last(value, ignorenulls=True)``
+    (or ``first`` over the following frame for ``forward``) — a single
+    shuffle on ``by`` and a single sort, independent of how many right
+    rows precede each left row.  Rows with no candidate get nulls (left
+    join semantics).  ``tolerance``: an INTERVAL (timestamp keys) or
+    numeric bound; matches farther than it are nulled out.
+
+    ``right_on`` names the right side's axis column when it differs from
+    the left's (pandas ``merge_asof`` convention).  Right columns surface
+    as ``{right_prefix}{name}``; the matched axis value as
+    ``{right_prefix}{right_on}``.  If several right rows share one
+    (key, on) value the latest in the window order wins — make ``on``
+    unique per key for deterministic output, as with any as-of engine.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    right_on = right_on or on
+    r_payload = [c for c in right.columns if c not in (*by, right_on)]
+    out_payload = [right_prefix + c for c in (right_on, *r_payload)]
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
+          for c in (right_on, *r_payload)],
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) if c in by else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        F.col(right_on).alias(right_prefix + right_on),
+        *[F.col(c).alias(right_prefix + c) for c in r_payload],
+        F.lit(0).alias("__side"),
+    )
+    # right's event position on the shared axis is its own `right_on` value
+    r_tagged = r_tagged.withColumn(on, F.col(right_prefix + right_on))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        # right(side=0) sorts before left(side=1) at equal `on`: inclusive
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in out_payload}
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in out_payload}
+
+    matched = unioned.select(
+        *[c for c in left.columns],
+        *[pick[c].alias(c) for c in out_payload],
+        "__side",
+    ).where(F.col("__side") == 1).drop("__side")
+
+    if tolerance is not None:
+        m = F.col(right_prefix + right_on)
+        in_range = (
+            (F.col(on) - m <= tolerance)
+            if direction == "backward"
+            else (m - F.col(on) <= tolerance)
+        )
+        matched = matched.select(
+            *[c for c in left.columns],
+            *[
+                F.when(in_range, F.col(c)).alias(c)
+                for c in out_payload
+            ],
+        )
+    return matched
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_width: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join via fixed-width binning (inclusive bounds).
+
+    ``points[point_col]`` and ``intervals[start_col,end_col]`` must share a
+    numeric axis (epoch seconds/micros, ids...); timestamp columns are
+    converted to epoch seconds automatically.  Each interval is exploded
+    into the bins ``[floor(start/w) .. floor(end/w)]``; each point maps to
+    exactly one bin, so every qualifying (point, interval) pair meets in
+    exactly one bucket — no dedup needed — and the join is a plain
+    equi-join on (by…, bin) followed by the residual bound filter.
+
+    ``how='left'`` keeps unmatched points (null interval columns; point
+    rows are assumed distinct — carry a unique id column, as the driver
+    tables do).  At
+    100 TB the equi-join shuffles both sides once on (by…, bin); skew from
+    a popular bin is AQE-splittable because the hot key is a real join key
+    (compare ``salted_join`` when ``by`` alone is the hot axis).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    by = list(by)
+
+    def _axis(df: DataFrame, c: str) -> Column:
+        from pyspark.sql.types import TimestampType
+
+        if isinstance(df.schema[c].dataType, TimestampType):
+            return F.unix_timestamp(F.col(c))
+        return F.col(c).cast("long")
+
+    p = points.withColumn("__bin", F.floor(_axis(points, point_col) / bin_width))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_axis(intervals, start_col) / bin_width),
+                F.floor(_axis(intervals, end_col) / bin_width),
+            )
+        ),
+    )
+    cond = [p["__bin"] == i["__bin"]] + [p[c] == i[c] for c in by]
+    joined = p.join(i, cond, "inner" if how == "inner" else "left_outer")
+    in_bounds = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+    out_cols = [p[c] for c in points.columns] + [
+        i[c] for c in intervals.columns if c not in by
+    ]
+    if how == "inner":
+        return joined.where(in_bounds).select(*out_cols)
+    # left: null out the interval payload where the residual filter fails,
+    # then collapse to one row per unmatched point
+    flagged = joined.select(
+        *[p[c] for c in points.columns],
+        *[
+            F.when(in_bounds, i[c]).alias(c)
+            for c in intervals.columns
+            if c not in by
+        ],
+    )
+    i_payload = [c for c in intervals.columns if c not in by]
+    # a point matching ≥1 interval keeps only real matches; a point matching
+    # none keeps one all-null row
+    w = Window.partitionBy(*[F.col(c) for c in points.columns])
+    n_real = F.sum(
+        F.when(F.col(i_payload[0]).isNotNull(), 1).otherwise(0)
+    ).over(w)
+    return (
+        flagged.withColumn("__n", n_real)
+        .where(F.col(i_payload[0]).isNotNull() | (F.col("__n") == 0))
+        .dropDuplicates([*points.columns, *i_payload])
+        .drop("__n")
+    )

@@ -240,6 +240,47 @@ def stream_merge_to_snapshot(
     )
 
 
+def stream_continuous_aggregate(
+    stream_df: DataFrame,
+    path: str,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    granularity: str,
+    checkpoint_dir: str,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Continuous aggregate (hypertable-rollup maintenance, SURVEY.md
+    §2.11 X12): each micro-batch reduces to per-bucket partials
+    (``aggregate_finest``) and merges additively into a queryable rollup
+    table (``merge_rollup``) via ``foreachBatch``.
+
+    Merge cost per trigger is O(buckets touched by the batch ∪ existing) —
+    at 100 TB the stored rollup is orders of magnitude smaller than the
+    facts, and with bucket-partitioned storage only touched partitions
+    rewrite.  Coarser granularities derive from this table with
+    ``rollup_from_partials`` at read time (or their own cascaded sinks).
+    Equality with the one-shot batch rollup across real micro-batches is
+    asserted in tests/test_streaming.py."""
+    from r_e_hive__spark.operators.rollup import aggregate_finest, merge_rollup
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = aggregate_finest(batch_df, ts_col, value_col, keys, granularity)
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:  # first trigger: no rollup yet
+            existing = None
+        merged = merge_rollup(existing, batch, keys)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -323,3 +323,53 @@ def test_stream_merge_to_snapshot_replay_idempotent(spark, tmp_path):
     replayed = run("ckpt2")  # fresh checkpoint: all batches replayed
     assert replayed == first
     assert len(first) == 2
+
+
+def test_stream_continuous_aggregate_equals_batch_rollup(spark, tmp_path):
+    """Hypertable continuous aggregate across REAL micro-batches: after the
+    stream drains, the maintained rollup table equals the one-shot batch
+    rollup of all events, and a coarser level derived from it matches too."""
+    import os
+
+    from r_e_hive__spark.catalog import load_table
+    from r_e_hive__spark.operators.rollup import (
+        aggregate_finest,
+        rollup_from_partials,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    for k in range(3):  # three files -> three micro-batches
+        ev.where(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{k}.parquet"))
+        _pin_mtime(src / f"b{k}.parquet", k + 1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    roll_path = str(tmp_path / "rollup")
+    q = jobs.stream_continuous_aggregate(
+        stream, roll_path, "ts", "value", ["event_type"], "10 minutes",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted(
+            (r["bucket"], r["event_type"], round(r["sum_value"], 6), r["n_rows"],
+             r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+
+    maintained = spark.read.parquet(roll_path)
+    want = aggregate_finest(ev, "ts", "value", ["event_type"], "10 minutes")
+    assert rows(maintained) == rows(want)
+    assert rows(rollup_from_partials(maintained, ["event_type"], "1 hour")) == rows(
+        aggregate_finest(ev, "ts", "value", ["event_type"], "1 hour")
+    )

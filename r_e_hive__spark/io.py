@@ -191,3 +191,35 @@ def read_json_table(
 ) -> DataFrame:
     """Explicit-schema JSON-lines ingest; corrupt records fail fast."""
     return spark.read.json(path, schema=schema, mode="FAILFAST")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-layout partitioned parquet write (the X6 routing sink and the
+    general 100 TB table layout: ``lang=en/``, ``event_date=2024-01-21/``…).
+
+    Partition pruning makes reads over a partition predicate touch only
+    the matching directories — asserted on the scan's ``PartitionFilters``
+    in tests/test_io.py.  ``dynamic=True`` sets
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` for the write, so
+    ``mode='overwrite'`` replaces ONLY the partitions present in ``df``
+    (the idempotent daily-refresh pattern); static overwrite would drop
+    every other partition.  Choose LOW-cardinality columns: one directory
+    and ≥1 file per value — a high-cardinality key belongs in bucketing
+    (metastore.persist_bucketed), not partitioning."""
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    # same bounded-file-count discipline as append_facts: co-locate each
+    # partition value's rows before the write
+    w = df.repartition(*[F.col(c) for c in partition_cols])
+    try:
+        spark.conf.set(conf_key, "dynamic" if dynamic else "static")
+        w.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)

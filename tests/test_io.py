@@ -155,3 +155,51 @@ def test_sequence_ids_distributed_avoids_global_window(spark):
 def test_sequence_ids_empty_input(spark):
     df = spark.range(0).select(F.col("id"))
     assert EIO.sequence_ids(df, [F.asc("id")], distributed=True).count() == 0
+
+
+def test_write_partitioned_layout_pruning_and_dynamic_overwrite(spark, tmp_path):
+    """The partitioned table layout (SURVEY.md §1.4): hive directories per
+    value, reads over a partition predicate prune to matching directories
+    (PartitionFilters in the scan), and dynamic overwrite replaces ONLY the
+    partitions present in the incoming frame."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.catalog import load_table
+    from r_e_hive__spark.io import write_partitioned
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+
+    # partition pruning: the physical scan carries a PartitionFilters entry
+    # for the lang predicate (directory-level skip, no data read elsewhere)
+    back = spark.read.parquet(path)
+    one = sorted(langs)[0]
+    plan = back.where(F.col("lang") == one)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    assert (
+        back.where(F.col("lang") == one).count()
+        == docs.where(F.col("lang") == one).count()
+    )
+
+    # dynamic overwrite: rewriting ONE lang's rows (doubled n_chars) must
+    # leave every other partition untouched
+    refreshed = docs.where(F.col("lang") == one).withColumn(
+        "n_chars", F.col("n_chars") * 2
+    )
+    write_partitioned(refreshed, path, ["lang"], mode="overwrite", dynamic=True)
+    after = spark.read.parquet(path)
+    assert after.count() == docs.count()
+    assert (
+        after.where(F.col("lang") == one).agg(F.sum("n_chars")).first()[0]
+        == docs.where(F.col("lang") == one).agg(F.sum("n_chars") * 2).first()[0]
+    )
+    others_before = docs.where(F.col("lang") != one).agg(F.sum("n_chars")).first()[0]
+    assert after.where(F.col("lang") != one).agg(F.sum("n_chars")).first()[0] == others_before

@@ -373,3 +373,78 @@ def test_stream_continuous_aggregate_equals_batch_rollup(spark, tmp_path):
     assert rows(rollup_from_partials(maintained, ["event_type"], "1 hour")) == rows(
         aggregate_finest(ev, "ts", "value", ["event_type"], "1 hour")
     )
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join (the notification fan-out shape: each event
+    enriched with its user's dimension row).  The static side is re-read
+    per micro-batch by Spark; result must equal the batch join."""
+    ev_stream = _stream(spark)
+    users = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey")
+    )
+    enriched = ev_stream.join(users, "user_id", "left").select(
+        "event_id", "user_id", "c_name", "c_nationkey"
+    )
+    got = jobs.run_stream_to_memory(enriched, "enriched_events")
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = ev.join(users, "user_id", "left").select(
+        "event_id", "user_id", "c_name", "c_nationkey"
+    )
+    cols = ["event_id", "user_id", "c_name", "c_nationkey"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_stream_watermarked_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: purchases correlated to the
+    same user's errors within 1 hour AFTER the purchase.  Both sides carry
+    watermarks + a time-range condition, so state is bounded (Spark evicts
+    rows older than watermark - range).  Result equals the batch
+    formulation of the same predicate."""
+    import os
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "all.parquet"))
+
+    def side(filter_type, alias_prefix):
+        s = (
+            spark.readStream.schema(ev.schema)
+            .parquet(str(src) + "/*.parquet")
+            .where(F.col("event_type") == filter_type)
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in ev.columns]
+        ).withWatermark(f"{alias_prefix}_ts", "2 hours")
+
+    purchases, errors = side("purchase", "p"), side("error", "e")
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "p_user_id = e_user_id AND "
+            "e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("p_event_id", "e_event_id", "p_user_id")
+    got = jobs.run_stream_to_memory(joined, "pe_pairs")
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event_id"), F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    want = p.join(
+        e,
+        (p["p_user_id"] == e["e_user_id"])
+        & (e["e_ts"] >= p["p_ts"])
+        & (e["e_ts"] <= p["p_ts"] + F.expr("INTERVAL 1 HOUR")),
+    ).select("p_event_id", "e_event_id", "p_user_id")
+    cols = ["p_event_id", "e_event_id", "p_user_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0

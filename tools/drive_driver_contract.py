@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Simulate the grading driver's contract against /root/repo.
+
+- vanilla SparkSession (NONE of r_e_hive__spark.session's configs)
+- cwd must NOT be /root/repo (run from /tmp) so worker-side module
+  shipping (sc.addPyFile) is actually exercised
+- imports /root/repo/__spark_entry__.py, smoke-runs entry(spark)
+- runs every queries() entry and its oracle_sql() on DuckDB at sf0.01,
+  comparing columns (sorted by name), row count, and values
+  order-insensitively.
+"""
+import os
+import sys
+import traceback
+
+assert os.getcwd() != "/root/repo", "drive from /tmp, not the repo"
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype(object).where(pd.notnull(df), None)
+    # stringify for an order-insensitive, dtype-insensitive value compare
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return rows
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    # smoke: entry()
+    edf = E.entry(spark)
+    n = edf.count()
+    print(f"entry(): OK, {n} rows, schema {[f.name for f in edf.schema.fields]}")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    con = duck_con()
+    ok = fail = 0
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows-only ({len(sdf)} rows)")
+                ok += 1
+                continue
+            odf = con.execute(oracles[name]).fetchdf()
+            s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+            if s_cols != o_cols:
+                raise AssertionError(f"schema mismatch {s_cols} vs {o_cols}")
+            if len(sdf) != len(odf):
+                raise AssertionError(f"rowcount {len(sdf)} vs {len(odf)}")
+            if norm(sdf) != norm(odf):
+                raise AssertionError("value hash mismatch")
+            ok += 1
+            print(f"{name}: OK ({len(sdf)} rows)")
+        except Exception as e:
+            fail += 1
+            print(f"{name}: FAIL — {type(e).__name__}: {e}")
+            traceback.print_exc(limit=3)
+    print(f"TOTAL {ok} ok / {fail} fail of {len(qs)}")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

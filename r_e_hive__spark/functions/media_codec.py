@@ -151,7 +151,7 @@ def tiff_meta(b: bytes) -> tuple[int, int, int]:
     if ifd_off + 2 + n_entries * 12 > len(b):
         raise ValueError("truncated TIFF IFD")
     width = height = None
-    bits, compression = 1, 1
+    bits, compression, spp, photometric = 1, 1, 1, None
 
     def _value(entry: bytes) -> int:
         tag, typ, count = struct.unpack(bo + "HHI", entry[:8])
@@ -178,10 +178,22 @@ def tiff_meta(b: bytes) -> tuple[int, int, int]:
             bits = _value(entry)
         elif tag == 259:
             compression = _value(entry)
+        elif tag == 262:
+            photometric = _value(entry)
+        elif tag == 277:
+            spp = _value(entry)
     if width is None or height is None:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     if compression != 1:
         raise NotImplementedError(f"compressed TIFF (method {compression})")
+    # scope guard (module docstring): only uncompressed 8-bit RGB — a
+    # grayscale/palette/CMYK TIFF must fall through to a real decoder, not
+    # be mis-reported as w*h*3 pixel bytes (round-4 code review)
+    if spp != 3 or bits != 8 or photometric not in (None, 2):
+        raise NotImplementedError(
+            f"non-RGB TIFF (SamplesPerPixel={spp}, bits={bits}, "
+            f"photometric={photometric}) needs a full decoder"
+        )
     return width, height, bits
 
 

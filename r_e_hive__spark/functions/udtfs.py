@@ -10,10 +10,11 @@ Why a UDTF and not ``explode``: the split is stateful along the string
 (each boundary depends on the previous one), which has no clean
 ``F.sequence``/``F.split`` form with byte offsets; a UDTF keeps the
 one-row-to-many-rows shape declarative and composable in SQL (``LATERAL``)
-while the loop runs in Python.  Registered with ``useArrow=True`` when the
-runtime supports it, falling back to the pickle path otherwise — either
-way it sits OUTSIDE the declared-query surface, whose no-Python-eval rule
-(tests/test_plans.py) stays intact.
+while the loop runs in Python.  The decorator requests ``useArrow=True``
+(Arrow-batched exchange) and falls back to the default pickle path on
+runtimes whose ``@udtf`` lacks the parameter — either way it sits OUTSIDE
+the declared-query surface, whose no-Python-eval rule (tests/test_plans.py)
+stays intact.
 
 At 100 TB: a UDTF is a narrow map-side fan-out — no shuffle, output rows
 stream per input partition; downstream writes should repartition by
@@ -24,8 +25,17 @@ from __future__ import annotations
 
 from pyspark.sql.functions import udtf
 
+_RETURN_TYPE = "chunk_idx int, start int, length int, chunk string"
 
-@udtf(returnType="chunk_idx int, start int, length int, chunk string")
+
+def _decorate(cls):
+    try:
+        return udtf(cls, returnType=_RETURN_TYPE, useArrow=True)
+    except TypeError:  # runtime without the useArrow parameter
+        return udtf(cls, returnType=_RETURN_TYPE)
+
+
+@_decorate
 class ChunkDocument:
     """SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_document(d.text, 512) c"""
 

@@ -238,9 +238,13 @@ def decode_blob(content: bytes) -> dict:
                 "kind": "audio",
                 "width": None,
                 "height": None,
+                # multiply BEFORE the divide: FLAC allows 4-31-bit samples
+                # (12-bit archival audio is common); bits//8 would floor to
+                # 0-3 bytes and badly under-report
                 "payload_bytes": fm["n_samples"]
                 * fm["channels"]
-                * (fm["bits_per_sample"] // 8),
+                * fm["bits_per_sample"]
+                // 8,
             }
         except (ValueError, NotImplementedError, struct.error):
             pass

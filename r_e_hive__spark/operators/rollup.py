@@ -133,9 +133,12 @@ def merge_rollup(
     existing: DataFrame | None, batch_partials: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
     """Incremental maintenance: existing ∪ batch, re-merged by (bucket,
-    keys).  Cost is proportional to the DISTINCT buckets touched, not to
-    history — with bucket-partitioned storage only touched partitions
-    rewrite (dynamic partition overwrite)."""
+    keys).  This function itself re-aggregates whatever ``existing`` frame
+    it is given — pass the FULL rollup and the cost is O(history); pass
+    only the partitions the batch touches (as
+    ``streaming.jobs.stream_continuous_aggregate`` does: day-partitioned
+    storage, partition-pruned read, dynamic-overwrite write) and the cost
+    is O(touched days), independent of retained history."""
     unioned = (
         batch_partials
         if existing is None

@@ -65,21 +65,32 @@ def asof_join(
     r_payload = [c for c in right.columns if c not in (*by, right_on)]
     out_payload = [right_prefix + c for c in (right_on, *r_payload)]
 
+    # The candidate right row travels as ONE struct so the window carries it
+    # atomically: per-column last(ignorenulls) would splice a NULL payload
+    # field with the value from an OLDER right row (torn rows — found in the
+    # round-4 code review; a NULL field in the nearest right row must
+    # surface as NULL, exactly as DuckDB ASOF returns it).
+    r_struct = F.struct(
+        F.col(right_on).alias(right_prefix + right_on),
+        *[F.col(c).alias(right_prefix + c) for c in r_payload],
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
-          for c in (right_on, *r_payload)],
+        F.lit(None)
+        .cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        )
+        .alias("__r"),
         F.lit(1).alias("__side"),
     )
     r_tagged = right.select(
         *[F.col(c) if c in by else F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns],
-        F.col(right_on).alias(right_prefix + right_on),
-        *[F.col(c).alias(right_prefix + c) for c in r_payload],
+        r_struct.alias("__r"),
         F.lit(0).alias("__side"),
     )
     # right's event position on the shared axis is its own `right_on` value
-    r_tagged = r_tagged.withColumn(on, F.col(right_prefix + right_on))
+    r_tagged = r_tagged.withColumn(on, F.col(f"__r.{right_prefix}{right_on}"))
 
     unioned = l_tagged.unionByName(r_tagged)
     if direction == "backward":
@@ -89,20 +100,27 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in out_payload}
+        picked = F.last(F.col("__r"), ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*by)
             .orderBy(F.col(on).asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in out_payload}
+        picked = F.first(F.col("__r"), ignorenulls=True).over(w)
 
-    matched = unioned.select(
-        *[c for c in left.columns],
-        *[pick[c].alias(c) for c in out_payload],
-        "__side",
-    ).where(F.col("__side") == 1).drop("__side")
+    matched = (
+        unioned.select(
+            *[c for c in left.columns],
+            picked.alias("__m"),
+            "__side",
+        )
+        .where(F.col("__side") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"__m.{c}").alias(c) for c in out_payload],
+        )
+    )
 
     if tolerance is not None:
         m = F.col(right_prefix + right_on)
@@ -169,6 +187,9 @@ def range_join(
             )
         ),
     )
+    i = i.withColumn("__hit", F.lit(1))  # explicit join-match marker: a
+    # matched interval whose payload columns are all NULL must still count
+    # as a match (round-4 code review)
     cond = [p["__bin"] == i["__bin"]] + [p[c] == i[c] for c in by]
     joined = p.join(i, cond, "inner" if how == "inner" else "left_outer")
     in_bounds = (F.col(point_col) >= F.col(start_col)) & (
@@ -179,26 +200,24 @@ def range_join(
     ]
     if how == "inner":
         return joined.where(in_bounds).select(*out_cols)
-    # left: null out the interval payload where the residual filter fails,
-    # then collapse to one row per unmatched point
+    # left: a real match keeps its interval row (duplicate interval rows and
+    # all-NULL payloads included — same multiplicity as `inner`); a point
+    # with NO real match keeps exactly one all-null row.
+    i_payload = [c for c in intervals.columns if c not in by]
+    real = in_bounds & i["__hit"].isNotNull()
     flagged = joined.select(
         *[p[c] for c in points.columns],
-        *[
-            F.when(in_bounds, i[c]).alias(c)
-            for c in intervals.columns
-            if c not in by
-        ],
+        *[F.when(real, i[c]).alias(c) for c in i_payload],
+        # unmatched left_outer rows have NULL in_bounds: coalesce to 0 so
+        # the per-point max is 0, not NULL
+        F.coalesce(real.cast("int"), F.lit(0)).alias("__real"),
     )
-    i_payload = [c for c in intervals.columns if c not in by]
-    # a point matching ≥1 interval keeps only real matches; a point matching
-    # none keeps one all-null row
-    w = Window.partitionBy(*[F.col(c) for c in points.columns])
-    n_real = F.sum(
-        F.when(F.col(i_payload[0]).isNotNull(), 1).otherwise(0)
-    ).over(w)
+    pcols = [F.col(c) for c in points.columns]
+    w = Window.partitionBy(*pcols)
+    wo = w.orderBy(F.lit(1))
     return (
-        flagged.withColumn("__n", n_real)
-        .where(F.col(i_payload[0]).isNotNull() | (F.col("__n") == 0))
-        .dropDuplicates([*points.columns, *i_payload])
-        .drop("__n")
+        flagged.withColumn("__n", F.max("__real").over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .where((F.col("__real") == 1) | ((F.col("__n") == 0) & (F.col("__rn") == 1)))
+        .drop("__real", "__n", "__rn")
     )

@@ -254,24 +254,68 @@ def stream_continuous_aggregate(
     (``aggregate_finest``) and merges additively into a queryable rollup
     table (``merge_rollup``) via ``foreachBatch``.
 
-    Merge cost per trigger is O(buckets touched by the batch ∪ existing) —
-    at 100 TB the stored rollup is orders of magnitude smaller than the
-    facts, and with bucket-partitioned storage only touched partitions
-    rewrite.  Coarser granularities derive from this table with
+    The rollup table is stored day-partitioned (``bucket_day=``
+    directories) and each trigger reads ONLY the day partitions the batch
+    touches, merges, and dynamic-partition-overwrites those same days —
+    per-trigger cost scales with the batch's time locality, not with
+    retained history.  Coarser granularities derive from this table with
     ``rollup_from_partials`` at read time (or their own cascaded sinks).
-    Equality with the one-shot batch rollup across real micro-batches is
-    asserted in tests/test_streaming.py."""
+
+    Replay safety (foreachBatch is at-least-once): a sidecar fence file
+    records the last applied batch_id and replayed batches are skipped, so
+    the additive merge is not double-applied on the common
+    recovery path (function succeeded, offset commit lost).  The residual
+    window — a crash between the parquet commit and the fence write —
+    needs transactional storage to close completely; on Delta/Iceberg this
+    body becomes a MERGE INTO and the fence disappears.  Equality with the
+    one-shot batch rollup across real micro-batches, and fence-based
+    replay skipping, are asserted in tests/test_streaming.py."""
+    import json
+
     from r_e_hive__spark.operators.rollup import aggregate_finest, merge_rollup
+
+    fence = os.path.join(checkpoint_dir, "rollup_fence.json")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = aggregate_finest(batch_df, ts_col, value_col, keys, granularity)
         try:
-            existing = spark.read.parquet(path)
-        except AnalysisException:  # first trigger: no rollup yet
-            existing = None
-        merged = merge_rollup(existing, batch, keys)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+            with open(fence) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch: already applied
+        except (OSError, ValueError, KeyError):
+            pass
+        day = (F.floor(F.col("bucket") / 86400) * 86400).cast("long")
+        batch = aggregate_finest(
+            batch_df, ts_col, value_col, keys, granularity
+        ).withColumn("bucket_day", day)
+        touched = [r[0] for r in batch.select("bucket_day").distinct().collect()]
+        merged = None
+        if touched:
+            try:
+                existing = spark.read.parquet(path).where(
+                    F.col("bucket_day").isin(touched)
+                )
+            except AnalysisException:  # first trigger: no rollup yet
+                existing = None
+            merged = merge_rollup(
+                existing.drop("bucket_day") if existing is not None else None,
+                batch.drop("bucket_day"),
+                keys,
+            ).withColumn("bucket_day", day)
+            # eager materialization: the write replaces partitions the plan
+            # reads (same contract as stream_merge_to_snapshot)
+            from r_e_hive__spark.io import write_partitioned
+
+            write_partitioned(
+                merged.localCheckpoint(eager=True),
+                path,
+                ["bucket_day"],
+                mode="overwrite",
+                dynamic=True,
+            )
+        os.makedirs(os.path.dirname(fence), exist_ok=True)
+        with open(fence, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

@@ -357,12 +357,15 @@ def test_tiff_big_endian_and_rejections():
 
     from r_e_hive__spark.functions import media_codec as M
 
-    # big-endian (MM) IFD with LONG dims and inline SHORT tags
-    ifd = struct.pack(">H", 4)
+    # big-endian (MM) IFD with LONG dims and inline SHORT tags (RGB, SPP=3
+    # — the scope guard rejects non-RGB, tested separately)
+    ifd = struct.pack(">H", 6)
     ifd += struct.pack(">HHII", 256, 4, 1, 33)
     ifd += struct.pack(">HHIHH", 257, 3, 1, 21, 0)
     ifd += struct.pack(">HHIHH", 258, 3, 1, 8, 0)
     ifd += struct.pack(">HHIHH", 259, 3, 1, 1, 0)
+    ifd += struct.pack(">HHIHH", 262, 3, 1, 2, 0)
+    ifd += struct.pack(">HHIHH", 277, 3, 1, 3, 0)
     ifd += struct.pack(">I", 0)
     blob = b"MM\x00*" + struct.pack(">I", 8) + ifd
     assert M.tiff_meta(blob) == (33, 21, 8)
@@ -472,3 +475,35 @@ def test_codec_roundtrips_property():
 
     _img()
     _wav()
+
+
+def test_grayscale_tiff_rejected_for_real_decoder():
+    """Round-4 review regression: an uncompressed GRAYSCALE TIFF (SPP=1)
+    must raise (fall through to Pillow), not be mis-reported as RGB."""
+    import struct
+
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+
+    ifd = struct.pack("<H", 5)
+    ifd += struct.pack("<HHIHH", 256, 3, 1, 10, 0)
+    ifd += struct.pack("<HHIHH", 257, 3, 1, 8, 0)
+    ifd += struct.pack("<HHIHH", 258, 3, 1, 8, 0)
+    ifd += struct.pack("<HHIHH", 262, 3, 1, 1, 0)  # BlackIsZero
+    ifd += struct.pack("<HHIHH", 277, 3, 1, 1, 0)  # SamplesPerPixel=1
+    ifd += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", 8) + ifd
+    with _pytest.raises(NotImplementedError):
+        M.tiff_meta(blob)
+
+
+def test_flac_non_byte_aligned_bits_payload():
+    """Round-4 review regression: 12-bit FLAC payload bytes must multiply
+    before dividing (n*ch*bits//8), not floor bits//8 to one byte."""
+    from r_e_hive__spark.operators.multimodal import decode_blob
+
+    packed = (48000 << 44) | ((2 - 1) << 41) | ((12 - 1) << 36) | 1000
+    info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    blob = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + info
+    assert decode_blob(blob)["payload_bytes"] == 1000 * 2 * 12 // 8  # 3000

@@ -448,3 +448,45 @@ def test_stream_stream_watermarked_join(spark, tmp_path):
     cols = ["p_event_id", "e_event_id", "p_user_id"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_stream_continuous_aggregate_fence_and_partitioned_layout(spark, tmp_path):
+    """Round-4 review: (a) the rollup table is day-partitioned so merges
+    prune to touched days; (b) the batch-id fence skips replayed batches
+    (a pre-seeded fence above every batch id ⇒ nothing is ever applied)."""
+    import json
+    import os
+
+    from r_e_hive__spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+
+    def start(ckpt, roll):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        q = jobs.stream_continuous_aggregate(
+            stream, str(tmp_path / roll), "ts", "value", ["event_type"],
+            "10 minutes", checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    # normal run: hive day-partition layout on disk
+    start("ckpt_a", "roll_a")
+    dirs = os.listdir(str(tmp_path / "roll_a"))
+    assert any(d.startswith("bucket_day=") for d in dirs), dirs
+
+    # fenced run: pre-seed the fence above any batch id -> every batch is
+    # treated as a replay and skipped; the rollup is never created
+    os.makedirs(str(tmp_path / "ckpt_b"), exist_ok=True)
+    with open(str(tmp_path / "ckpt_b" / "rollup_fence.json"), "w") as fh:
+        json.dump({"batch_id": 10_000}, fh)
+    start("ckpt_b", "roll_b")
+    assert not os.path.exists(str(tmp_path / "roll_b"))

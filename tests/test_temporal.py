@@ -184,3 +184,39 @@ def test_range_join_plan_is_equi_join_not_bnlj(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_asof_null_payload_not_torn(spark):
+    """Round-4 review regression: a NULL payload field in the NEAREST right
+    row must surface as NULL — not be spliced with the value from an older
+    right row (per-column ignorenulls would tear the row)."""
+    left = spark.createDataFrame([(1, 10), (1, 30)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, None)], "k long, t long, v double"
+    )
+    got = {
+        (r["k"], r["t"]): (r["r_t"], r["r_v"])
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert got[(1, 10)] == (5, 100.0)
+    assert got[(1, 30)] == (20, None)  # nearest row wins ATOMICALLY
+
+
+def test_range_join_left_null_payload_and_duplicate_intervals(spark):
+    """Round-4 review regressions: (a) a matching interval whose payload is
+    all-NULL still counts as a match in left mode; (b) duplicate interval
+    rows keep the same multiplicity in left mode as in inner."""
+    pts = spark.createDataFrame([(1, 50), (2, 500)], "k long, x long")
+    iv = spark.createDataFrame(
+        [(1, 40, 60, None), (1, 40, 60, None), (2, 0, 10, "m")],
+        "k long, lo long, hi long, label string",
+    )
+    inner = range_join(pts, iv, "x", "lo", "hi", by=["k"], bin_width=100)
+    lj = range_join(pts, iv, "x", "lo", "hi", by=["k"], bin_width=100, how="left")
+    # point 1 matches the duplicated NULL-label interval twice in BOTH modes
+    assert inner.where(F.col("x") == 50).count() == 2
+    assert lj.where((F.col("x") == 50) & F.col("lo").isNotNull()).count() == 2
+    # point 2 matches nothing: one all-null row in left mode only
+    assert inner.where(F.col("x") == 500).count() == 0
+    unmatched = lj.where(F.col("x") == 500).collect()
+    assert len(unmatched) == 1 and unmatched[0]["lo"] is None

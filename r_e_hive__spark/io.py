@@ -83,14 +83,13 @@ def sequence_ids(
     from pyspark.sql.window import Window
 
     if distributed is None:
+        from r_e_hive__spark.operators import plan_fits_broadcast
+
+        # unreadable stats previously gated to the single-window path; keep
+        # that (shared-gate False means "does not fit" -> re-check stats)
         try:
-            size = int(
-                rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-            thresh = int(
-                rows.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            )
-            distributed = not (0 <= size <= max(thresh, 0))
+            rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            distributed = not plan_fits_broadcast(rows)
         except Exception:
             distributed = False
     if not distributed:
@@ -212,14 +211,15 @@ def write_partitioned(
     every other partition.  Choose LOW-cardinality columns: one directory
     and ≥1 file per value — a high-cardinality key belongs in bucketing
     (metastore.persist_bucketed), not partitioning."""
-    spark = df.sparkSession
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
     # same bounded-file-count discipline as append_facts: co-locate each
     # partition value's rows before the write
     w = df.repartition(*[F.col(c) for c in partition_cols])
-    try:
-        spark.conf.set(conf_key, "dynamic" if dynamic else "static")
-        w.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    (
+        # per-WRITE option, not the session conf: mutating the global conf
+        # races against concurrent writers in the same session (round-4
+        # review); the writer option takes precedence over the conf
+        w.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -25,3 +25,21 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def plan_fits_broadcast(df: DataFrame) -> bool:
+    """True iff Catalyst's size estimate for ``df``'s optimized plan is
+    within the session's ``autoBroadcastJoinThreshold`` — the same gate
+    Spark's planner applies to pick a broadcast join, reused one level up
+    by every operator that chooses a gather-vs-distributed strategy
+    (dedup verify joins, the graph closure, sequence ids, the packing
+    prefix-sum).  ``max(thresh, 0)`` maps threshold=-1 (broadcast
+    disabled) to "nothing fits"; unreadable stats/conf → False, the
+    conservative (distributed) answer.  One implementation so a fix lands
+    everywhere (round-4 code review)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        thresh = int(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        return 0 <= size <= max(thresh, 0)
+    except Exception:
+        return False

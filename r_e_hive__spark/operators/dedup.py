@@ -31,20 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.functions.text import shingles, tokens
-from r_e_hive__spark.operators import ensure_parallelism
+from r_e_hive__spark.operators import ensure_parallelism, plan_fits_broadcast
 
-
-def _fits_broadcast(df: DataFrame) -> bool:
-    """True iff Catalyst's size estimate for ``df`` is under the session's
-    autoBroadcastJoinThreshold — the same gate Spark's planner applies."""
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        thresh = int(
-            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-        return 0 <= size <= max(thresh, 0)
-    except Exception:
-        return False
+_fits_broadcast = plan_fits_broadcast  # shared gate (operators/__init__.py)
 
 
 def exact_dedup(
@@ -57,7 +46,14 @@ def exact_dedup(
     contract (SURVEY.md §2.12)."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     survivors = df.groupBy(*key_cols).agg(agg.alias(id_col))
-    return df.join(survivors, [*key_cols, id_col], "left_semi")
+    # null-SAFE key equality: with plain `=`, a NULL-keyed survivor never
+    # matches itself and every NULL-key row silently vanishes — whereas the
+    # documented dropDuplicates equivalent keeps one NULL-key representative
+    # (round-4 code review)
+    cond = df[id_col] == survivors[id_col]
+    for c in key_cols:
+        cond = cond & df[c].eqNullSafe(survivors[c])
+    return df.join(survivors, cond, "left_semi")
 
 
 def with_shingles(
@@ -206,6 +202,13 @@ def minhash_lsh_pairs(
     the *exact* shingle Jaccard (join back to shingle sets) — LSH recall with
     exact precision."""
     r = num_hashes // bands
+    if r < 1 or num_hashes % bands != 0:
+        # r=0 would hash an EMPTY signature slice per band: every doc
+        # collides in every band and the self-join silently goes quadratic
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) "
+            f"with >=1 row per band"
+        )
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     band_arr = F.array(
         *[
@@ -301,7 +304,14 @@ def simhash_neardup_pairs(
     Candidate generation: band the 64-bit fingerprint into four 16-bit
     chunks — any pair within Hamming ≤ 3 shares at least one chunk
     (pigeonhole), so the join is equi on (chunk_id, chunk_value), never
-    quadratic."""
+    quadratic.  The same pigeonhole bounds recall: 4 chunks guarantee
+    candidates only for Hamming ≤ 3, so larger thresholds are rejected
+    rather than silently missing pairs (round-4 code review)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
+            f"recall guarantee (<=3); use more/narrower bands for larger radii"
+        )
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(
         id_col,

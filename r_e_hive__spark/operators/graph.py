@@ -32,14 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's size estimate for the optimized plan, or None if opaque."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return None
-
-
 def _closure_local(
     edges: DataFrame, child_col: str, parent_col: str, max_levels: int
 ) -> DataFrame:
@@ -84,9 +76,14 @@ def _closure_local(
         )
         reach = 1
         while reach < max_levels:
-            # same unique-decomposition invariant as the distributed path;
-            # null ancestors stay in the output but never extend (pandas
-            # merge would match NaN==NaN, Spark joins never match null)
+            # same unique-decomposition invariant as the distributed path.
+            # NULL-ancestor rows never act as a PREFIX (a null mid-node
+            # can't be joined through — hence the notna() filter, since
+            # pandas merge WOULD match NaN==NaN where Spark joins don't),
+            # but they do terminate longer paths as a SUFFIX: prefix
+            # (A,B,1) + suffix (B,NULL,1) → (A,NULL,2), exactly the row
+            # WITH RECURSIVE produces for a NULL-parent edge (pinned
+            # against DuckDB in tests/test_graph.py).
             pfx = cl[(cl["level"] == reach) & cl["ancestor"].notna()]
             sfx = cl[cl["node"].notna()]
             ext = pfx.merge(
@@ -134,15 +131,10 @@ def ancestor_closure(
     and zero wide shuffles, the huge-graph case pays log₂(depth) rounds.
     """
     if strategy == "auto":
-        size = _plan_size_bytes(edges)
-        try:
-            thresh = int(
-                edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            )
-        except Exception:
-            thresh = 10 * 1024 * 1024
+        from r_e_hive__spark.operators import plan_fits_broadcast
+
         strategy = (
-            "local" if size is not None and 0 <= size <= max(thresh, 0) else "doubling"
+            "local" if plan_fits_broadcast(edges) else "doubling"
         )
     if strategy == "local":
         return _closure_local(edges, child_col, parent_col, max_levels)

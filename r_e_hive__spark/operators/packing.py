@@ -37,16 +37,17 @@ from pyspark.sql.window import Window
 
 
 def _auto_distributed(df: DataFrame) -> bool:
-    """True when Catalyst's size estimate exceeds the broadcast threshold —
-    the same gate ``io.sequence_ids`` and ``operators/graph`` use."""
+    """True when Catalyst's size estimate exceeds the broadcast threshold
+    (shared gate: operators.plan_fits_broadcast).  NOTE the asymmetry with
+    the other call sites: unreadable stats gate to the SMALL-window path
+    here (False), preserving the original smoke-scale behavior."""
+    from r_e_hive__spark.operators import plan_fits_broadcast
+
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        thresh = int(
-            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-        return not (0 <= size <= max(thresh, 0))
+        int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return False
+    return not plan_fits_broadcast(df)
 
 
 def weighted_prefix_sum(
@@ -95,8 +96,16 @@ def weighted_prefix_sum(
     w_local = Window.partitionBy("_pid", *pcols).orderBy(*ocols).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # offsets is one row per (range partition, GROUP): tiny for the common
+    # few-groups case, but a high-cardinality partition_cols (lang x domain
+    # on a web corpus) makes it millions of rows — gate the broadcast hint
+    # on the actual count instead of hinting unconditionally (round-4
+    # review).  persist() so the count does not recompute the aggregation;
+    # the 4M-row cap is the same HashedRelation ceiling the q5 gate uses.
+    offsets = offsets.persist()
+    off_side = offsets if offsets.count() > 4_000_000 else F.broadcast(offsets)
     return (
-        with_pid.join(F.broadcast(offsets), ["_pid", *pcols])
+        with_pid.join(off_side, ["_pid", *pcols])
         .withColumn(out_col, (F.col("_off") + F.sum(w).over(w_local)).cast("long"))
         .drop("_pid", "_off")
     )
@@ -115,10 +124,15 @@ def pack_shards(
     ``partition_cols`` group) to fixed token-budget shards.
 
     A document lands in the shard where it *starts*:
-    ``shard_id = (running_total − weight) DIV budget`` — so every shard
-    holds ≥ ``budget`` tokens except the last per group, and a single
-    over-budget document occupies its own shard(s) boundary without
-    stalling the pipeline.  Integer arithmetic end-to-end.
+    ``shard_id = (running_total − weight) DIV budget``.  Shard boundaries
+    therefore fall every ``budget`` tokens of the cumulative stream: a
+    shard's documents all start inside one budget window, a single
+    over-budget document spans windows without stalling the pipeline, and
+    a shard can hold FEWER than ``budget`` tokens when an over-budget
+    neighbor consumed most of its window (e.g. budget=10, weights
+    [19, 2, 30] → shards 0, 1, 2 with shard 1 holding only the 2-token
+    doc) — the guarantee is bounded per-shard START positions, not a
+    per-shard token minimum.  Integer arithmetic end-to-end.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

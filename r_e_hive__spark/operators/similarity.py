@@ -184,6 +184,10 @@ def _centroid_scores(
     k×dim literal arrays folded with zip_with/aggregate, one codegen stage,
     no UDF.  ``exact`` routes through the decimal-exact dot (oracle-stable
     ranking for declared queries); the double path is the production one."""
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError(f"centroids have inconsistent dimensions: {sorted(dims)}")
+    (cdim,) = dims
     elems = []
     for j, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
@@ -194,6 +198,18 @@ def _centroid_scores(
                 F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
+            )
+        if j == 0:
+            # zip_with null-pads a wrong-length vector and every score would
+            # go NULL -> an arbitrary bucket.  Fail LOUDLY instead (the same
+            # hardening hyperplane_bucket got in round 3; round-4 review
+            # found the k-means path missing it).  Checked once per row.
+            dot = F.when(
+                F.assert_true(
+                    vec.isNull() | (F.size(vec) == cdim),
+                    F.lit(f"embedding dimension != centroid dimension {cdim}"),
+                ).isNull(),
+                dot,
             )
         elems.append(F.struct(dot.alias("score"), F.lit(j).alias("idx")))
     return F.array(*elems)
@@ -371,11 +387,20 @@ def lsh_neighbor_pairs(
     ``exact_decimal`` the bucketing itself is decimal-exact and therefore
     oracle-reproducible (see hyperplane_bucket)."""
     r = n_planes // bands
+    if r < 1 or n_planes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide n_planes ({n_planes}) "
+            f"with >=1 bit per chunk"
+        )
     with_bucket = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(vec_col),
+        # pass exact_decimal through untouched: hyperplane_bucket raises the
+        # documented ValueError on exact=True without frozen planes -- the
+        # old `and planes is not None` silently downgraded to double
+        # bucketing (round-4 review)
         hyperplane_bucket(
-            F.col(vec_col), dim, n_planes, planes=planes, exact=exact_decimal and planes is not None
+            F.col(vec_col), dim, n_planes, planes=planes, exact=exact_decimal
         ).alias("_bucket"),
     )
     chunks = with_bucket.select(

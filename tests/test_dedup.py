@@ -103,3 +103,34 @@ def test_jaccard_max_df_parity_on_normal_corpus(spark, documents):
     a = {tuple(r) for r in base.collect()}
     b = {tuple(r) for r in capped.collect()}
     assert a == b
+
+
+def test_exact_dedup_keeps_null_key_representative(spark):
+    """Round-4 review regression: NULL dedup keys must keep one survivor
+    (dropDuplicates parity), not vanish through a null-unsafe semi join."""
+    from r_e_hive__spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")], "id long, key string"
+    )
+    got = sorted(r["id"] for r in exact_dedup(df, ["key"], "id").collect())
+    assert got == [1, 3]  # min-id survivor per key, NULL included
+
+
+def test_lsh_and_simhash_parameter_guards(spark):
+    """Round-4 review regressions: degenerate banding parameters raise
+    instead of silently going quadratic / losing recall."""
+    import pytest as _pytest
+
+    from r_e_hive__spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "id long, text string")
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "text", "id", num_hashes=32, bands=64)  # r=0
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "text", "id", num_hashes=32, bands=5)  # uneven
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(df, "text", "id", max_hamming=4)

@@ -121,3 +121,39 @@ def test_declared_doubling_query_runs_distributed_path(spark):
     df = q.spark_fn(spark, "/root/testdata/sf0.001")
     assert "Join" in plan(df, "simple")
     assert df.count() > 0
+
+
+def test_null_parent_edges_match_recursive_sql(spark):
+    """A NULL-parent edge terminates longer paths as a suffix — (A,B)+(B,NULL)
+    yields (A,NULL,2) under WITH RECURSIVE, and both closure strategies must
+    reproduce that exactly (round-4 review pinned this as intended, not a bug)."""
+    import duckdb
+    import pandas as pd
+
+    from r_e_hive__spark.operators.graph import ancestor_closure
+
+    edges = [(1, 2), (2, None), (3, 1)]
+    df = spark.createDataFrame(edges, "child BIGINT, parent BIGINT")
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame(edges, columns=["child", "parent"]))
+    want = set(
+        con.execute(
+            """
+            WITH RECURSIVE up AS (
+              SELECT child AS node, parent AS ancestor, 1 AS level FROM edges
+              UNION ALL
+              SELECT up.node, e.parent, up.level + 1
+              FROM up JOIN edges e ON up.ancestor = e.child
+              WHERE up.level < 10
+            )
+            SELECT node, ancestor, level FROM up
+            """
+        ).fetchall()
+    )
+    assert (1, None, 2) in want  # the SQL oracle fabricates the NULL suffix
+    for strategy in ("local", "doubling"):
+        got = {
+            (r["node"], r["ancestor"], r["level"])
+            for r in ancestor_closure(df, strategy=strategy).collect()
+        }
+        assert got == want, strategy

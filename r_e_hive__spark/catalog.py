@@ -35,6 +35,10 @@ _REQUIRED_CONFS = {
     "spark.sql.decimalOperations.allowPrecisionLoss": "false",
     # all declared queries pin UTC (SURVEY.md §2.12 determinism rules)
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 flipped the default to true; pin it so div-by-zero/overflow/
+    # cast semantics (error vs NULL) do not depend on which Spark the
+    # driver ships — the engine is developed and tested under ANSI on
+    "spark.sql.ansi.enabled": "true",
 }
 
 
@@ -119,6 +123,14 @@ _MIN_SPLIT_BYTES = 512 * 1024  # ≥512 KB of parquet per rebalanced partition
 _table_cache: dict[tuple, DataFrame] = {}
 
 
+def nanos_long_to_ts(col_name: str):
+    """INT64 TIMESTAMP(NANOS) column (surfaced as long under nanosAsLong)
+    → TimestampType micros.  INTEGER division: double division loses
+    precision at e18-scale nanos (off-by-one micros).  The ONE place this
+    rule lives — load_table and streaming.read_event_stream both use it."""
+    return F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+
+
 def _ctx_id(spark: SparkSession) -> tuple:
     """Stable identity for the underlying context.
 
@@ -130,6 +142,12 @@ def _ctx_id(spark: SparkSession) -> tuple:
         sc = spark.sparkContext
         return (sc.applicationId, sc.startTime)
     except Exception:  # Spark Connect: no local context object
+        # the server-assigned session id is stable and never recycled the
+        # way CPython object ids are; id() only as the very last resort
+        for attr in ("session_id",):
+            sid = getattr(spark, attr, None)
+            if sid:
+                return ("connect", str(sid))
         return (id(spark),)
 
 
@@ -168,9 +186,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if isinstance(f.dataType, TimestampType) and isinstance(
                 actual.get(f.name), LongType
             ):
-                # nanos → micros via integer division — double division would
-                # lose precision at e18-scale nanos (off-by-one micros)
-                c = F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                c = nanos_long_to_ts(f.name)
             elif actual.get(f.name) != f.dataType:
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
@@ -195,7 +211,7 @@ def register_testdata(
 ) -> dict[str, DataFrame]:
     """Register every driver table as a temp view; returns name → DataFrame."""
     out: dict[str, DataFrame] = {}
-    for name in tables or tuple(TESTDATA_SCHEMAS):
+    for name in (tuple(TESTDATA_SCHEMAS) if tables is None else tables):
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df

@@ -135,11 +135,16 @@ def jpeg_dims(b: bytes) -> tuple[int, int]:
             pos += 1
             continue
         marker = b[pos + 1]
+        if marker == 0xFF:  # legal fill/padding byte before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+            if pos + 9 > len(b):
+                raise ValueError("truncated JPEG SOF segment")
             h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
             return w, h
         pos += 2 + seglen

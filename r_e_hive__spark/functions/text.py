@@ -64,7 +64,10 @@ def stopword_ratio(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
     stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
-    return F.length(stripped) / F.length(text)
+    # GREATEST(len,1): an empty document is 0-punctuation, not a
+    # divide-by-zero (hard error under Spark 4's default ANSI mode; the
+    # DuckDB oracles carry the same guard)
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
 
 def quality_score(text: Column) -> Column:

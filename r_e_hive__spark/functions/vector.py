@@ -48,10 +48,11 @@ def norm2_exact(a: Column) -> Column:
 def cosine_exact(a: Column, b: Column) -> Column:
     """Cosine from exact decimal dots, finished in double (deterministic:
     the decimal → double conversions and the final double ops are IEEE-fixed
-    given identical inputs)."""
-    return dot_exact(a, b).cast("double") / F.sqrt(
-        norm2_exact(a).cast("double") * norm2_exact(b).cast("double")
-    )
+    given identical inputs).  A zero vector has no direction: cosine is
+    NULL, not a divide-by-zero (hard error under Spark 4 default ANSI) or
+    NaN — NULL sorts last under the desc top-k orderings downstream."""
+    den = F.sqrt(norm2_exact(a).cast("double") * norm2_exact(b).cast("double"))
+    return F.when(den > 0, dot_exact(a, b).cast("double") / den)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -68,4 +69,6 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not error/NaN) for zero vectors — see cosine_exact."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)

@@ -89,7 +89,7 @@ def persist_testdata(
     from r_e_hive__spark.catalog import load_table
 
     out = []
-    for name in tables or tuple(TESTDATA_SCHEMAS):
+    for name in (tuple(TESTDATA_SCHEMAS) if tables is None else tables):
         df = load_table(spark, sf_dir, name)
         df.write.mode(mode).format("parquet").saveAsTable(name)
         out.append(name)

@@ -197,21 +197,34 @@ def decode_blob(content: bytes) -> dict:
             }
         except (ValueError, NotImplementedError, struct.error):
             pass
+    # PNG/JPEG/GIF get the same fall-through contract as every other
+    # branch: a truncated/corrupt header degrades to the Pillow probe /
+    # null row, never an uncaught exception out of the Arrow batch
+    # (round-4 code review).
     if C.is_png(content):
-        w, h, depth, color = C.png_meta(content)
-        ch = {0: 1, 2: 3, 6: 4}.get(color)
-        return {
-            "kind": "image",
-            "width": w,
-            "height": h,
-            "payload_bytes": (w * h * ch * depth // 8) if ch else None,
-        }
+        try:
+            w, h, depth, color = C.png_meta(content)
+            ch = {0: 1, 2: 3, 6: 4}.get(color)
+            return {
+                "kind": "image",
+                "width": w,
+                "height": h,
+                "payload_bytes": (w * h * ch * depth // 8) if ch else None,
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     if content[:2] == b"\xff\xd8":
-        w, h = C.jpeg_dims(content)
-        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+        try:
+            w, h = C.jpeg_dims(content)
+            return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     if content[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = C.gif_dims(content)
-        return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+        try:
+            w, h = C.gif_dims(content)
+            return {"kind": "image", "width": w, "height": h, "payload_bytes": w * h * 3}
+        except (ValueError, NotImplementedError, struct.error):
+            pass
     # TIFF / WEBP / FLAC (round 4 breadth): same short-magic fall-through
     # contract as WAV/BMP above.
     if M.is_tiff(content):

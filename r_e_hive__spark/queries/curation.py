@@ -37,7 +37,7 @@ _DU_QUALITY = f"""CAST(ROUND(CAST(
         LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
         + LEAST((CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t IN {_STOP_SQL})) AS DOUBLE)
                  / len(string_split_regex(text, '\\s+'))) * 5.0, 1.0) * 0.3
-        + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+        + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 0.3
       AS DECIMAL(10,5)), 4) AS DOUBLE)"""
 
 _ORACLE = f"""

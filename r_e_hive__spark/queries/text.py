@@ -50,7 +50,7 @@ def _du_count(lang: str) -> str:
              LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
              + LEAST((CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN {_STOP_SQL})) AS DOUBLE)
                       / len(string_split_regex(text, '\s+'))) * 5.0, 1.0) * 0.3
-             + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.3
+             + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 0.3
            AS DECIMAL(10,5)), 4) AS DOUBLE) AS quality,
            SHA256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
            len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_subwords,

@@ -43,6 +43,9 @@ def get_spark(
         # to double (the reference did float money math; we deliberately fix
         # that — SURVEY.md §1.3).
         "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+        # pin ANSI semantics (Spark 4 default) explicitly: error-vs-NULL for
+        # div-by-zero/overflow/casts must not drift across Spark versions
+        "spark.sql.ansi.enabled": "true",
         # -- scale / performance ------------------------------------------
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

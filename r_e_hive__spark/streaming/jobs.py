@@ -11,7 +11,7 @@ SURVEY.md §2.9).
 Scale notes: file/rate sources here; in production the source is Kafka with
 the same transformations.  Watermarks bound state; the stateful running
 balance uses ``applyInPandasWithState`` with per-key state ≪ executor
-memory (one decimal per user).
+memory (one long — integer cents — per user).
 """
 
 from __future__ import annotations
@@ -82,7 +82,9 @@ def read_event_stream(
         path = parent
     df = reader.parquet(path)
     if ts_is_long:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from r_e_hive__spark.catalog import nanos_long_to_ts
+
+        df = df.withColumn("ts", nanos_long_to_ts("ts"))
     return df
 
 
@@ -138,7 +140,11 @@ def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-_BALANCE_STATE_SCHEMA = StructType([StructField("balance", DoubleType(), True)])
+# state = integer CENTS (the fixed-point money discipline of
+# functions/fixedpoint.py) — float64 state with Python round() drifted
+# from the batch twin's exact-decimal semantics at .xx5 boundaries and
+# large magnitudes (round-half-even vs HALF_UP; round-4 code review)
+_BALANCE_STATE_SCHEMA = StructType([StructField("balance_cents", LongType(), True)])
 _BALANCE_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -175,17 +181,25 @@ def running_balance_stateful(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
-        bal = state.get[0] if state.exists else 0.0
+        cents = int(state.get[0]) if state.exists else 0
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-            credit = pdf.loc[pdf["event_type"] == "purchase", "value"].sum()
-            debit = pdf.loc[pdf["event_type"] == "error", "value"].sum()
-            bal = round(bal + float(credit) - float(debit), 2)
-        state.update((bal,))
+            # per-VALUE integer cents (floor(v*100 + 0.5), the
+            # fixedpoint.unscaled_fast rule) summed exactly — identical to
+            # the batch twin's BIGINT window accumulation
+            v_cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            credit = int(v_cents[(pdf["event_type"] == "purchase").to_numpy()].sum())
+            debit = int(v_cents[(pdf["event_type"] == "error").to_numpy()].sum())
+            cents += credit - debit
+        state.update((cents,))
+        # cents/100.0 is the correctly-rounded double for a 2-dp value —
+        # bit-identical to the batch twin's decimal→double cast
         yield pd.DataFrame(
-            [{"user_id": user_id, "n_events": n, "balance": bal}]
+            [{"user_id": user_id, "n_events": n, "balance": cents / 100.0}]
         )
 
     return (
@@ -285,9 +299,13 @@ def stream_continuous_aggregate(
         except (OSError, ValueError, KeyError):
             pass
         day = (F.floor(F.col("bucket") / 86400) * 86400).cast("long")
-        batch = aggregate_finest(
-            batch_df, ts_col, value_col, keys, granularity
-        ).withColumn("bucket_day", day)
+        batch = (
+            aggregate_finest(batch_df, ts_col, value_col, keys, granularity)
+            .withColumn("bucket_day", day)
+            # two consumers (touched-days collect + the merge): persist so
+            # the batch input is scanned/aggregated once per trigger
+            .persist()
+        )
         touched = [r[0] for r in batch.select("bucket_day").distinct().collect()]
         merged = None
         if touched:
@@ -313,6 +331,7 @@ def stream_continuous_aggregate(
                 mode="overwrite",
                 dynamic=True,
             )
+        batch.unpersist()
         os.makedirs(os.path.dirname(fence), exist_ok=True)
         with open(fence, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)

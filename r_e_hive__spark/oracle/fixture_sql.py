@@ -57,6 +57,10 @@ def _lit(v) -> str:
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, datetime):
+        # keep sub-second precision: silent truncation here would diverge
+        # the oracle literal from the Spark-side fixture frame
+        if v.microsecond:
+            return f"TIMESTAMP '{v:%Y-%m-%d %H:%M:%S.%f}'"
         return f"TIMESTAMP '{v:%Y-%m-%d %H:%M:%S}'"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
@@ -98,10 +102,23 @@ joined AS (
   LEFT JOIN gift_codes g ON r.code = g.code
 ),
 accepted AS (
-  SELECT * FROM joined
-  WHERE gift_code_id IS NOT NULL
-    AND NOT is_redeemed
-    AND created_by <> user_id
+  -- null-tolerant guards (IS NOT TRUE / IS DISTINCT FROM) mirror the
+  -- reference's falsy checks and the Spark when-chain exactly; the
+  -- ROW_NUMBER implements the sequential engine's earliest-wins per code
+  -- (second same-batch redemption hits already_redeemed) — both per the
+  -- round-4 review, kept in lockstep with pipelines/redemption.py
+  SELECT event_id, user_id, referral_code, event_ts,
+         gift_code_id, package_id, created_by
+  FROM (
+    SELECT j.*, ROW_NUMBER() OVER (
+             PARTITION BY gift_code_id ORDER BY event_ts, event_id
+           ) AS code_rn
+    FROM joined j
+    WHERE gift_code_id IS NOT NULL
+      AND is_redeemed IS NOT TRUE
+      AND created_by IS DISTINCT FROM user_id
+  )
+  WHERE code_rn = 1
 ),
 acc_pkg AS (
   SELECT a.*, p.price, p.direct_commission_rate, p.passive_commission_rate
@@ -109,12 +126,20 @@ acc_pkg AS (
   JOIN packages p ON a.package_id = p.id
 ),
 new_referrals AS (
-  SELECT u.id AS referrer_id, a.user_id AS referred_id
-  FROM accepted a
-  JOIN users u ON a.referral_code = u.referral_code
-  WHERE a.referral_code IS NOT NULL
-    AND u.id <> a.user_id
-    AND a.user_id NOT IN (SELECT referred_id FROM referrals)
+  -- from acc_pkg (post-package join), one edge per referred user, both
+  -- mirroring the Spark pipeline stage-for-stage
+  SELECT referrer_id, referred_id FROM (
+    SELECT u.id AS referrer_id, a.user_id AS referred_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.user_id ORDER BY a.event_ts, a.event_id
+           ) AS edge_rn
+    FROM acc_pkg a
+    JOIN users u ON a.referral_code = u.referral_code
+    WHERE a.referral_code IS NOT NULL
+      AND u.id <> a.user_id
+      AND a.user_id NOT IN (SELECT referred_id FROM referrals)
+  )
+  WHERE edge_rn = 1
 ),
 edges AS (
   SELECT referred_id AS child, referrer_id AS parent FROM referrals

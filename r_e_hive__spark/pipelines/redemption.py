@@ -81,10 +81,31 @@ def process_redemptions(
         .when(F.col("created_by") == F.col("user_id"), "self_redemption")
     )
     r = r.withColumn("reject_reason", reason)
-    rejected = r.where(F.col("reject_reason").isNotNull()).select(
+    pre_rejected = r.where(F.col("reject_reason").isNotNull()).select(
         "event_id", "code", "user_id", "reject_reason"
     )
-    accepted = r.where(F.col("reject_reason").isNull()).drop("reject_reason", "is_redeemed")
+    # ---- guard 3: intra-batch earliest-wins per code.  The reference
+    # processes requests sequentially, so the SECOND redemption of a code
+    # hits the already_redeemed guard (render-complete-deploy.js:466); the
+    # set-at-a-time equivalent is a deterministic rank per code — without
+    # it two same-batch redemptions of one code would BOTH pay full
+    # commissions (round-4 code review).
+    from pyspark.sql.window import Window
+
+    w_code = Window.partitionBy("code").orderBy("event_ts", "event_id")
+    cand = r.where(F.col("reject_reason").isNull()).withColumn(
+        "_code_rn", F.row_number().over(w_code)
+    )
+    dup_rejected = cand.where(F.col("_code_rn") > 1).select(
+        "event_id",
+        "code",
+        "user_id",
+        F.lit("already_redeemed").alias("reject_reason"),
+    )
+    rejected = pre_rejected.unionByName(dup_rejected)
+    accepted = cand.where(F.col("_code_rn") == 1).drop(
+        "_code_rn", "reject_reason", "is_redeemed"
+    )
 
     # ---- package economics (render-complete-deploy.js:210-216)
     pkg = F.broadcast(
@@ -110,8 +131,15 @@ def process_redemptions(
         .where(F.col("referrer_id") != F.col("user_id"))
     )
     existing_child = referrals.select(F.col("referred_id").alias("user_id"))
+    # at most ONE inbound edge per user (the reference walks exactly one,
+    # :263-267): dedupe intra-batch too — a user redeeming two codes with
+    # referral codes in one batch must not get duplicate edges, which would
+    # double every passive row up their chain (round-4 code review)
+    w_child = Window.partitionBy("user_id").orderBy("event_ts", "event_id")
     new_referrals = (
         with_ref.join(existing_child, "user_id", "left_anti")
+        .withColumn("_edge_rn", F.row_number().over(w_child))
+        .where(F.col("_edge_rn") == 1)
         .select(
             F.col("referrer_id"),
             F.col("user_id").alias("referred_id"),

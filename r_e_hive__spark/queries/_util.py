@@ -18,11 +18,6 @@ def T(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return out
 
 
-def sql_query(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str) -> DataFrame:
-    T(spark, sf_dir, *tables)
-    return spark.sql(sql)
-
-
 # Decimal-cast macros for hash-stable aggregation over the testdata's double
 # columns (values are 2-dp money / rates; see SURVEY.md §2.12 rule 3).
 # Spark and DuckDB agree bit-for-bit on double→decimal rounding, on exact

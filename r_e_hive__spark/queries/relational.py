@@ -19,7 +19,7 @@ from r_e_hive__spark.operators.relational import (
     top_k,
 )
 from r_e_hive__spark.queries import ORDERS_AS_OF, query
-from r_e_hive__spark.queries._util import T, sql_query
+from r_e_hive__spark.queries._util import T
 
 # ---------------------------------------------------------------------------
 # S1/P1 — full scan with total order

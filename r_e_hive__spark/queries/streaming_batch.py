@@ -100,13 +100,16 @@ def st2_windows(spark, sf_dir):
     "st3_session_window",
     """
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
+      -- event_id tiebreak matches the LAG window above: without it the
+      -- ROWS-frame sum is nondeterministic for duplicate (user_id, ts)
+      -- pairs at a session boundary (round-4 code review)
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM ordered
     )

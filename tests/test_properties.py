@@ -57,10 +57,12 @@ def world(draw):
                 is_redeemed=draw(st.booleans()),
             )
         )
-    # ≤1 event per code (intra-batch same-code conflict is out of contract)
+    # 0-2 events per code: same-code conflicts ARE in contract (the
+    # sequential reference accepts only the first; the pipeline's
+    # earliest-wins rank mirrors it — I5 below)
     events = []
     for c, gc in enumerate(codes):
-        if draw(st.booleans()):
+        for _ in range(draw(st.integers(0, 2))):
             events.append(
                 dict(
                     event_id=len(events) + 1,
@@ -128,13 +130,21 @@ def test_ledger_invariants(spark, w):
     profits = {r["event_id"]: r for r in out.company_profits.collect()}
     by_code = {g["code"]: g for g in codes}
 
-    expected_accepted = {
-        e["event_id"]: by_code[e["code"]]
-        for e in events
-        if e["code"] in by_code
-        and not by_code[e["code"]]["is_redeemed"]
-        and by_code[e["code"]]["created_by"] != e["user_id"]
-    }
+    # I5: sequential semantics — among guard-passing events for one code,
+    # only the FIRST (all fixture events share one ts, so lowest event_id)
+    # is accepted; later ones are already_redeemed
+    seen_codes: set = set()
+    expected_accepted = {}
+    for e in sorted(events, key=lambda e: e["event_id"]):
+        gc = by_code.get(e["code"])
+        if (
+            gc is not None
+            and not gc["is_redeemed"]
+            and gc["created_by"] != e["user_id"]
+            and e["code"] not in seen_codes
+        ):
+            seen_codes.add(e["code"])
+            expected_accepted[e["event_id"]] = gc
     evt_user = {e["event_id"]: e["user_id"] for e in events}
 
     rows_by_event: dict[int, list] = {}

@@ -149,3 +149,108 @@ def test_balances_view(spark, outputs):
     u1_credit = sum((r["amount"] for r in rows if r["user_id"] == "u0001"), Decimal(0))
     assert str(by_user["u0001"]["commission_balance"]) == str(u1_credit - Decimal("50.00"))
     assert str(by_user["u0001"]["total_withdrawn"]) == "50.00"
+
+
+def test_same_batch_code_conflict_and_referral_dedup(spark):
+    """Round-4 review regressions, sequential-semantics edition:
+    (a) two same-batch redemptions of one code: earliest (ts, event_id)
+        wins, the other is rejected 'already_redeemed' and pays nothing;
+    (b) one user redeeming two codes with referral codes in one batch
+        inserts exactly ONE inbound edge and passive rows are not doubled.
+    """
+    from datetime import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.schemas import REHIVE_SCHEMAS
+
+    TS = datetime(2024, 1, 5)
+    mk = lambda name, rows: spark.createDataFrame(rows, REHIVE_SCHEMAS[name])
+    users = mk("users", [
+        (f"u{i}", f"{i}@x", f"U{i}", None, None, None, f"REF{i}", "pending",
+         TS, Decimal("0.00"), "inactive", None, None)
+        for i in range(3)
+    ])
+    packages = mk("packages", [
+        (1, "p1", Decimal("100.00"), Decimal("0.0500"), Decimal("0.10"),
+         None, Decimal("0.00"), None, TS),
+    ])
+    gift_codes = mk("gift_codes", [
+        (1, "CODEA", 1, "u0", False, None, None, TS),
+        (2, "CODEB", 1, "u0", False, None, None, TS),
+    ])
+    referrals = mk("referrals", [])
+    events = mk("redemption_events", [
+        # (a) CODEA redeemed twice: event 1 (earlier ts) wins over event 2
+        (1, "CODEA", "u1", None, datetime(2024, 1, 6, 10)),
+        (2, "CODEA", "u2", None, datetime(2024, 1, 6, 11)),
+        # (b) u2 redeems CODEB twice... can't (same code) — use CODEB once
+        # plus CODEA loser carrying a referral code: the loser inserts no
+        # edge (it is rejected), CODEB's event carries REF0 -> one edge
+        (3, "CODEB", "u2", "REF0", datetime(2024, 1, 6, 12)),
+    ])
+    out = process_redemptions(events, gift_codes, users, packages, referrals)
+
+    rej = {r["event_id"]: r["reject_reason"] for r in out.rejected.collect()}
+    assert rej == {2: "already_redeemed"}
+    assert sorted(r["event_id"] for r in out.accepted.collect()) == [1, 3]
+    # the rejected event pays nothing
+    assert out.commission_ledger.where(F.col("event_id") == 2).count() == 0
+
+    edges = out.new_referrals.collect()
+    assert len(edges) == 1
+    assert (edges[0]["referrer_id"], edges[0]["referred_id"]) == ("u0", "u2")
+    # u2's accepted redemption pays exactly one passive row (one edge, level 1)
+    passive = out.commission_ledger.where(
+        (F.col("event_id") == 3) & (F.col("type") == "passive")
+    ).collect()
+    assert len(passive) == 1 and passive[0]["user_id"] == "u0"
+
+
+def test_same_batch_double_referral_single_edge(spark):
+    """(b) proper: one user's TWO accepted same-batch redemptions, both
+    carrying a referral code — exactly one inbound edge, passive rows per
+    event not duplicated."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.schemas import REHIVE_SCHEMAS
+
+    TS = datetime(2024, 1, 5)
+    mk = lambda name, rows: spark.createDataFrame(rows, REHIVE_SCHEMAS[name])
+    users = mk("users", [
+        (f"u{i}", f"{i}@x", f"U{i}", None, None, None, f"REF{i}", "pending",
+         TS, Decimal("0.00"), "inactive", None, None)
+        for i in range(2)
+    ])
+    packages = mk("packages", [
+        (1, "p1", Decimal("100.00"), Decimal("0.0500"), Decimal("0.10"),
+         None, Decimal("0.00"), None, TS),
+    ])
+    gift_codes = mk("gift_codes", [
+        (1, "CODEA", 1, "u0", False, None, None, TS),
+        (2, "CODEB", 1, "u0", False, None, None, TS),
+    ])
+    referrals = mk("referrals", [])
+    events = mk("redemption_events", [
+        (1, "CODEA", "u1", "REF0", datetime(2024, 1, 6, 10)),
+        (2, "CODEB", "u1", "REF0", datetime(2024, 1, 6, 11)),
+    ])
+    out = process_redemptions(events, gift_codes, users, packages, referrals)
+    assert out.rejected.count() == 0
+    assert out.new_referrals.count() == 1  # ONE edge despite two carriers
+    # each accepted event pays exactly 1 direct + 1 passive (no duplicated
+    # closure paths from a duplicated edge)
+    counts = {
+        (r["event_id"], r["type"]): r["n"]
+        for r in out.commission_ledger.groupBy("event_id", "type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {
+        (1, "direct"): 1, (1, "passive"): 1,
+        (2, "direct"): 1, (2, "passive"): 1,
+    }

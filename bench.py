@@ -13,12 +13,13 @@ the DuckDB oracle timings recorded in BASELINE.md.
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tools.bench_common import bench_reps, geomean, parse_sf
 
 
 def main() -> None:
@@ -41,7 +42,7 @@ def main() -> None:
     for name, q in queries.items():
         q.spark_fn(spark, sf_dir).limit(1).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = bench_reps()
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for name, q in queries.items():
@@ -71,8 +72,7 @@ def main() -> None:
         spark.range(200_000_000).selectExpr("sum(id)").collect()
         calib.append(round(time.perf_counter() - t0, 4))
 
-    gmean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    gmean = geomean(timings)
     print(
         json.dumps(
             {
@@ -82,7 +82,7 @@ def main() -> None:
                 "queries": timings,
                 "reps": rep_times,
                 "calibration": {"range_sum_200m": calib},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": parse_sf(sf_dir),
             }
         )
     )

@@ -52,7 +52,9 @@ def build_fixtures() -> dict[str, list]:
 
     # --- referral forest -------------------------------------------------
     # root u0001; chains hang off it with depths 1, 5, 9, 10, 11, 12;
-    # hub u0100 with 20 directs; isolated users u0200.. (depth 0).
+    # then the high-fanout hub (u0050, 20 directs u0051-u0070) and five
+    # isolated users (u0071-u0075, depth 0) — ids run sequentially from
+    # the chain construction, not from round numbers.
     users: list[dict] = []
     referrals: list[dict] = []
     rid = [0]
@@ -148,6 +150,9 @@ def build_fixtures() -> dict[str, list]:
     add_code(6, 1, chain_tips[1])                  # self-redemption trap
     add_code(7, 2, "u0001")                        # for hub direct
     add_code(8, 3, "u0001")                        # for isolated user
+    add_code(9, 2, "u0001")                        # new-edge insert (event 8)
+    add_code(10, 1, "u0001")                       # retroactivity pair (event 9)
+    add_code(11, 4, "u0001")                       # retroactivity pair (event 10)
 
     # --- redemption events (pipeline input, FIXTURES.md §B.5) -----------
     redemption_events = [
@@ -161,11 +166,21 @@ def build_fixtures() -> dict[str, list]:
         dict(event_id=4, code="GCODE003", user_id=hub, referral_code=None, event_ts=_ts(1003)),
         # self-redemption attempt (creator == redeemer)
         dict(event_id=5, code="GCODE006", user_id=chain_tips[1], referral_code=None, event_ts=_ts(1004)),
-        # hub direct redeems, with a referral_code resolving to the hub
-        # (new-edge insert path, render-complete-deploy.js:488-499)
+        # hub direct redeems with a referral_code — but already HAS an
+        # inbound edge, so the anti-join suppresses the insert
+        # (render-complete-deploy.js:263-267: one inbound edge per user)
         dict(event_id=6, code="GCODE007", user_id=hub_directs[0], referral_code=f"REF{hub[1:]}", event_ts=_ts(1005)),
         # isolated user redeems (depth-0: direct commission only)
         dict(event_id=7, code="GCODE008", user_id=isolated[0], referral_code=None, event_ts=_ts(1006)),
+        # TRUE new-edge insert (round 4): isolated[1] has no inbound edge,
+        # referral resolves to the hub → edge inserted, passive paid up the
+        # hub's chain for THIS event (:488-501)
+        dict(event_id=8, code="GCODE009", user_id=isolated[1], referral_code=f"REF{hub[1:]}", event_ts=_ts(1007)),
+        # sequential retroactivity pair (round 4): isolated[2] redeems with
+        # NO referral at t, then WITH one at t+1 — event 9 must pay zero
+        # passive (its edge does not exist yet), event 10 pays through it
+        dict(event_id=9, code="GCODE010", user_id=isolated[2], referral_code=None, event_ts=_ts(1008)),
+        dict(event_id=10, code="GCODE011", user_id=isolated[2], referral_code="REF0001", event_ts=_ts(1009)),
     ]
 
     # --- ledgers / withdrawals (balance + W1 coverage) -------------------

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 
 def _closure_local(
-    edges: DataFrame, child_col: str, parent_col: str, max_levels: int
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    max_levels: int,
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Closure for a graph small enough to fit in one executor's memory:
     gather the edge set into a single task and run the same path-doubling
@@ -51,29 +55,35 @@ def _closure_local(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from pyspark.sql.types import LongType
+
     in_types = {f.name: f.dataType for f in edges.schema.fields}
-    out_schema = StructType(
-        [
-            StructField("node", in_types[child_col], True),
-            StructField("ancestor", in_types[parent_col], True),
-            StructField("level", IntegerType(), False),
-        ]
-    )
+    fields = [
+        StructField("node", in_types[child_col], True),
+        StructField("ancestor", in_types[parent_col], True),
+        StructField("level", IntegerType(), False),
+    ]
+    if ord_col is not None:
+        fields.append(StructField("max_ord", LongType(), True))
+    out_schema = StructType(fields)
+    empty_cols = {f.name: [] for f in fields}
 
     def gen(batches):
         # An empty scan yields ZERO Arrow batches (not one empty batch), and
         # pd.concat([]) raises — guard before concatenating.
         chunks = list(batches)
         if not chunks:
-            yield pd.DataFrame({"node": [], "ancestor": [], "level": []})
+            yield pd.DataFrame(empty_cols)
             return
         e = pd.concat(chunks, ignore_index=True)
         if e.empty:
-            yield pd.DataFrame({"node": [], "ancestor": [], "level": []})
+            yield pd.DataFrame(empty_cols)
             return
         cl = pd.DataFrame(
             {"node": e[child_col], "ancestor": e[parent_col], "level": 1}
         )
+        if ord_col is not None:
+            cl["max_ord"] = e[ord_col].astype("int64")
         reach = 1
         while reach < max_levels:
             # same unique-decomposition invariant as the distributed path.
@@ -89,21 +99,25 @@ def _closure_local(
             ext = pfx.merge(
                 sfx, left_on="ancestor", right_on="node", suffixes=("", "_s")
             )
-            ext = pd.DataFrame(
-                {
-                    "node": ext["node"],
-                    "ancestor": ext["ancestor_s"],
-                    "level": ext["level"] + ext["level_s"],
-                }
-            )
+            ext_cols2 = {
+                "node": ext["node"],
+                "ancestor": ext["ancestor_s"],
+                "level": ext["level"] + ext["level_s"],
+            }
+            if ord_col is not None:
+                import numpy as np
+
+                ext_cols2["max_ord"] = np.maximum(
+                    ext["max_ord"], ext["max_ord_s"]
+                )
+            ext = pd.DataFrame(ext_cols2)
             ext = ext[ext["level"] <= max_levels]
             cl = pd.concat([cl, ext], ignore_index=True)
             reach = min(reach * 2, max_levels)
         yield cl
 
-    return (
-        edges.select(child_col, parent_col).repartition(1).mapInPandas(gen, out_schema)
-    )
+    sel = [child_col, parent_col] + ([ord_col] if ord_col is not None else [])
+    return edges.select(*sel).repartition(1).mapInPandas(gen, out_schema)
 
 
 def ancestor_closure(
@@ -112,8 +126,16 @@ def ancestor_closure(
     parent_col: str = "parent",
     max_levels: int = 10,
     strategy: str = "auto",
+    ord_col: str | None = None,
 ) -> DataFrame:
     """Compute ``(node, ancestor, level)`` for every node, level ≤ max_levels.
+
+    With ``ord_col`` (a long attribute on each edge), the output gains
+    ``max_ord`` = the MAXIMUM ordinal over the path's edges — max is
+    associative, so path doubling aggregates it exactly like ``level``.
+    The redemption pipeline uses this for sequential edge visibility: an
+    event only sees paths whose every edge existed when it was processed,
+    i.e. ``max_ord <= event_ord`` (pipelines/redemption.py).
 
     ``edges`` has one row per (child → parent) link.  At most one parent per
     child is the reference's shape (it walks a single inbound edge,
@@ -137,35 +159,42 @@ def ancestor_closure(
             "local" if plan_fits_broadcast(edges) else "doubling"
         )
     if strategy == "local":
-        return _closure_local(edges, child_col, parent_col, max_levels)
-    closure = edges.select(
+        return _closure_local(edges, child_col, parent_col, max_levels, ord_col)
+    base_cols = [
         F.col(child_col).alias("node"),
         F.col(parent_col).alias("ancestor"),
         F.lit(1).cast("int").alias("level"),
-    )
+    ]
+    if ord_col is not None:
+        base_cols.append(F.col(ord_col).cast("long").alias("max_ord"))
+    closure = edges.select(*base_cols)
     reach = 1  # closure currently holds all paths of length ≤ reach
     rounds = 0
     while reach < max_levels:
         # Paths of length in (reach, 2*reach] decompose uniquely as
         # (exactly-reach prefix) + (suffix of length ≤ reach): join the
         # exact-length frontier against the whole closure.
-        prefix = (
-            closure.where(F.col("level") == reach)
-            .select(
-                F.col("node").alias("_n"),
-                F.col("ancestor").alias("_mid"),
-                F.col("level").alias("_l"),
-            )
-            .alias("pfx")
-        )
+        pfx_cols = [
+            F.col("node").alias("_n"),
+            F.col("ancestor").alias("_mid"),
+            F.col("level").alias("_l"),
+        ]
+        if ord_col is not None:
+            pfx_cols.append(F.col("max_ord").alias("_o"))
+        prefix = closure.where(F.col("level") == reach).select(*pfx_cols).alias("pfx")
         suffix = closure.alias("sfx")
+        ext_cols = [
+            F.col("pfx._n").alias("node"),
+            F.col("sfx.ancestor").alias("ancestor"),
+            (F.col("pfx._l") + F.col("sfx.level")).alias("level"),
+        ]
+        if ord_col is not None:
+            ext_cols.append(
+                F.greatest(F.col("pfx._o"), F.col("sfx.max_ord")).alias("max_ord")
+            )
         ext = (
             prefix.join(suffix, F.col("pfx._mid") == F.col("sfx.node"), "inner")
-            .select(
-                F.col("pfx._n").alias("node"),
-                F.col("sfx.ancestor").alias("ancestor"),
-                (F.col("pfx._l") + F.col("sfx.level")).alias("level"),
-            )
+            .select(*ext_cols)
             .where(F.col("level") <= max_levels)
         )
         closure = closure.unionByName(ext)

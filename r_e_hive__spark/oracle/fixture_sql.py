@@ -121,15 +121,18 @@ accepted AS (
   WHERE code_rn = 1
 ),
 acc_pkg AS (
-  SELECT a.*, p.price, p.direct_commission_rate, p.passive_commission_rate
+  -- ord = sequential processing order; edges inserted by event k are
+  -- visible to events >= k only (mirrors the Spark pipeline's _ord)
+  SELECT a.*, p.price, p.direct_commission_rate, p.passive_commission_rate,
+         ROW_NUMBER() OVER (ORDER BY a.event_ts, a.event_id) AS ord
   FROM accepted a
   JOIN packages p ON a.package_id = p.id
 ),
 new_referrals AS (
   -- from acc_pkg (post-package join), one edge per referred user, both
   -- mirroring the Spark pipeline stage-for-stage
-  SELECT referrer_id, referred_id FROM (
-    SELECT u.id AS referrer_id, a.user_id AS referred_id,
+  SELECT referrer_id, referred_id, ord AS edge_ord FROM (
+    SELECT u.id AS referrer_id, a.user_id AS referred_id, a.ord,
            ROW_NUMBER() OVER (
              PARTITION BY a.user_id ORDER BY a.event_ts, a.event_id
            ) AS edge_rn
@@ -142,14 +145,17 @@ new_referrals AS (
   WHERE edge_rn = 1
 ),
 edges AS (
-  SELECT referred_id AS child, referrer_id AS parent FROM referrals
+  SELECT referred_id AS child, referrer_id AS parent, 0 AS edge_ord
+  FROM referrals
   UNION ALL
-  SELECT referred_id, referrer_id FROM new_referrals
+  SELECT referred_id, referrer_id, edge_ord FROM new_referrals
 ),
 anc AS (
-  SELECT child AS node, parent AS ancestor, 1 AS level FROM edges
+  -- max_ord = the earliest processing point at which the whole path exists
+  SELECT child AS node, parent AS ancestor, 1 AS level, edge_ord AS max_ord
+  FROM edges
   UNION ALL
-  SELECT a.node, e.parent, a.level + 1
+  SELECT a.node, e.parent, a.level + 1, GREATEST(a.max_ord, e.edge_ord)
   FROM anc a JOIN edges e ON a.ancestor = e.child
   WHERE a.level < {MAX_LEVELS}
 ),
@@ -165,7 +171,7 @@ ledger AS (
          'passive' AS type, a.user_id AS source_user_id, a.event_ts AS created_at,
          c.level
   FROM acc_pkg a
-  JOIN anc c ON a.user_id = c.node
+  JOIN anc c ON a.user_id = c.node AND c.max_ord <= a.ord
 )
 """
 

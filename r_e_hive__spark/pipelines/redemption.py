@@ -117,6 +117,15 @@ def process_redemptions(
         )
     )
     accepted = accepted.join(pkg, "package_id", "inner")
+    # processing ordinal = the sequential engine's autocommit order
+    # (event_ts, event_id).  Edges inserted by event k are visible to
+    # events >= k (the inserting request pays through its own new edge,
+    # render-complete-deploy.js:494-501) but NOT to earlier events — the
+    # third same-batch sequential rule (round-4 review).  Single-partition
+    # window: the batch is request-batch-sized; a bulk backfill would use
+    # io.sequence_ids' two-phase form.
+    w_ord = Window.orderBy("event_ts", "event_id")
+    accepted = accepted.withColumn("_ord", F.row_number().over(w_ord).cast("long"))
 
     # ---- optional referral-edge insert (render-complete-deploy.js:488-499):
     # resolve referral_code → referrer, guard self-referral, reject codes
@@ -144,18 +153,28 @@ def process_redemptions(
             F.col("referrer_id"),
             F.col("user_id").alias("referred_id"),
             F.col("event_ts").alias("created_at"),
+            F.col("_ord").alias("_edge_ord"),
         )
     )
 
     # ---- upline closure over the post-insert edge set ------------------
+    # pre-batch edges carry ordinal 0 (visible to every event); new edges
+    # carry their inserting event's ordinal.  The closure's max_ord is then
+    # the earliest processing point at which the whole path exists.
     edges = referrals.select(
-        F.col("referred_id").alias("child"), F.col("referrer_id").alias("parent")
+        F.col("referred_id").alias("child"),
+        F.col("referrer_id").alias("parent"),
+        F.lit(0).cast("long").alias("_edge_ord"),
     ).unionByName(
         new_referrals.select(
-            F.col("referred_id").alias("child"), F.col("referrer_id").alias("parent")
+            F.col("referred_id").alias("child"),
+            F.col("referrer_id").alias("parent"),
+            F.col("_edge_ord"),
         )
     )
-    closure = ancestor_closure(edges, "child", "parent", max_levels=MAX_LEVELS)
+    closure = ancestor_closure(
+        edges, "child", "parent", max_levels=MAX_LEVELS, ord_col="_edge_ord"
+    )
 
     # ---- direct commission to the code creator
     # (render-complete-deploy.js:216-224: amount = price × direct_rate)
@@ -172,7 +191,14 @@ def process_redemptions(
     # ---- passive commissions up the redeemer's chain, flat rate per level
     # (render-complete-deploy.js:275-283); one join instead of the loop
     passive = (
-        accepted.join(closure, accepted["user_id"] == closure["node"], "inner")
+        accepted.join(
+            closure,
+            (accepted["user_id"] == closure["node"])
+            # sequential visibility: every edge on the path existed when
+            # this event was processed (its own new edge included)
+            & (closure["max_ord"] <= accepted["_ord"]),
+            "inner",
+        )
         .select(
             F.col("event_id"),
             F.col("gift_code_id"),
@@ -224,9 +250,9 @@ def process_redemptions(
     )
 
     return RedemptionOutputs(
-        accepted=accepted,
+        accepted=accepted.drop("_ord"),
         rejected=rejected,
-        new_referrals=new_referrals,
+        new_referrals=new_referrals.drop("_edge_ord"),
         commission_ledger=ledger,
         notifications=notifications,
         company_profits=company_profits,

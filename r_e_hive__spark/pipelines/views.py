@@ -89,10 +89,39 @@ def users_current(
     commissions: DataFrame,
     withdrawals: DataFrame,
     as_of: str,
+    accepted_redemptions: DataFrame | None = None,
 ) -> DataFrame:
     """users + derived balance + derived subscription status as of a fixed
-    timestamp (never wall-clock — determinism contract)."""
+    timestamp (never wall-clock — determinism contract).
+
+    ``accepted_redemptions`` (user_id, package_id, event_ts, event_id):
+    the redemption facts that drive the reference's mutate step 5 —
+    ``UPDATE users SET package_id`` on every accepted redemption
+    (render-complete-deploy.js:484-486).  When provided, the view derives
+    the CURRENT package as latest-accepted-redemption-wins, falling back
+    to the stored column for users with no redemption — closing the one
+    mutable users field the event-sourced views previously dropped
+    (round-4 review)."""
     bal = balances(commissions, withdrawals)
+    if accepted_redemptions is not None:
+        latest_pkg = latest_record_wins(
+            accepted_redemptions.select(
+                F.col("user_id").alias("_uid"),
+                F.col("package_id").alias("_redeemed_pkg"),
+                "event_ts",
+                "event_id",
+            ),
+            ["_uid"],
+            [F.desc("event_ts"), F.desc("event_id")],
+        ).select("_uid", "_redeemed_pkg")
+        users = (
+            users.join(latest_pkg, users["id"] == F.col("_uid"), "left")
+            .withColumn(
+                "package_id",
+                F.coalesce(F.col("_redeemed_pkg"), F.col("package_id")),
+            )
+            .drop("_uid", "_redeemed_pkg")
+        )
     active: Column = subscription_active(F.col("subscription_expires_at"), as_of)
     return (
         users.drop("commission_balance", "subscription_status")

@@ -254,3 +254,79 @@ def test_same_batch_double_referral_single_edge(spark):
         (1, "direct"): 1, (1, "passive"): 1,
         (2, "direct"): 1, (2, "passive"): 1,
     }
+
+
+def test_same_batch_edge_not_retroactive(spark):
+    """Third sequential rule (round-4 review): an edge inserted by a LATER
+    same-batch event must not retroactively pay passive commissions for an
+    EARLIER event — but the inserting event itself pays through its own
+    new edge (the reference inserts the edge before processing commissions,
+    render-complete-deploy.js:494-501)."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.schemas import REHIVE_SCHEMAS
+
+    TS = datetime(2024, 1, 5)
+    mk = lambda name, rows: spark.createDataFrame(rows, REHIVE_SCHEMAS[name])
+    users = mk("users", [
+        (f"u{i}", f"{i}@x", f"U{i}", None, None, None, f"REF{i}", "pending",
+         TS, Decimal("0.00"), "inactive", None, None)
+        for i in range(2)
+    ])
+    packages = mk("packages", [
+        (1, "p1", Decimal("100.00"), Decimal("0.0500"), Decimal("0.10"),
+         None, Decimal("0.00"), None, TS),
+    ])
+    gift_codes = mk("gift_codes", [
+        (1, "CODEA", 1, "u0", False, None, None, TS),
+        (2, "CODEB", 1, "u0", False, None, None, TS),
+    ])
+    referrals = mk("referrals", [])
+    events = mk("redemption_events", [
+        # event 1: u1 redeems with NO referral code (edge does not exist yet)
+        (1, "CODEA", "u1", None, datetime(2024, 1, 6, 10)),
+        # event 2: u1 redeems WITH a referral code -> edge (u0 -> u1) inserted
+        (2, "CODEB", "u1", "REF0", datetime(2024, 1, 6, 11)),
+    ])
+    out = process_redemptions(events, gift_codes, users, packages, referrals)
+    by_event = {
+        (r["event_id"], r["type"]): r["n"]
+        for r in out.commission_ledger.groupBy("event_id", "type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # event 1 pre-dates the edge: direct only; event 2 pays through its edge
+    assert by_event == {(1, "direct"): 1, (2, "direct"): 1, (2, "passive"): 1}
+
+
+def test_users_current_derives_package_id(spark, outputs):
+    """Mutate step 5 (render-complete-deploy.js:484-486): an accepted
+    redemption sets the redeemer's CURRENT package; latest accepted wins,
+    users without redemptions keep their stored package_id."""
+    from r_e_hive__spark.pipelines.views import users_current
+
+    fx, out = outputs
+    cur = users_current(
+        fx["users"],
+        fx["commissions"],
+        fx["commission_withdrawals"],
+        "2024-01-21 00:00:00",
+        accepted_redemptions=out.accepted.select(
+            "user_id", "package_id", "event_ts", "event_id"
+        ),
+    )
+    pkg = {r["id"]: r["package_id"] for r in cur.collect()}
+    stored = {r["id"]: r["package_id"] for r in fx["users"].collect()}
+    acc = sorted(
+        out.accepted.select("user_id", "package_id", "event_ts", "event_id").collect(),
+        key=lambda r: (r["event_ts"], r["event_id"]),
+    )
+    want = dict(stored)
+    for r in acc:  # latest accepted wins, applied in processing order
+        want[r["user_id"]] = r["package_id"]
+    assert pkg == want
+    # at least one user actually changed (isolated users start with NULL)
+    assert any(stored[u] != pkg[u] for u in pkg)

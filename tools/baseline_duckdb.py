@@ -9,12 +9,13 @@ This is the BASELINE.md reference point (SURVEY.md §6).
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_common import bench_reps, geomean, parse_sf
 
 from r_e_hive__spark.oracle.diff import duckdb_connection
 from r_e_hive__spark.queries import load_all
@@ -41,7 +42,7 @@ def main() -> None:
     # warm the OS page cache / parquet footers once
     for q in queries.values():
         con.execute(q.oracle).fetchall()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = bench_reps()
     timings: dict[str, float] = {}
     for name, q in queries.items():
         best = float("inf")
@@ -51,10 +52,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         # best-of-N, same methodology as bench.py
         timings[name] = round(best, 4)
-    gmean = math.exp(
-        sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings)
-    )
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    gmean = geomean(timings)
     print(
         json.dumps(
             {
@@ -62,7 +60,7 @@ def main() -> None:
                 "value": round(gmean, 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": parse_sf(sf_dir),
             }
         )
     )

@@ -1,0 +1,29 @@
+"""Shared bench methodology for bench.py and tools/baseline_duckdb.py.
+
+Both harnesses MUST stay identical in geomean formula, clamp, rep policy,
+and sf parsing for the BASELINE.md cross-engine comparisons to be valid —
+one implementation, two callers (round-4 code review)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+
+def bench_reps(default: int = 5) -> int:
+    return int(os.environ.get("SPARK_GRAFT_BENCH_REPS", str(default)))
+
+
+def geomean(timings: dict[str, float]) -> float:
+    """Geometric mean with a 0.1 ms floor (a 0s timing would zero the
+    product); 0.0 for an empty set instead of ZeroDivisionError."""
+    if not timings:
+        return 0.0
+    return math.exp(
+        sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings)
+    )
+
+
+def parse_sf(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf

@@ -38,14 +38,13 @@ def duck_con():
     return con
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def norm(df: pd.DataFrame) -> list[tuple]:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.astype(object).where(pd.notnull(df), None)
     # stringify for an order-insensitive, dtype-insensitive value compare
-    rows = sorted(
+    return sorted(
         tuple(str(v) for v in row) for row in df.itertuples(index=False)
     )
-    return rows
 
 
 def main() -> int:

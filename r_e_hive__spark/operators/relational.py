@@ -101,6 +101,7 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
     spray_cols: Sequence[str] | None = None,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skew-mitigating equi-join (SURVEY.md §4.2's salting fallback).
 
@@ -117,6 +118,8 @@ def salted_join(
     identical share a bucket, so pass a unique id column as ``spray_cols``
     when the fact table carries true duplicates.  Supported ``how``: inner
     / left (dim-preserving joins would need the mirrored construction).
+    ``keep_salt=True`` retains the ``__salt`` column so tests/diagnostics
+    can observe the operator's OWN spray distribution.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
@@ -126,4 +129,5 @@ def salted_join(
     d = dim.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return f.join(d, [on, salt_col], how).drop(salt_col)
+    joined = f.join(d, [on, salt_col], how)
+    return joined if keep_salt else joined.drop(salt_col)

@@ -8,7 +8,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# the sf0.01 correctness tier is exercised by the driver-contract harness
+# (tools/drive_driver_contract.py), not by this suite — no constant here
 
 
 @pytest.fixture(scope="session")

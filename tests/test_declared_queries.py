@@ -25,7 +25,9 @@ def test_declared_query_matches_oracle(spark, oracle_smoke, q):
     if q.oracle is not None:
         assert res.n_spark == res.n_oracle
     else:
-        assert res.n_spark >= 0
+        # rows-only queries still must produce SOMETHING: a silent
+        # empty frame passing CI would mask a dead filter
+        assert res.n_spark > 0
 
 
 def test_entry_contract(spark):

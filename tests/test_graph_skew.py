@@ -129,11 +129,16 @@ def test_salted_join_parity_and_balance(spark):
         assert want.exceptAll(got).count() == 0
 
     # balance: the hot key's rows split across all salt sub-keys, each
-    # bucket within 3x of the ideal 1/salt share (xxhash64 uniformity)
-    sprayed = fact.withColumn(
-        "s", F.pmod(F.xxhash64("k", "payload"), F.lit(salt))
+    # bucket within 3x of the ideal 1/salt share — observed from the
+    # OPERATOR's own output (keep_salt), not a re-implementation of its
+    # spray expression (round-4 test review)
+    sprayed = salted_join(
+        fact, dim, on="k", salt=salt, keep_salt=True
     ).where(F.col("k") == 7)
-    buckets = {r["s"]: r["count"] for r in sprayed.groupBy("s").count().collect()}
+    buckets = {
+        r["__salt"]: r["count"]
+        for r in sprayed.groupBy("__salt").count().collect()
+    }
     hot = sum(buckets.values())
     assert len(buckets) == salt
     assert max(buckets.values()) < 3 * hot / salt

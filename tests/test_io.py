@@ -37,9 +37,12 @@ def test_partitioned_append_prunes(spark, tmp_path):
     ) == ["lang=en", "lang=fr"]
     back = spark.read.parquet(p).where(F.col("lang") == "en")
     assert back.count() == 20
-    # partition pruning reaches the scan
+    # partition pruning reaches the scan: the predicate must appear as a
+    # PartitionFilters entry, not merely as a post-scan Filter (a bare
+    # 'lang in plan' check is vacuously true for any lang query)
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "lang" in plan
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
 
 
 def test_append_returning_contiguous_ids(spark, tmp_path):

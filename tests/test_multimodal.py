@@ -74,9 +74,7 @@ def test_resize_caps_long_side(spark, blob_dir):
     assert all(max(r["width"], r["height"]) <= 32 for r in rows.values())
     # output blobs still decode with the same metadata pipeline
     meta = extract_metadata(
-        resized.withColumnRenamed("content", "content").select(
-            "path", F.lit(0).alias("length"), "content"
-        )
+        resized.select("path", F.lit(0).alias("length"), "content")
     )
     assert meta.where(F.col("kind").isNull()).count() == 0
 
@@ -507,3 +505,28 @@ def test_flac_non_byte_aligned_bits_payload():
     info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
     blob = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + info
     assert decode_blob(blob)["payload_bytes"] == 1000 * 2 * 12 // 8  # 3000
+
+
+def test_extract_metadata_degrades_malformed_blobs_to_null_rows(spark, tmp_path):
+    """The contract one layer UP from decode_blob (round-4 test review): a
+    malformed blob inside a binaryFile scan yields a null metadata row from
+    extract_metadata — the query never fails."""
+    import os
+
+    d = tmp_path / "bad_blobs"
+    os.makedirs(d)
+    (d / "bad_bmp.bin").write_bytes(b"BM" + b"\x00" * 20)       # truncated BMP
+    (d / "bad_riff.bin").write_bytes(b"RIFF\x10\x00\x00\x00WAVE")  # chunkless WAV
+    (d / "bad_png.bin").write_bytes(b"\x89PNG\r\n\x1a\n" + b"junk")  # no IHDR
+    (d / "bad_jpeg.bin").write_bytes(b"\xff\xd8\xff")            # truncated JPEG
+    (d / "good.bin").write_bytes(
+        b"REHV" + __import__("struct").pack("<HHB", 3, 4, 0) + b"xyz"
+    )
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in extract_metadata(read_binary_dir(spark, str(d))).collect()
+    }
+    assert len(rows) == 5
+    for bad in ("bad_bmp.bin", "bad_riff.bin", "bad_png.bin", "bad_jpeg.bin"):
+        assert rows[bad]["kind"] is None and rows[bad]["width"] is None, bad
+    assert rows["good.bin"]["kind"] == "image"

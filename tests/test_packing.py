@@ -61,7 +61,9 @@ def test_pack_shards_strategies_agree(spark):
     a = {(r["doc_id"], r["shard_id"]) for r in small.collect()}
     b = {(r["doc_id"], r["shard_id"]) for r in big.collect()}
     assert a == b
-    # shard ids are dense, start at 0, and non-decreasing in pack order
+    # shard ids start at 0 and are non-decreasing in pack order (dense TOO,
+    # but only because every fixture weight <= 512 < budget 2048; an
+    # over-budget doc leaves a gap by design — see the boundary test below)
     rows = sorted(small.collect(), key=lambda r: (r["lang"], r["doc_id"]))
     by_lang: dict[str, list[int]] = {}
     for r in rows:
@@ -109,7 +111,11 @@ def test_pack_shards_empty_and_oversized(spark):
         ).count()
         == 0
     )
-    # a single over-budget doc occupies its own shard without stalling
+    # an over-budget doc spans budget windows without stalling the stream:
+    # it STARTS in shard 0 (with doc 1) and pushes doc 3 to shard 10 —
+    # shard ids index budget-sized windows of the cumulative token stream,
+    # so the intermediate ids stay empty (the documented start-offset rule,
+    # operators/packing.py)
     rows = (
         P.pack_shards(
             spark.createDataFrame(

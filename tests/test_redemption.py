@@ -34,19 +34,21 @@ def python_oracle(rows: dict) -> dict:
     ledger = []  # (event_id, user_id, level, type, amount)
     profits = {}  # event_id -> (profit, commission_paid)
     rejected = {}  # event_id -> reason
+    redeemed_in_batch: set = set()  # sequential same-batch conflict rule
 
     for ev in rows["redemption_events"]:
         code = codes.get(ev["code"])
         if code is None:
             rejected[ev["event_id"]] = "invalid_code"
             continue
-        if code["is_redeemed"]:
+        if code["is_redeemed"] or ev["code"] in redeemed_in_batch:
             rejected[ev["event_id"]] = "already_redeemed"
             continue
         if code["created_by"] == ev["user_id"]:
             rejected[ev["event_id"]] = "self_redemption"
             continue
         pkg = packages[code["package_id"]]
+        redeemed_in_batch.add(ev["code"])  # later same-batch events reject
         # optional referral edge insert
         if ev["referral_code"] is not None:
             referrer = users_by_ref.get(ev["referral_code"])

@@ -331,7 +331,6 @@ def test_stream_continuous_aggregate_equals_batch_rollup(spark, tmp_path):
     rollup of all events, and a coarser level derived from it matches too."""
     import os
 
-    from r_e_hive__spark.catalog import load_table
     from r_e_hive__spark.operators.rollup import (
         aggregate_finest,
         rollup_from_partials,
@@ -456,8 +455,6 @@ def test_stream_continuous_aggregate_fence_and_partitioned_layout(spark, tmp_pat
     (a pre-seeded fence above every batch id ⇒ nothing is ever applied)."""
     import json
     import os
-
-    from r_e_hive__spark.catalog import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "ts", "event_type", "value"

@@ -106,7 +106,16 @@ def test_asof_forward_and_tolerance(spark):
     t = _pdf(tol)
     hit = t[t["r_status_ts"].notna()]
     assert (hit["r_status_ts"] == hit["ev_ts"]).all()
-    assert len(hit) == _pdf(right).shape[0]  # every status row self-matches
+    # every left row whose (user, ts) exactly matches a status row hits —
+    # computed from the frames, not assumed equal to the right-row count
+    # (duplicate (user_id, ts) left rows would all match one status row)
+    n_exact = left.join(
+        right,
+        (left["user_id"] == right["user_id"])
+        & (left["ev_ts"] == right["status_ts"]),
+        "left_semi",
+    ).count()
+    assert len(hit) == n_exact
 
 
 def test_asof_plan_is_single_window_no_join(spark):

@@ -69,7 +69,13 @@ def unscaled_fast(c: Column | str, scale: int = 2) -> Column:
 def decimal_of_units(units: Column, scale: int) -> Column:
     """Exact DECIMAL from integer units: ``L * 10^-scale`` with no division
     (division would widen precision past 38).  ``L`` must fit
-    decimal(38-scale-1, 0) — guaranteed by the overflow bound above."""
+    decimal(38-scale-1, 0) — guaranteed by the overflow bound above.
+    ``scale=0`` short-circuits (the string-multiplier construction below
+    would build '0.1' and an invalid DECIMAL(0,0) — round-4 review)."""
+    if scale < 0:
+        raise ValueError(f"scale must be >= 0, got {scale}")
+    if scale == 0:
+        return units.cast("decimal(37,0)")
     tens = "0." + "0" * (scale - 1) + "1"
     return units.cast(f"decimal({38 - scale - 1},0)") * F.lit(tens).cast(
         f"decimal({scale},{scale})"
@@ -93,6 +99,12 @@ def unscaled_fast_sql(col: str, scale: int = 2) -> str:
 
 
 def money_of_units_sql(units_expr: str, scale: int, round_to: int | None = None) -> str:
+    if scale < 1:
+        # same guard as decimal_of_units: scale 0 would render '0.1' and
+        # an invalid DECIMAL(0,0)
+        if scale == 0:
+            return f"CAST(CAST({units_expr} AS DECIMAL(37,0)) AS DOUBLE)"
+        raise ValueError(f"scale must be >= 0, got {scale}")
     tens = "0." + "0" * (scale - 1) + "1"
     d = (
         f"(CAST({units_expr} AS DECIMAL({38 - scale - 1},0))"

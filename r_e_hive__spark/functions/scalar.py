@@ -37,8 +37,13 @@ def commission_amount(price: Column, rate: Column) -> Column:
 
 
 def floor_at_zero(c: Column) -> Column:
-    """``Math.max(0, x)`` (render-complete-deploy.js:307) → greatest(0, x)."""
-    return F.greatest(F.lit(0).cast(MONEY), c.cast(MONEY))
+    """``Math.max(0, x)`` (render-complete-deploy.js:307) → greatest(0, x).
+
+    NULL propagates: Spark's ``greatest`` skips NULLs, which would launder
+    a missing amount into a valid $0.00 — a NULL input (dangling FK, failed
+    join) must stay visibly NULL (round-4 review)."""
+    money = c.cast(MONEY)
+    return F.when(money.isNotNull(), F.greatest(F.lit(0).cast(MONEY), money))
 
 
 # ---------------------------------------------------------------------------
@@ -52,8 +57,13 @@ def gift_code(seed: Column) -> Column:
     The reference draws 8 random chars (generateGiftCode,
     render-complete-deploy.js:198-205); rand() is banned from anything
     hash-checked (SURVEY.md §2.12), so the engine derives the code from a
-    seed column via sha2 — same alphabet coverage, reproducible, and
-    collision-checked the same way (unique constraint J6)."""
+    seed column via sha2.  Alphabet note: hex output covers [0-9A-F], a
+    SUBSET of the reference's [A-Z0-9] — 16^8 ≈ 4.3e9 codes, collision-safe
+    to ~65 k codes (birthday bound) and guarded by the J6 unique
+    constraint either way; a production system issuing more should widen
+    to base-36 (``conv(hex, 16, 36)``) — kept hex here because the DuckDB
+    oracle must reproduce the construction byte-for-byte and base
+    conversion differs across engines (round-4 review)."""
     return F.substring(F.upper(F.sha2(seed.cast("string"), 256)), 1, 8)
 
 
@@ -74,9 +84,11 @@ def subscription_active(expires_at: Column, as_of: str) -> Column:
     return expires_at.isNotNull() & (expires_at > F.lit(as_of).cast("timestamp"))
 
 
-def add_one_month(d: Column) -> Column:
+def add_one_month(ts: Column) -> Column:
     """Subscription extension (+1 month on approval,
-    render-complete-deploy.js:786-787).  Standardized on ``add_months``
-    end-of-month clamping; the JS setMonth overflow divergence is documented
-    in SURVEY.md §2.8 F12."""
-    return F.add_months(d.cast("date"), 1)
+    render-complete-deploy.js:786-787) — TIMESTAMP-preserving: the target
+    column ``subscription_expires_at`` carries a time of day, and the old
+    ``add_months(cast-to-date)`` silently truncated it (round-4 review).
+    End-of-month clamps like ``add_months``; the JS setMonth overflow
+    divergence is documented in SURVEY.md §2.8 F12."""
+    return F.timestamp_add("MONTH", F.lit(1), ts.cast("timestamp"))

@@ -68,6 +68,11 @@ def latest_n_per_key(
     Partition-local sort + row_number: one shuffle on the key, no global
     sort.  ``order_cols`` must end in a unique tiebreaker (determinism rule,
     SURVEY.md §2.6 O1)."""
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists on the input frame; "
+            f"pass a different rank_col to avoid clobbering it"
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
@@ -83,8 +88,11 @@ def latest_record_wins(
     """Event-sourced current state: the engine's replacement for the
     reference's UPDATE-in-place (render-complete-deploy.js:476-486, 722-737).
     Keep the newest event per key; ``order_cols`` descending with a unique
-    tiebreaker."""
-    return latest_n_per_key(df, key_cols, order_cols, 1).drop("rn")
+    tiebreaker.  The internal rank uses a private name so a caller column
+    called 'rn' survives untouched."""
+    return latest_n_per_key(
+        df, key_cols, order_cols, 1, rank_col="__lrw_rn"
+    ).drop("__lrw_rn")
 
 
 def top_k(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
@@ -123,6 +131,10 @@ def salted_join(
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 1:
+        # pmod(h, 0) is a DIVIDE_BY_ZERO under ANSI / silent NULLs without,
+        # and sequence(0, -1) steps DOWN — fail loudly instead
+        raise ValueError(f"salt must be >= 1, got {salt}")
     salt_col = "__salt"
     cols = [F.col(c) for c in (spray_cols or fact.columns)]
     f = fact.withColumn(salt_col, F.pmod(F.xxhash64(*cols), F.lit(salt)))

@@ -103,3 +103,22 @@ def test_fixed_point_sum_matches_decimal_sum(spark):
         .collect()
     )
     assert [(r.l_returnflag, r.s) for r in got] == [(r.l_returnflag, r.s) for r in want]
+
+
+def test_scale_zero_and_guards(spark):
+    """Round-4 review: scale=0 converts whole units exactly (the string-
+    multiplier construction would have built '0.1' and DECIMAL(0,0));
+    negative scales raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.functions import fixedpoint as fp
+
+    df = spark.createDataFrame([(7,), (42,)], "u long")
+    got = sorted(
+        str(r["d"]) for r in df.select(fp.decimal_of_units(F.col("u"), 0).alias("d")).collect()
+    )
+    assert got == ["42", "7"]
+    assert "DECIMAL(37,0)" in fp.money_of_units_sql("u", 0)
+    with _pytest.raises(ValueError):
+        fp.decimal_of_units(F.col("u"), -1)

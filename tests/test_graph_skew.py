@@ -147,3 +147,14 @@ def test_salted_join_parity_and_balance(spark):
 
     with _pytest.raises(ValueError):
         salted_join(fact, dim, on="k", how="right")
+
+
+def test_salted_join_rejects_degenerate_salt(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.relational import salted_join
+
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on="k", salt=0)

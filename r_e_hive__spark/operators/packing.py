@@ -100,9 +100,13 @@ def weighted_prefix_sum(
     # few-groups case, but a high-cardinality partition_cols (lang x domain
     # on a web corpus) makes it millions of rows — gate the broadcast hint
     # on the actual count instead of hinting unconditionally (round-4
-    # review).  persist() so the count does not recompute the aggregation;
-    # the 4M-row cap is the same HashedRelation ceiling the q5 gate uses.
-    offsets = offsets.persist()
+    # review).  localCheckpoint (not persist) so the count does not
+    # recompute the aggregation: checkpoint blocks are ContextCleaner-owned
+    # and freed when the frame is garbage-collected, whereas df.persist()
+    # registers a CacheManager entry that outlives the call and accumulates
+    # across invocations in a long-lived session (round-4 ADVICE).  The
+    # 4M-row cap is the same HashedRelation ceiling the q5 gate uses.
+    offsets = offsets.localCheckpoint(eager=True)
     off_side = offsets if offsets.count() > 4_000_000 else F.broadcast(offsets)
     return (
         with_pid.join(off_side, ["_pid", *pcols])

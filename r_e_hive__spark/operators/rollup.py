@@ -87,6 +87,18 @@ def aggregate_finest(
     )
 
 
+def _merge_aggs() -> list:
+    """The partial-merge monoid: sum-of-sums, sum-of-counts, min-of-mins,
+    max-of-maxes — shared by the coarsening rollup and the exact-bucket
+    incremental merge."""
+    return [
+        F.sum("sum_value").alias("sum_value"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+
+
 def rollup_from_partials(
     partials: DataFrame, keys: Sequence[str], granularity: str
 ) -> DataFrame:
@@ -97,12 +109,7 @@ def rollup_from_partials(
     return (
         partials.withColumn("bucket", (F.floor(F.col("bucket") / w) * w).cast("long"))
         .groupBy("bucket", *keys)
-        .agg(
-            F.sum("sum_value").alias("sum_value"),
-            F.sum("n_rows").alias("n_rows"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
+        .agg(*_merge_aggs())
     )
 
 
@@ -132,10 +139,16 @@ def time_rollup(
 def merge_rollup(
     existing: DataFrame | None, batch_partials: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
-    """Incremental maintenance: existing ∪ batch, re-merged by (bucket,
-    keys).  This function itself re-aggregates whatever ``existing`` frame
-    it is given — pass the FULL rollup and the cost is O(history); pass
-    only the partitions the batch touches (as
+    """Incremental maintenance: existing ∪ batch, re-merged by EXACT
+    (bucket, keys) equality — no re-bucketing, so the merge is correct for
+    partials at ANY granularity (a round-4 review found the previous form
+    re-bucketed at '1 minute' and was only correct because every
+    ``_GRAN_SECONDS`` entry is a multiple of 60 s; a later sub-minute
+    granularity would have silently re-bucketed and corrupted the merge).
+
+    This function itself re-aggregates whatever ``existing`` frame it is
+    given — pass the FULL rollup and the cost is O(history); pass only the
+    partitions the batch touches (as
     ``streaming.jobs.stream_continuous_aggregate`` does: day-partitioned
     storage, partition-pruned read, dynamic-overwrite write) and the cost
     is O(touched days), independent of retained history."""
@@ -144,10 +157,4 @@ def merge_rollup(
         if existing is None
         else existing.unionByName(batch_partials)
     )
-    return rollup_from_partials(unioned, keys, _sec_name(unioned))
-
-
-def _sec_name(partials: DataFrame) -> str:
-    # merging at the table's own granularity: any granularity whose width
-    # divides the buckets leaves them unchanged; 1 minute always does.
-    return "1 minute"
+    return unioned.groupBy("bucket", *keys).agg(*_merge_aggs())

@@ -38,6 +38,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | None = None,
     right_prefix: str = "r_",
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Per-key as-of alignment: each left row gains the right row whose
     ``on`` value is the nearest at-or-before it (``backward``, inclusive —
@@ -57,10 +58,24 @@ def asof_join(
     ``{right_prefix}{right_on}``.  If several right rows share one
     (key, on) value the latest in the window order wins — make ``on``
     unique per key for deterministic output, as with any as-of engine.
+
+    **Keyless scale path** (``by=()``): a global ordered window would run
+    in ONE partition (a round-4 review finding).  Unless
+    ``distributed=False``, the keyless case instead range-partitions the
+    tagged union on the axis, runs the window *within* each range
+    partition, and propagates the last (``backward``) / first
+    (``forward``) non-null candidate across partitions through a tiny
+    per-partition carry frame (one row per range partition — the same
+    two-phase shape as ``operators.packing.weighted_prefix_sum``).  Cost:
+    one eager localCheckpoint of the union to pin the sampled range
+    bounds for the two consuming subtrees.  ``distributed=True`` on a
+    keyed join is invalid (per-key windows already parallelize).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
+    if distributed and by:
+        raise ValueError("distributed=True applies only to the keyless case")
     right_on = right_on or on
     r_payload = [c for c in right.columns if c not in (*by, right_on)]
     out_payload = [right_prefix + c for c in (right_on, *r_payload)]
@@ -93,29 +108,33 @@ def asof_join(
     r_tagged = r_tagged.withColumn(on, F.col(f"__r.{right_prefix}{right_on}"))
 
     unioned = l_tagged.unionByName(r_tagged)
-    if direction == "backward":
-        # right(side=0) sorts before left(side=1) at equal `on`: inclusive
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        picked = F.last(F.col("__r"), ignorenulls=True).over(w)
+    backward = direction == "backward"
+
+    if not by and distributed is not False:
+        picked_frame = _keyless_asof_pick(unioned, on, backward)
     else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        if backward:
+            # right(side=0) sorts before left(side=1) at equal `on`:
+            # inclusive
+            w = (
+                Window.partitionBy(*by)
+                .orderBy(F.col(on).asc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            picked = F.last(F.col("__r"), ignorenulls=True).over(w)
+        else:
+            w = (
+                Window.partitionBy(*by)
+                .orderBy(F.col(on).asc(), F.col("__side").desc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            picked = F.first(F.col("__r"), ignorenulls=True).over(w)
+        picked_frame = unioned.select(
+            *unioned.columns, picked.alias("__m")
         )
-        picked = F.first(F.col("__r"), ignorenulls=True).over(w)
 
     matched = (
-        unioned.select(
-            *[c for c in left.columns],
-            picked.alias("__m"),
-            "__side",
-        )
-        .where(F.col("__side") == 1)
+        picked_frame.where(F.col("__side") == 1)
         .select(
             *[c for c in left.columns],
             *[F.col(f"__m.{c}").alias(c) for c in out_payload],
@@ -137,6 +156,68 @@ def asof_join(
             ],
         )
     return matched
+
+
+def _keyless_asof_pick(unioned: DataFrame, on: str, backward: bool) -> DataFrame:
+    """Distributed candidate pick for the keyless as-of: the tagged union
+    range-partitioned on ``(on, __side)``, the running
+    last/first-non-null window evaluated per range partition, and the
+    candidate carried across partition boundaries via a one-row-per-
+    partition offsets frame (broadcast back).  Mirrors the two-phase
+    distributed prefix-sum in ``operators.packing`` — the carry frame has
+    at most ``spark.sql.shuffle.partitions`` rows, so the only global
+    (single-partition) step runs over that tiny frame, never the data.
+    """
+    side_asc = F.col("__side").asc() if backward else F.col("__side").desc()
+    # Two subtrees consume the ranged frame and repartitionByRange's
+    # sampled bounds are not guaranteed identical across re-executions —
+    # pin one materialization (same trick as weighted_prefix_sum).
+    ranged = (
+        unioned.repartitionByRange(F.col(on).asc(), side_asc)
+        .sortWithinPartitions(F.col(on).asc(), side_asc)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # one candidate row per range partition: the partition's last (backward)
+    # / first (forward) right row in axis order.  Only right rows carry a
+    # non-null __r, so ordering by the axis alone suffices.
+    edge = F.max_by("__r", F.col(on)) if backward else F.min_by("__r", F.col(on))
+    per_pid = (
+        with_pid.where(F.col("__r").isNotNull())
+        .groupBy("_pid")
+        .agg(edge.alias("_cr"))
+    )
+    pids = with_pid.select("_pid").distinct()
+    if backward:
+        w_carry = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        carry_col = F.last("_cr", ignorenulls=True).over(w_carry)
+    else:
+        w_carry = Window.orderBy("_pid").rowsBetween(1, Window.unboundedFollowing)
+        carry_col = F.first("_cr", ignorenulls=True).over(w_carry)
+    carry = (
+        pids.join(per_pid, "_pid", "left")
+        .withColumn("_carry", carry_col)
+        .select("_pid", "_carry")
+    )
+    if backward:
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col(on).asc(), side_asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = F.last("__r", ignorenulls=True).over(w_local)
+    else:
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col(on).asc(), side_asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        local = F.first("__r", ignorenulls=True).over(w_local)
+    return (
+        with_pid.join(F.broadcast(carry), "_pid")
+        .withColumn("__m", F.coalesce(local, F.col("_carry")))
+        .drop("_pid", "_carry")
+    )
 
 
 def range_join(

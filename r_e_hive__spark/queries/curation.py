@@ -98,11 +98,17 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.min("doc_id").alias("doc_id")
     )
     # surv feeds TWO consumers (the pair join and the final accounting) and
-    # itself re-evaluates kept's regex-heavy quality filter: persist it so
-    # the quality scoring runs once per corpus scan, not once per consumer
-    # (round-4 code review).  Storage is the post-filter corpus — the same
-    # frame a production pipeline would materialize between stages.
-    surv = kept.join(winners.select("doc_id"), "doc_id", "left_semi").persist()
+    # itself re-evaluates kept's regex-heavy quality filter: materialize it
+    # so the quality scoring runs once per corpus scan, not once per
+    # consumer (round-4 code review).  localCheckpoint, not persist(): its
+    # blocks are ContextCleaner-owned and freed once the result frame is
+    # garbage-collected, whereas a persist() here leaks a CacheManager
+    # entry per call in a long-lived session (bench loops run each query
+    # 5+ times — round-4 ADVICE).  Storage is the post-filter corpus — the
+    # same frame a production pipeline would materialize between stages.
+    surv = kept.join(winners.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     pairs = D.ngram_jaccard_pairs(surv, "text", "doc_id", k=3, threshold=_NEARDUP_J)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = surv.join(dropped, "doc_id", "left_anti")

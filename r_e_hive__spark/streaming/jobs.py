@@ -333,8 +333,14 @@ def stream_continuous_aggregate(
             )
         batch.unpersist()
         os.makedirs(os.path.dirname(fence), exist_ok=True)
-        with open(fence, "w") as fh:
+        # tmp + rename so the fence is always either the old or the new
+        # valid JSON: a plain open/write crashed mid-write leaves a corrupt
+        # fence the reader treats as "no fence", double-applying the
+        # replayed batch (round-4 ADVICE).
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, fence)
 
     return (
         stream_df.writeStream.foreachBatch(_merge)

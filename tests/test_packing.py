@@ -129,3 +129,22 @@ def test_pack_shards_empty_and_oversized(spark):
         .collect()
     )
     assert [r["shard_id"] for r in rows] == [0, 0, 10]
+
+
+def test_distributed_prefix_sum_no_cache_entry(spark):
+    """Round-4 ADVICE regression: the distributed offsets materialization
+    must not go through df.persist() — a CacheManager entry leaks per call
+    in a long-lived session.  The localCheckpoint replacement shows up as
+    an RDD scan, never an InMemoryTableScan."""
+    df = _fixture(spark)
+    out = P.pack_shards(
+        df,
+        "n_tokens",
+        order_cols=[F.asc("doc_id")],
+        budget=2048,
+        partition_cols=["lang"],
+        distributed=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, plan
+    out.collect()  # still executes end-to-end

@@ -103,3 +103,29 @@ def test_avg_at_read_and_bad_hierarchy(spark):
         time_rollup(ev, "ts", "value", granularities=("1 hour", "10 minutes"))
     with pytest.raises(ValueError):
         time_rollup(ev, "ts", "value", granularities=("1 hour", "1 fortnight"))
+
+
+def test_merge_rollup_exact_bucket_equality(spark):
+    """Round-4 ADVICE regression: merge_rollup must merge by EXACT bucket
+    equality, not by re-bucketing at '1 minute' — partials at a sub-minute
+    granularity (90 s buckets here) must come through unchanged.  The old
+    form floored 90→60 and 270→240, silently corrupting the merge."""
+    schema = (
+        "bucket long, sum_value double, n_rows long, "
+        "min_value double, max_value double"
+    )
+    existing = spark.createDataFrame(
+        [(90, 1.0, 1, 1.0, 1.0), (180, 2.0, 1, 2.0, 2.0)], schema
+    )
+    batch = spark.createDataFrame(
+        [(90, 3.0, 2, 0.5, 3.0), (270, 1.0, 1, 1.0, 1.0)], schema
+    )
+    got = {
+        r["bucket"]: (r["sum_value"], r["n_rows"], r["min_value"], r["max_value"])
+        for r in merge_rollup(existing, batch, []).collect()
+    }
+    assert got == {
+        90: (4.0, 3, 0.5, 3.0),
+        180: (2.0, 1, 2.0, 2.0),
+        270: (1.0, 1, 1.0, 1.0),
+    }

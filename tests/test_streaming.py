@@ -480,6 +480,13 @@ def test_stream_continuous_aggregate_fence_and_partitioned_layout(spark, tmp_pat
     dirs = os.listdir(str(tmp_path / "roll_a"))
     assert any(d.startswith("bucket_day=") for d in dirs), dirs
 
+    # round-4 ADVICE: the fence is written atomically (tmp + rename), so
+    # after any run the fence is valid JSON and no .tmp residue remains
+    fence = str(tmp_path / "ckpt_a" / "rollup_fence.json")
+    with open(fence) as fh:
+        assert isinstance(json.load(fh)["batch_id"], int)
+    assert not os.path.exists(fence + ".tmp")
+
     # fenced run: pre-seed the fence above any batch id -> every batch is
     # treated as a replay and skipped; the rollup is never created
     os.makedirs(str(tmp_path / "ckpt_b"), exist_ok=True)

@@ -211,6 +211,67 @@ def test_asof_null_payload_not_torn(spark):
     assert got[(1, 30)] == (20, None)  # nearest row wins ATOMICALLY
 
 
+def test_asof_keyless_distributed_default(spark):
+    """Round-4 ADVICE: keyless as-of (by=()) must not degrade to a
+    single-partition global window.  The default keyless path is the
+    two-phase range-partitioned carry plan; its results must be identical
+    to the forced single-window path (distributed=False) and to DuckDB's
+    native keyless ASOF, in both directions."""
+    left, right = _frames(spark)
+    # keyless: align every event against the GLOBAL status stream; unique
+    # axis via a deterministic per-ts reduction.
+    r = right.groupBy("status_ts").agg(F.max("status_value").alias("status_value"))
+    frames = {}
+    for direction in ("backward", "forward"):
+        dist = asof_join(
+            left, r, on="ev_ts", right_on="status_ts", direction=direction
+        )
+        single = asof_join(
+            left, r, on="ev_ts", right_on="status_ts", direction=direction,
+            distributed=False,
+        )
+        # the distributed plan carries via spark_partition_id; the single
+        # plan must not (it is the plain global window)
+        d_plan = dist._jdf.queryExecution().executedPlan().toString()
+        s_plan = single._jdf.queryExecution().executedPlan().toString()
+        assert "_pid" in d_plan
+        assert "_pid" not in s_plan
+        cols = ["event_id", "user_id", "ev_ts", "r_status_ts", "r_status_value"]
+        d = _pdf(dist.select(*cols).orderBy("event_id"))
+        s = _pdf(single.select(*cols).orderBy("event_id"))
+        pd.testing.assert_frame_equal(
+            d.reset_index(drop=True), s.reset_index(drop=True), check_dtype=False
+        )
+        frames[direction] = d
+    con = duckdb.connect()
+    con.register("l", _pdf(left))
+    con.register("r", _pdf(r))
+    want = con.execute(
+        """
+        SELECT l.event_id, l.user_id, l.ev_ts,
+               r.status_ts AS r_status_ts, r.status_value AS r_status_value
+        FROM l ASOF LEFT JOIN r ON l.ev_ts >= r.status_ts
+        ORDER BY l.event_id
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        frames["backward"].reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_asof_distributed_flag_rejected_with_keys(spark):
+    left, right = _frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="keyless"):
+        asof_join(
+            left, right, on="ev_ts", by=["user_id"], right_on="status_ts",
+            distributed=True,
+        )
+
+
 def test_range_join_left_null_payload_and_duplicate_intervals(spark):
     """Round-4 review regressions: (a) a matching interval whose payload is
     all-NULL still counts as a match in left mode; (b) duplicate interval

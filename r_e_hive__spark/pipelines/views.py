@@ -72,8 +72,10 @@ def gift_codes_current(
             "event_id",
         ),
         ["code"],
-        [F.asc("event_ts"), F.asc("event_id")],
-    )
+        # order by the POST-projection names (the pre-alias event_ts no
+        # longer exists here — latent bug surfaced by the round-5 API layer)
+        [F.asc("redeemed_at"), F.asc("event_id")],
+    ).drop("event_id")
     base = gift_codes.drop("is_redeemed", "redeemed_by", "redeemed_at")
     j = base.join(first_redemption, "code", "left")
     return j.select(

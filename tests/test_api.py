@@ -1,0 +1,243 @@
+"""Endpoint-parity tests for the RehiveAPI facade (api.py).
+
+Each test pins one or more reference routes (render-complete-deploy.js
+line refs in api.py docstrings) against the fixture state: read endpoints
+check ordering/limits/relation loads; write endpoints check the
+event-sourced views derive exactly the reference's UPDATE effects
+(balance debit on approval, +1-month subscription on approve, read flag,
+commission fan-out) with the engine's exact-decimal money rule.
+"""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+
+from r_e_hive__spark.api import ApiError, RehiveAPI
+
+TS = datetime.datetime(2024, 1, 22, 12, 0, 0)
+
+
+@pytest.fixture()
+def api(spark):
+    return RehiveAPI.from_fixtures(spark)
+
+
+def _balance(api, uid):
+    return api.users_current().where(f"id='{uid}'").collect()[0][
+        "commission_balance"
+    ]
+
+
+# ---------------------------------------------------------------------------
+# read endpoints
+# ---------------------------------------------------------------------------
+
+
+def test_get_packages_ascending_price(api):
+    rows = api.get_packages().collect()
+    prices = [r["price"] for r in rows]
+    assert prices == sorted(prices)
+    assert [r["name"] for r in rows][0] == "starter"
+
+
+def test_get_user_with_package_and_404(api):
+    u = api.get_user("u0001").collect()[0]
+    assert u["package_name"] == "diamond"  # package 5 relation load
+    assert u["commission_balance"] > 0  # derived, not the stored 0.00
+    with pytest.raises(ApiError) as e:
+        api.get_user("nope")
+    assert e.value.status == 404
+
+
+def test_get_user_referrals_two_level_load(api):
+    rows = api.get_user_referrals("u0001").collect()
+    # u0001 has 6 chain heads + the hub = 7 direct referrals
+    assert len(rows) == 7
+    created = [r["created_at"] for r in rows]
+    assert created == sorted(created, reverse=True)
+    assert all(r["referred_user_email"].endswith("@example.com") for r in rows)
+
+
+def test_commission_history_limit_and_tiebreak(api):
+    rows = api.get_commission_history("u0001").collect()
+    assert len(rows) == 100  # 105 exist; LIMIT 100 (:515)
+    keys = [(r["created_at"], r["id"]) for r in rows]
+    assert keys == sorted(keys, reverse=True)  # desc + id tiebreak
+
+
+def test_notifications_limit_50(api):
+    assert len(api.get_notifications("u0001").collect()) == 50  # 60 exist (:667)
+
+
+def test_admin_lists_user_relation(api):
+    w = api.admin_withdrawals().collect()
+    assert len(w) == 4
+    assert all(r["user_full_name"] is not None for r in w)
+    p = api.admin_subscription_payments().collect()
+    assert len(p) == 2
+
+
+# ---------------------------------------------------------------------------
+# gift codes + redemption
+# ---------------------------------------------------------------------------
+
+
+def test_create_gift_code_deterministic(spark):
+    a1 = RehiveAPI.from_fixtures(spark)
+    a2 = RehiveAPI.from_fixtures(spark)
+    c1 = a1.create_gift_code(2, "u0001", TS).collect()[0]
+    c2 = a2.create_gift_code(2, "u0001", TS).collect()[0]
+    assert c1["code"] == c2["code"]  # seeded, never rand() (F7)
+    assert len(c1["code"]) == 8 and c1["code"].isalnum()
+    assert c1["id"] == 12  # max(11) + 1, the RETURNING id rule
+    # visible through the read endpoint
+    assert a1.get_gift_codes("u0001").where("id = 12").count() == 1
+
+
+def test_redeem_guard_parity(api):
+    with pytest.raises(ApiError) as e:
+        api.redeem_gift_code("NOPE0000", "u0003", TS)
+    assert e.value.status == 404
+    with pytest.raises(ApiError) as e:
+        api.redeem_gift_code("GCODE003", "u0003", TS)  # base-table redeemed
+    assert e.value.status == 404
+    with pytest.raises(ApiError) as e:
+        api.redeem_gift_code("GCODE006", "u0002", TS)  # creator == redeemer
+    assert e.value.status == 400
+    assert "own gift code" in e.value.message
+
+
+def test_redeem_full_pipeline_effects(api):
+    before = _balance(api, "u0001")
+    out = api.redeem_gift_code("GCODE001", "u0002", TS)
+    assert out == {"message": "Gift code redeemed successfully"}
+    # package 1: price 100.00, direct 0.10 -> 10.00 to creator u0001;
+    # u0002's 1-level upline is u0001: passive 100.00 x 0.05 = 5.00
+    assert _balance(api, "u0001") == before + Decimal("15.00")
+    # code now redeemed in the view + second redemption rejects (:466)
+    gc = api.gift_codes_current().where("code='GCODE001'").collect()[0]
+    assert gc["is_redeemed"] and gc["redeemed_by"] == "u0002"
+    with pytest.raises(ApiError):
+        api.redeem_gift_code("GCODE001", "u0003", TS)
+    # redeemer's package updated via the accepted-redemption view (:484-486)
+    assert api.get_user("u0002").collect()[0]["package_id"] == 1
+    # company profit = 100 - 15 = 85.00 (:303-311)
+    prof = api.t["company_profits"].orderBy("id").collect()[-1]
+    assert prof["amount"] == Decimal("85.00")
+    assert prof["commission_paid"] == Decimal("15.00")
+    # commission fan-out notifications (:234-239, :291-295)
+    n = api.get_notifications("u0001", 2).collect()
+    assert any(r["title"] == "Commission Earned" for r in n)
+
+
+# ---------------------------------------------------------------------------
+# withdrawals
+# ---------------------------------------------------------------------------
+
+
+def test_withdrawal_flow(api):
+    # over-balance guard (:541-545)
+    with pytest.raises(ApiError) as e:
+        api.request_withdrawal("u0075", "5.00", TS)
+    assert e.value.status == 400
+    assert e.value.message == "Insufficient commission balance"
+    with pytest.raises(ApiError):
+        api.request_withdrawal("ghost", "1.00", TS)
+
+    before = _balance(api, "u0001")
+    w = api.request_withdrawal(
+        "u0001", "5.00", TS, payment_details='{"bank_name":"B"}'
+    ).collect()[0]
+    assert w["status"] == "pending"
+    assert w["payment_method"] == "bank_transfer"  # :551 default
+    assert _balance(api, "u0001") == before  # pending does not debit
+
+    with pytest.raises(ApiError) as e:
+        api.process_withdrawal(w["id"], "cancelled", TS)
+    assert e.value.status == 400
+    with pytest.raises(ApiError) as e:
+        api.process_withdrawal(9999, "approved", TS)
+    assert e.value.status == 404
+
+    api.process_withdrawal(w["id"], "approved", TS, admin_notes="ok")
+    assert _balance(api, "u0001") == before - Decimal("5.00")  # :722-727
+    cur = api.get_withdrawals("u0001").where(f"id={w['id']}").collect()[0]
+    assert cur["status"] == "approved" and cur["admin_notes"] == "ok"
+    assert cur["processed_at"] == TS
+    n = api.get_notifications("u0001", 1).collect()[0]
+    assert n["title"] == "Withdrawal Approved"  # capitalize (:741)
+    assert n["message"] == "Your withdrawal request for $5.00 has been approved"
+
+
+def test_withdrawal_reject_does_not_debit(api):
+    before = _balance(api, "u0001")
+    w = api.request_withdrawal("u0001", "7.00", TS, payment_details="{}").collect()[0]
+    api.process_withdrawal(w["id"], "rejected", TS)
+    assert _balance(api, "u0001") == before
+    assert (
+        api.get_withdrawals("u0001").where(f"id={w['id']}").collect()[0]["status"]
+        == "rejected"
+    )
+
+
+# ---------------------------------------------------------------------------
+# subscriptions
+# ---------------------------------------------------------------------------
+
+
+def test_subscription_flow(api):
+    p = api.pay_subscription("u0003", TS, "/uploads/x.png").collect()[0]
+    assert p["amount"] == Decimal("50.00") and p["status"] == "pending"  # :623
+    n = api.get_notifications("u0003", 1).collect()[0]
+    assert n["title"] == "Subscription Payment Submitted"
+
+    api.approve_subscription_payment(p["id"], TS)
+    st = api.get_subscription_status("u0003").collect()[0]
+    assert st["status"] == "active"
+    assert st["expires_at"] == TS + datetime.timedelta(days=31)  # +1 month (:786)
+    assert st["last_payment"] == TS
+    assert (
+        api.get_subscription_payments("u0003").collect()[0]["status"] == "approved"
+    )
+
+    p2 = api.pay_subscription("u0004", TS).collect()[0]
+    api.reject_subscription_payment(p2["id"], TS, "bad proof")
+    assert (
+        api.get_subscription_payments("u0004").collect()[0]["status"] == "rejected"
+    )
+    n2 = api.get_notifications("u0004", 1).collect()[0]
+    assert "bad proof" in n2["message"]
+
+    with pytest.raises(ApiError) as e:
+        api.approve_subscription_payment(9999, TS)
+    assert e.value.status == 404
+    with pytest.raises(ApiError) as e:
+        api.get_subscription_status("ghost")
+    assert e.value.status == 404
+
+
+# ---------------------------------------------------------------------------
+# add-commission + notifications read flag
+# ---------------------------------------------------------------------------
+
+
+def test_add_commission_and_mark_read(api):
+    api.add_commission("u0075", "12.34", "direct", TS, "bonus")
+    assert _balance(api, "u0075") == Decimal("12.34")
+    n = api.get_notifications("u0075").collect()[0]
+    assert n["title"] == "Commission Added"
+    assert (
+        n["message"]
+        == "$12.34 direct commission has been added to your account. bonus"
+    )
+    assert n["is_read"] is False
+    api.mark_notification_read(n["id"], TS)
+    assert api.get_notifications("u0075").collect()[0]["is_read"] is True
+    # marking is per-id: other users' notifications untouched
+    assert api.get_notifications("u0001", 1).collect()[0]["is_read"] in (
+        True,
+        False,
+    )

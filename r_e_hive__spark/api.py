@@ -92,13 +92,16 @@ from r_e_hive__spark.schemas import REHIVE_SCHEMAS
 # event-sourced decision/read logs (the engine-side twins of the
 # reference's UPDATE statements)
 _LOG_SCHEMAS: dict[str, StructType] = {
-    # PATCH /api/admin/commission-withdrawals/:id (:722-737)
+    # PATCH /api/admin/commission-withdrawals/:id (:722-737).  ``seq`` is
+    # the log's own append sequence — the unique latest-wins tiebreaker
+    # when two decisions share one processed_at (determinism contract).
     "withdrawal_decisions": StructType(
         [
             StructField("withdrawal_id", LongType(), False),
             StructField("status", StringType(), False),
             StructField("admin_notes", StringType(), True),
             StructField("processed_at", TimestampType(), False),
+            StructField("seq", LongType(), False),
         ]
     ),
     # PATCH /api/admin/subscription-payments/:id/{approve,reject} (:779-795, :824-830)
@@ -108,6 +111,7 @@ _LOG_SCHEMAS: dict[str, StructType] = {
             StructField("status", StringType(), False),
             StructField("admin_notes", StringType(), True),
             StructField("processed_at", TimestampType(), False),
+            StructField("seq", LongType(), False),
         ]
     ),
     # PATCH /api/notifications/:id/read (:679-682)
@@ -168,7 +172,6 @@ class RehiveAPI:
             )
         for name, schema in _LOG_SCHEMAS.items():
             self.t[name] = tables.get(name, spark.createDataFrame([], schema))
-        self._next_event_id = 0
 
     @classmethod
     def from_fixtures(cls, spark: SparkSession, as_of: str | None = None) -> "RehiveAPI":
@@ -247,7 +250,7 @@ class RehiveAPI:
 
     def _with_decisions(self, base: str, log: str, fk: str) -> DataFrame:
         d = latest_record_wins(
-            self.t[log], [fk], [F.desc("processed_at")]
+            self.t[log], [fk], [F.desc("processed_at"), F.desc("seq")]
         ).select(
             F.col(fk).alias("id"),
             F.col("status").alias("_d_status"),
@@ -294,10 +297,10 @@ class RehiveAPI:
                 self.t["payment_decisions"].where(F.col("status") == "approved"),
                 F.col("id") == F.col("payment_id"),
             )
-            .select("user_id", "processed_at")
+            .select("user_id", "processed_at", "seq")
         )
         latest_appr = latest_record_wins(
-            approvals, ["user_id"], [F.desc("processed_at")]
+            approvals, ["user_id"], [F.desc("processed_at"), F.desc("seq")]
         ).select(
             F.col("user_id").alias("_au"), F.col("processed_at").alias("_appr_at")
         )
@@ -349,9 +352,12 @@ class RehiveAPI:
     def get_user(self, user_id: str) -> DataFrame:
         """GET /api/users/me · /api/users/:id (:343-382): user + package
         relation load.  404 if absent."""
+        # materialize the derived-view row ONCE: the existence probe and
+        # the caller's collect would otherwise each run the full
+        # users_current plan (round-5 review)
         out = self._with_package(
             self.users_current().where(F.col("id") == F.lit(user_id))
-        ).limit(1)
+        ).limit(1).localCheckpoint(eager=True)
         if self._first(out) is None:
             raise ApiError(404, "User not found")
         return out
@@ -412,7 +418,13 @@ class RehiveAPI:
     def get_subscription_status(self, user_id: str) -> DataFrame:
         """GET /api/subscription/status?userId= (:582-610): the derived
         {status, expires_at, last_payment} projection (P7/F11 vs as_of)."""
-        u = self.users_current().where(F.col("id") == F.lit(user_id))
+        # single execution for probe + result (round-5 review)
+        u = (
+            self.users_current()
+            .where(F.col("id") == F.lit(user_id))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         if self._first(u.select("id")) is None:
             raise ApiError(404, "User not found")
         return u.select(
@@ -490,9 +502,9 @@ class RehiveAPI:
         """POST /api/redeem-gift-code (:456-508): the full commission
         pipeline on one event against current state.  Raises the
         reference's 404 (invalid/redeemed code) / 400 (self-redemption)."""
-        self._next_event_id += 1
+        event_id = self._next_id("redemptions_accepted", "event_id")
         event = self.spark.createDataFrame(
-            [(self._next_event_id, code, user_id, referral_code, ts)],
+            [(event_id, code, user_id, referral_code, ts)],
             REHIVE_SCHEMAS["redemption_events"],
         )
         out = process_redemptions(
@@ -509,11 +521,34 @@ class RehiveAPI:
             raise ApiError(404, "Invalid or already redeemed gift code")
 
         accepted = self._first(out.accepted)
+        if accepted is None:
+            # the code points at a nonexistent package: the reference still
+            # redeems the code and re-points the user (:476-486) but
+            # processCommissions early-returns (:214 `if (!packageData)
+            # return`) — no ledger/notifications/profit.  The pipeline's
+            # package inner-join dropped the event, so replay just the
+            # redemption fact here.
+            gc = self._first(
+                self.gift_codes_current().where(F.col("code") == F.lit(code))
+            )
+            self._append(
+                "redemptions_accepted",
+                self._row(
+                    "redemptions_accepted",
+                    event_id=event_id,
+                    gift_code_id=gc["id"],
+                    code=code,
+                    user_id=user_id,
+                    package_id=gc["package_id"],
+                    event_ts=ts,
+                ),
+            )
+            return {"message": "Gift code redeemed successfully"}
         self._append(
             "redemptions_accepted",
             self._row(
                 "redemptions_accepted",
-                event_id=self._next_event_id,
+                event_id=event_id,
                 gift_code_id=accepted["gift_code_id"],
                 code=code,
                 user_id=user_id,
@@ -521,9 +556,15 @@ class RehiveAPI:
                 event_ts=ts,
             ),
         )
-        # referral edge (:494-497)
+        # referral edge (:494-497).  Parity note: the engine keeps AT MOST
+        # ONE inbound edge per user (the pipeline's pinned deterministic
+        # semantic — the reference inserts unconditionally but its upline
+        # walk reads only findFirst's single edge, :263-267, so extra
+        # edges are unreachable state there; here they are simply not
+        # written, keeping get_user_referrals consistent with what the
+        # commission engine actually pays through).
         ref_base = self._next_id("referrals") - 1
-        new_refs = self._seq_append(
+        self._seq_append(
             "referrals",
             out.new_referrals.select("referrer_id", "referred_id", "created_at"),
             ref_base,
@@ -643,6 +684,7 @@ class RehiveAPI:
                 status=status,
                 admin_notes=admin_notes,
                 processed_at=ts,
+                seq=self._next_id("withdrawal_decisions", "seq"),
             ),
         )
         # message parity with the JS template literal (:742): the raw
@@ -718,6 +760,7 @@ class RehiveAPI:
                 status=status,
                 admin_notes=notes,
                 processed_at=ts,
+                seq=self._next_id("payment_decisions", "seq"),
             ),
         )
         self._notify(p["user_id"], F.lit(title), F.lit(msg), typ, ts)
@@ -740,13 +783,15 @@ class RehiveAPI:
                 created_at=ts,
             ),
         )
-        # :869 template literal parity: raw amount, trailing space survives
-        # an absent description exactly as in JS
+        # :869 template literal parity: the RAW request amount (the ledger
+        # row carries the quantized decimal, the message shows what the
+        # caller sent, exactly as the JS interpolates req.body.amount);
+        # trailing space survives an absent description as in JS
         self._notify(
             user_id,
             title_expr=F.lit("Commission Added"),
             message_expr=F.lit(
-                f"${amt} {type_} commission has been added to your account. "
+                f"${amount} {type_} commission has been added to your account. "
                 f"{description or ''}"
             ),
             type_="commission",

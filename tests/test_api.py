@@ -234,10 +234,71 @@ def test_add_commission_and_mark_read(api):
         == "$12.34 direct commission has been added to your account. bonus"
     )
     assert n["is_read"] is False
+    # marking is per-id: snapshot another user's flags and require them
+    # bit-identical after the mark (round-5 review: the old in-(True,False)
+    # assertion was vacuous)
+    u1_before = {
+        r["id"]: r["is_read"] for r in api.get_notifications("u0001").collect()
+    }
     api.mark_notification_read(n["id"], TS)
     assert api.get_notifications("u0075").collect()[0]["is_read"] is True
-    # marking is per-id: other users' notifications untouched
-    assert api.get_notifications("u0001", 1).collect()[0]["is_read"] in (
-        True,
-        False,
-    )
+    u1_after = {
+        r["id"]: r["is_read"] for r in api.get_notifications("u0001").collect()
+    }
+    assert u1_after == u1_before
+
+
+def test_add_commission_message_shows_raw_amount(api):
+    """:869 parity — the notification interpolates the RAW request amount
+    ('12.3', not the quantized '12.30'); the ledger row stays exact."""
+    api.add_commission("u0074", "12.3", "direct", TS)
+    n = api.get_notifications("u0074").collect()[0]
+    assert n["message"].startswith("$12.3 direct")
+    assert not n["message"].startswith("$12.30")
+    assert _balance(api, "u0074") == Decimal("12.30")
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_redeem_code_with_missing_package(api):
+    """processCommissions early-returns on a dangling package (:214): the
+    code still redeems and the user re-points, but no ledger/profit rows
+    appear."""
+    gc = api.create_gift_code(999, "u0001", TS).collect()[0]  # no package 999
+    n_comm = api.t["commissions"].count()
+    n_prof = api.t["company_profits"].count()
+    bal = _balance(api, "u0001")
+    out = api.redeem_gift_code(gc["code"], "u0002", TS)
+    assert out == {"message": "Gift code redeemed successfully"}
+    cur = api.gift_codes_current().where(f"code='{gc['code']}'").collect()[0]
+    assert cur["is_redeemed"] and cur["redeemed_by"] == "u0002"
+    assert api.t["commissions"].count() == n_comm
+    assert api.t["company_profits"].count() == n_prof
+    assert _balance(api, "u0001") == bal
+
+
+def test_decision_tiebreak_same_timestamp(api):
+    """Two decisions with one processed_at: the later APPEND wins (seq
+    tiebreaker) — deterministic, not partition-order-dependent."""
+    w = api.request_withdrawal("u0001", "3.00", TS, payment_details="{}").collect()[0]
+    bal = _balance(api, "u0001")
+    api.process_withdrawal(w["id"], "approved", TS)
+    api.process_withdrawal(w["id"], "rejected", TS)  # same ts, later seq
+    cur = api.get_withdrawals("u0001").where(f"id={w['id']}").collect()[0]
+    assert cur["status"] == "rejected"
+    assert _balance(api, "u0001") == bal  # final state: no debit
+
+
+def test_event_ids_resume_from_supplied_log(spark, api):
+    """A facade constructed over a prior session's accepted-redemption log
+    continues event ids past its max (the max+sequence contract)."""
+    api.redeem_gift_code("GCODE001", "u0002", TS)
+    prior = {name: df for name, df in api.t.items()}
+    api2 = RehiveAPI(spark, prior, api.as_of)
+    api2.redeem_gift_code("GCODE002", "u0003", TS)
+    ids = [r["event_id"] for r in api2.t["redemptions_accepted"].collect()]
+    assert len(ids) == len(set(ids)) == 2
+    assert max(ids) == 2

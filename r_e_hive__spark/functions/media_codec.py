@@ -317,3 +317,223 @@ def bmp_encode(width: int, height: int) -> bytes:
             body += bytes(((x * 5 + y * 11 + c * 3) % 256) for c in range(3))
         body += b"\x00" * pad
     return bytes(hdr) + bytes(body)
+
+
+# --- MP4 / ISO-BMFF (box walk; container metadata, no sample decode) -------
+
+
+def is_mp4(b: bytes) -> bool:
+    return len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def _bmff_boxes(b: bytes, pos: int, end: int):
+    """Yield (type, body_start, box_end) for the sibling boxes in
+    ``b[pos:end]``.  Handles 64-bit largesize (size==1) and to-end boxes
+    (size==0); malformed sizes raise ValueError."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed ISO-BMFF box size")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_meta(b: bytes) -> dict:
+    """Container metadata from the moov tree: movie duration (mvhd),
+    per-track handlers (hdlr: has_video/has_audio), the first video
+    track's presentation size (tkhd 16.16 fixed-point), and the total
+    mdat payload.  Media decode is out of scope (the samples are
+    codec-specific streams) — exactly the FLAC/WEBP metadata-only
+    contract."""
+    if not is_mp4(b):
+        raise ValueError("not an ISO-BMFF (ftyp) file")
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    has_video = has_audio = False
+    mdat_bytes = 0
+    for typ, body, endb in _bmff_boxes(b, 0, len(b)):
+        if typ == b"mdat":
+            mdat_bytes += endb - body
+        elif typ == b"moov":
+            for t2, b2, e2 in _bmff_boxes(b, body, endb):
+                if t2 == b"mvhd":
+                    ver = b[b2]
+                    if ver == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", b[b2 + 20 : b2 + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", b[b2 + 12 : b2 + 20]
+                        )
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    t_w = t_h = None
+                    t_handler = None
+                    for t3, b3, e3 in _bmff_boxes(b, b2, e2):
+                        if t3 == b"tkhd":
+                            ver = b[b3]
+                            off = b3 + (92 if ver == 1 else 76)
+                            if off + 8 > e3:
+                                raise ValueError("truncated tkhd box")
+                            w_fp, h_fp = struct.unpack(">II", b[off : off + 8])
+                            t_w, t_h = w_fp >> 16, h_fp >> 16
+                        elif t3 == b"mdia":
+                            for t4, b4, _e4 in _bmff_boxes(b, b3, e3):
+                                if t4 == b"hdlr":
+                                    t_handler = b[b4 + 8 : b4 + 12]
+                    if t_handler == b"vide":
+                        has_video = True
+                        if width is None and t_w:
+                            width, height = t_w, t_h
+                    elif t_handler == b"soun":
+                        has_audio = True
+    if timescale is None:
+        raise ValueError("no mvhd box (not a movie file)")
+    return {
+        "duration_ms": (duration * 1000 // timescale) if timescale else None,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "has_video": has_video,
+        "has_audio": has_audio,
+        "mdat_bytes": mdat_bytes,
+    }
+
+
+def _bmff_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def mp4_encode(
+    duration_ms: int = 2000,
+    width: int = 64,
+    height: int = 36,
+    mdat_bytes: int = 16,
+    timescale: int = 1000,
+) -> bytes:
+    """Deterministic minimal ISO-BMFF movie: ftyp + zeroed mdat + a moov
+    with one video track (mvhd, tkhd with 16.16 size, mdia/hdlr 'vide').
+    Structurally valid for any box walker; carries no codec samples —
+    the fixture twin of tiff_encode/wav_encode for the video column."""
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = _bmff_box(b"mdat", bytes(mdat_bytes))
+    dur = duration_ms * timescale // 1000
+    mvhd = _bmff_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)  # v0, ts=create/mod 0
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)  # rate, volume
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)  # predefined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = _bmff_box(
+        b"tkhd",
+        # v0: ver+flags(4) creation(4) mod(4) track_id(4) reserved(4) = 20
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+        # duration(4) reserved(8) layer/alt/volume/reserved(8) = 20
+        + struct.pack(">I8xHHHH", dur, 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 at body+76
+    )
+    hdlr = _bmff_box(b"hdlr", struct.pack(">B3xI", 0, 0) + b"vide" + bytes(12) + b"\x00")
+    mdia = _bmff_box(b"mdia", hdlr)
+    trak = _bmff_box(b"trak", tkhd + mdia)
+    moov = _bmff_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# --- MP3 (MPEG-1/2 Layer III frame headers; ID3v2-aware) -------------------
+
+# MPEG-1 Layer III bitrates (kbps) by header index; index 0 = free, 15 = bad
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def is_mp3(b: bytes) -> bool:
+    return b[:3] == b"ID3" or (
+        len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE6) == 0xE2  # sync + Layer III
+    )
+
+
+def mp3_meta(b: bytes) -> dict:
+    """Walk the Layer III frame stream: (version, bitrate_kbps,
+    sample_rate, channels, n_frames, duration_ms, stream_bytes).  An
+    ID3v2 tag (syncsafe length) is skipped; VBR streams report the first
+    frame's bitrate and an exact frame-walk duration.  Only MPEG-1/2
+    Layer III (the 'MP3' profile) is parsed — anything else raises for
+    the caller's fall-through."""
+    pos = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            raise ValueError("truncated ID3v2 header")
+        pos = 10 + (
+            (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]  # syncsafe
+        )
+    start = pos
+    first = None
+    n_frames = 0
+    while pos + 4 <= len(b):
+        h = b[pos : pos + 4]
+        if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+            break
+        ver_bits = (h[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_bits = (h[1] >> 1) & 0x3  # 1 = Layer III
+        if layer_bits != 1 or ver_bits == 1:
+            raise NotImplementedError("only MPEG-1/2/2.5 Layer III parsed")
+        br_idx, sr_idx = h[2] >> 4, (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free/invalid bitrate or bad sample-rate index")
+        bitrate = (
+            _MP3_BITRATES_V1[br_idx] if ver_bits == 3 else _MP3_BITRATES_V2[br_idx]
+        ) * 1000
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        padding = (h[2] >> 1) & 0x1
+        spf = 1152 if ver_bits == 3 else 576  # samples per L3 frame
+        frame_len = spf // 8 * bitrate // rate + padding
+        if frame_len <= 4 or pos + frame_len > len(b):
+            break
+        if first is None:
+            first = {
+                "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[ver_bits],
+                "bitrate_kbps": bitrate // 1000,
+                "sample_rate": rate,
+                "channels": 1 if (h[3] >> 6) == 3 else 2,
+                "_spf": spf,
+            }
+        n_frames += 1
+        pos += frame_len
+    if first is None:
+        raise ValueError("no Layer III frame at stream start")
+    out = {k: v for k, v in first.items() if not k.startswith("_")}
+    out["n_frames"] = n_frames
+    out["duration_ms"] = n_frames * first["_spf"] * 1000 // first["sample_rate"]
+    out["stream_bytes"] = pos - start
+    return out
+
+
+def mp3_encode(
+    n_frames: int = 5, bitrate_kbps: int = 64, sample_rate: int = 44100
+) -> bytes:
+    """Deterministic MPEG-1 Layer III frame stream: valid headers, zeroed
+    main data (decodes as silence/garbage but parses everywhere) — the
+    audio fixture twin of mp4_encode."""
+    br_idx = _MP3_BITRATES_V1.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0]  # no CRC, mono
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(frame_len - 4)
+    return frame * n_frames

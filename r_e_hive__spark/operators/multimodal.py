@@ -86,6 +86,12 @@ def real_format_fixtures() -> dict[str, bytes]:
         "real_0001.wav": M.wav_encode(1234, sample_rate=8000, channels=1, bits=16),
         "real_0002.bmp": M.bmp_encode(17, 9),
         "real_0003.tif": M.tiff_encode(11, 7),
+        # round 5: video/audio containers (ISO-BMFF box tree; Layer III
+        # frame stream) — metadata-only parse, like WEBP/FLAC
+        "real_0004.mp4": M.mp4_encode(duration_ms=2000, width=64, height=36,
+                                      mdat_bytes=16),
+        "real_0005.mp3": M.mp3_encode(n_frames=5, bitrate_kbps=64,
+                                      sample_rate=44100),
     }
 
 
@@ -258,6 +264,31 @@ def decode_blob(content: bytes) -> dict:
                 * fm["channels"]
                 * fm["bits_per_sample"]
                 // 8,
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    # MP4 / MP3 (round 5 breadth: the video/audio container column).  MP4
+    # before MP3 — the MP3 frame-sync probe is the loosest magic, so it
+    # goes last of the structured parsers.
+    if M.is_mp4(content):
+        try:
+            mm = M.mp4_meta(content)
+            return {
+                "kind": "video" if mm["has_video"] else "audio",
+                "width": mm["width"],
+                "height": mm["height"],
+                "payload_bytes": mm["mdat_bytes"],
+            }
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    if M.is_mp3(content):
+        try:
+            am = M.mp3_meta(content)
+            return {
+                "kind": "audio",
+                "width": None,
+                "height": None,
+                "payload_bytes": am["stream_bytes"],
             }
         except (ValueError, NotImplementedError, struct.error):
             pass

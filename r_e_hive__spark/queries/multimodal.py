@@ -38,8 +38,10 @@ def _x7_oracle(n: int = 24) -> str:
     the Spark decode path, so the differential check covers the binaryFile
     scan, Arrow batching, and header parse end-to-end.
 
-    The four REAL-format rows (PNG via the actual zlib encoder, PCM WAV,
-    24-bit BMP, uncompressed RGB TIFF) carry closed-form metadata too:
+    The six REAL-format rows (PNG via the actual zlib encoder, PCM WAV,
+    24-bit BMP, uncompressed RGB TIFF, ISO-BMFF MP4, MPEG-1 L3 MP3 —
+    the video/audio containers added in round 5) carry closed-form
+    metadata too:
     pixel/sample math from the generator parameters (20×12×3 PNG = 720
     pixel bytes; 1234 16-bit mono samples = 2468 PCM bytes in a
     44-byte-header file; 17×9 BMP = 459 pixel bytes in 54 + 9·52 padded
@@ -60,6 +62,13 @@ def _x7_oracle(n: int = 24) -> str:
         f"('real_0002.bmp', CAST({54 + 9 * 52} AS BIGINT), 'image', 17, 9, CAST(459 AS BIGINT))",
         f"('real_0003.tif', CAST({8 + 231 + 6 + 2 + 9 * 12 + 4} AS BIGINT), "
         f"'image', 11, 7, CAST(231 AS BIGINT))",
+        # MP4 (round 5): 20-byte ftyp + (8+16) mdat + 257-byte moov
+        # (8 + mvhd 108 + trak[8 + tkhd 92 + mdia[8 + hdlr 33]]) = 301;
+        # payload = the mdat body
+        f"('real_0004.mp4', CAST(301 AS BIGINT), 'video', 64, 36, CAST(16 AS BIGINT))",
+        # MP3 (round 5): 5 MPEG-1 L3 frames of 144*64000/44100 = 208 bytes
+        f"('real_0005.mp3', CAST({5 * 208} AS BIGINT), 'audio', "
+        f"CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST({5 * 208} AS BIGINT))",
     ]
     return (
         "SELECT * FROM (VALUES\n    "
@@ -74,14 +83,14 @@ def _x7_oracle(n: int = 24) -> str:
     _x7_oracle(),  # golden VALUES derived from the fixture spec
     survey_rows=("X7", "S6"),
     doc="binaryFile ingest + Arrow-batched metadata extraction "
-    "(REHV stub + real PNG/WAV/BMP/TIFF parsers).",
+    "(REHV stub + real PNG/WAV/BMP/TIFF/MP4/MP3 parsers).",
 )
 def x7_multimodal_metadata(spark, sf_dir):
     """Binary artifact ingest (payment-proof analog, render-complete-
     deploy.js:181-195) → mapInPandas decode → typed metadata.  The fixture
     dir mixes REHV stub blobs with REAL formats (PNG / PCM WAV / 24-bit
-    BMP / uncompressed RGB TIFF) decoded by the pure-stdlib codecs in
-    functions/."""
+    BMP / uncompressed RGB TIFF / ISO-BMFF MP4 / MPEG-1 Layer III MP3)
+    decoded by the pure-stdlib codecs in functions/."""
     blobs = read_binary_dir(spark, _blob_dir())
     meta = extract_metadata(blobs)
     return (

@@ -530,3 +530,75 @@ def test_extract_metadata_degrades_malformed_blobs_to_null_rows(spark, tmp_path)
     for bad in ("bad_bmp.bin", "bad_riff.bin", "bad_png.bin", "bad_jpeg.bin"):
         assert rows[bad]["kind"] is None and rows[bad]["width"] is None, bad
     assert rows["good.bin"]["kind"] == "image"
+
+
+def test_mp4_box_walk_meta():
+    """Round-5 video container: ISO-BMFF box-tree metadata parse — movie
+    duration from mvhd, track size from tkhd's 16.16 fields, handler
+    routing, mdat payload accounting, 64-bit largesize boxes."""
+    from r_e_hive__spark.functions import media_codec as M
+
+    b = M.mp4_encode(duration_ms=3500, width=320, height=180, mdat_bytes=99)
+    m = M.mp4_meta(b)
+    assert m == {
+        "duration_ms": 3500,
+        "n_tracks": 1,
+        "width": 320,
+        "height": 180,
+        "has_video": True,
+        "has_audio": False,
+        "mdat_bytes": 99,
+    }
+    # 64-bit largesize mdat: same payload accounted through the 16-byte header
+    import struct as S
+
+    ftyp = b[:20]
+    rest = b[20 + 8 + 99:]
+    large = S.pack(">I", 1) + b"mdat" + S.pack(">Q", 16 + 7) + bytes(7)
+    assert M.mp4_meta(ftyp + large + rest)["mdat_bytes"] == 7
+    # truncation never escapes as struct.error
+    import pytest as _pytest
+
+    for cut in (5, 12, 40, 150, len(b) - 1):
+        try:
+            M.mp4_meta(b[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    with _pytest.raises(ValueError):
+        M.mp4_meta(b"\x00" * 16)
+
+
+def test_mp3_frame_walk_meta():
+    """Round-5 audio stream: Layer III frame-header walk with ID3v2 skip,
+    exact frame-count duration, stream-byte accounting."""
+    from r_e_hive__spark.functions import media_codec as M
+
+    b = M.mp3_encode(n_frames=7, bitrate_kbps=128, sample_rate=44100)
+    m = M.mp3_meta(b)
+    assert m["version"] == "MPEG1" and m["bitrate_kbps"] == 128
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["n_frames"] == 7
+    assert m["stream_bytes"] == len(b) == 7 * (144 * 128000 // 44100)
+    assert m["duration_ms"] == 7 * 1152 * 1000 // 44100
+    # ID3v2 tag (syncsafe size) is skipped transparently
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 4]) + bytes(132)  # size 132
+    assert M.mp3_meta(id3 + b)["n_frames"] == 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # tag, no frames
+    # Layer I/II frames are explicitly not parsed (fall-through contract)
+    l2 = bytes([0xFF, 0xFD, 0x54, 0xC0]) + bytes(100)
+    with _pytest.raises(NotImplementedError):
+        M.mp3_meta(l2)
+
+
+def test_decode_blob_routes_mp4_mp3():
+    from r_e_hive__spark.functions import media_codec as M
+    from r_e_hive__spark.operators.multimodal import decode_blob
+
+    v = decode_blob(M.mp4_encode(width=48, height=27, mdat_bytes=5))
+    assert v == {"kind": "video", "width": 48, "height": 27, "payload_bytes": 5}
+    a = decode_blob(M.mp3_encode(n_frames=2))
+    assert a["kind"] == "audio" and a["payload_bytes"] == 2 * (144 * 64000 // 44100)
+    assert a["width"] is None and a["height"] is None

@@ -67,9 +67,10 @@ facts aggregate once per key).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from decimal import Decimal
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -344,6 +345,123 @@ class RehiveAPI:
         return df.join(F.broadcast(pkg), df[on] == pkg["__pkg_id"], "left").drop(
             "__pkg_id"
         )
+
+    # ------------------------------------------------------------------
+    # generic Drizzle-shaped relational builder (SURVEY.md §3.1: "the API
+    # stays DataFrame-builder-shaped (like Drizzle) plus raw SQL")
+    # ------------------------------------------------------------------
+
+    # relation registry mirroring the reference's Drizzle `relations`
+    # declarations: relation name -> (target table, fk on source, pk)
+    _RELATIONS: dict[tuple[str, str], tuple[str, str, str]] = {
+        ("users", "package"): ("packages", "package_id", "id"),
+        ("referrals", "referred"): ("users", "referred_id", "id"),
+        ("referrals", "referrer"): ("users", "referrer_id", "id"),
+        ("gift_codes", "package"): ("packages", "package_id", "id"),
+        ("gift_codes", "redeemer"): ("users", "redeemed_by", "id"),
+        ("commissions", "user"): ("users", "user_id", "id"),
+        ("commission_withdrawals", "user"): ("users", "user_id", "id"),
+        ("subscription_payments", "user"): ("users", "user_id", "id"),
+        ("notifications", "user"): ("users", "user_id", "id"),
+    }
+
+    def current(self, table: str) -> DataFrame:
+        """The table's CURRENT view — derived state where the reference
+        mutates in place, the raw frame elsewhere."""
+        views_ = {
+            "users": self.users_current,
+            "gift_codes": self.gift_codes_current,
+            "commission_withdrawals": self.withdrawals_current,
+            "subscription_payments": self.subscription_payments_current,
+            "notifications": self.notifications_current,
+        }
+        if table in views_:
+            return views_[table]()
+        if table not in self.t:
+            raise ApiError(404, f"Unknown table {table!r}")
+        return self.t[table]
+
+    def find_many(
+        self,
+        table: str,
+        where: dict | Column | None = None,
+        order_by: Sequence[tuple[str, str] | str] = (),
+        limit: int | None = None,
+        with_: dict | None = None,
+    ) -> DataFrame:
+        """Drizzle's ``db.query.<t>.findMany({where, with, orderBy,
+        limit})`` shape (e.g. render-complete-deploy.js:386-394).
+
+        ``where``: {col: value} equality conjunction (eq/and — the only
+        predicates the reference builds) or a raw Column for anything
+        richer.  ``with_``: {relation: True | nested dict} relation loads
+        from the registry; loaded columns arrive prefixed ``{rel}_``,
+        nested loads compose prefixes (``referred_package_price``).
+        Everything compiles to the same broadcast-left-join + filter +
+        TakeOrderedAndProject plans as the named endpoints."""
+        df = self.current(table)
+        for rel, spec in (with_ or {}).items():
+            key = (table, rel)
+            if key not in self._RELATIONS:
+                raise ApiError(400, f"Unknown relation {rel!r} on {table!r}")
+            target, fk, pk = self._RELATIONS[key]
+            tdf = self.current(target)
+            if isinstance(spec, dict):  # nested relation load (J2 shape)
+                inner = self.find_many(target, with_=spec)
+            else:
+                inner = tdf
+            aliased = inner.select(
+                *[F.col(c).alias(f"{rel}_{c}") for c in inner.columns]
+            )
+            side = (
+                F.broadcast(aliased) if target == "packages" else aliased
+            )
+            # drop by Column reference, not name: for the `user` relation
+            # the aliased pk is literally "user_id" — a name-based drop
+            # would also delete the source fk column
+            df = df.join(
+                side, df[fk] == aliased[f"{rel}_{pk}"], "left"
+            ).drop(aliased[f"{rel}_{pk}"])
+        if isinstance(where, dict):
+            for c, v in where.items():
+                df = df.where(F.col(c).eqNullSafe(F.lit(v)))
+        elif where is not None:
+            df = df.where(where)
+        if order_by:
+            exprs = []
+            for o in order_by:
+                if isinstance(o, str):
+                    exprs.append(F.asc(o))
+                else:
+                    c, d = o
+                    exprs.append(F.desc(c) if d.lower() == "desc" else F.asc(c))
+            df = df.orderBy(*exprs)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def find_first(self, table: str, **kwargs) -> DataFrame:
+        """Drizzle ``findFirst`` — LIMIT 1 (S2 point-lookup shape)."""
+        return self.find_many(table, **kwargs).limit(1)
+
+    def insert(self, table: str, values: dict) -> DataFrame:
+        """Generic ``db.insert(t).values({...}).returning()`` (S4): next
+        sequential id, declared-schema row, appended, returned."""
+        if table not in REHIVE_SCHEMAS or table == "redemption_events":
+            raise ApiError(400, f"Cannot insert into {table!r}")
+        row = self._row(table, id=self._next_id(table), **values)
+        self._append(table, row)
+        return row
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw-SQL escape hatch (F17): every table's CURRENT view is
+        registered as ``api_<table>`` before the query runs, so the
+        event-sourced derivations are visible to plain Spark SQL."""
+        for name in REHIVE_SCHEMAS:
+            if name == "redemption_events":
+                continue
+            self.current(name).createOrReplaceTempView(f"api_{name}")
+        return self.spark.sql(query)
 
     # ------------------------------------------------------------------
     # read endpoints

@@ -302,3 +302,72 @@ def test_event_ids_resume_from_supplied_log(spark, api):
     ids = [r["event_id"] for r in api2.t["redemptions_accepted"].collect()]
     assert len(ids) == len(set(ids)) == 2
     assert max(ids) == 2
+
+
+# ---------------------------------------------------------------------------
+# generic Drizzle-shaped builder (find_many / find_first / insert / sql)
+# ---------------------------------------------------------------------------
+
+
+def test_find_many_two_level_relation_load(api):
+    rows = api.find_many(
+        "referrals",
+        where={"referrer_id": "u0001"},
+        with_={"referred": {"package": True}},
+        order_by=[("created_at", "desc"), ("id", "desc")],
+    ).collect()
+    assert len(rows) == 7  # same shape as the :384-401 endpoint
+    assert all(r["referred_email"].endswith("@example.com") for r in rows)
+    # nested prefix composition: referred -> package
+    assert any(r["referred_package_name"] is not None for r in rows)
+
+
+def test_find_first_point_lookup(api):
+    u = api.find_first(
+        "users", where={"id": "u0001"}, with_={"package": True}
+    ).collect()
+    assert len(u) == 1 and u[0]["package_name"] == "diamond"
+    # derived field comes from the CURRENT view, not the stored column
+    assert u[0]["commission_balance"] > 0
+
+
+def test_find_many_matches_named_endpoint(api):
+    built = api.find_many(
+        "commissions",
+        where={"user_id": "u0001"},
+        order_by=[("created_at", "desc"), ("id", "desc")],
+        limit=100,
+    ).collect()
+    named = api.get_commission_history("u0001").collect()
+    assert [r["id"] for r in built] == [r["id"] for r in named]
+
+
+def test_find_many_user_relation_keeps_fk(api):
+    """The `user` relation's aliased pk is literally 'user_id' — the load
+    must keep the source fk column intact (round-5: drop-by-name would
+    delete both)."""
+    rows = api.find_many(
+        "commission_withdrawals", with_={"user": True}
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["user_id"] is not None for r in rows)
+    assert all(r["user_email"] is not None for r in rows)
+
+
+def test_builder_insert_returning_and_sql(api):
+    row = api.insert(
+        "notifications",
+        dict(user_id="u0075", title="t", message="m", type="info",
+             is_read=False, created_at=TS),
+    ).collect()[0]
+    assert row["id"] == 61  # max(60 fixtures) + 1
+    assert api.get_notifications("u0075").collect()[0]["id"] == 61
+    # raw-SQL escape hatch over the CURRENT views (F17)
+    n = api.sql(
+        "SELECT COUNT(*) AS n FROM api_users WHERE subscription_status = 'active'"
+    ).collect()[0]["n"]
+    assert n > 0
+    with pytest.raises(ApiError):
+        api.find_many("users", with_={"nope": True})
+    with pytest.raises(ApiError):
+        api.insert("redemption_events", {})

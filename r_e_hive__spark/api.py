@@ -405,11 +405,10 @@ class RehiveAPI:
             if key not in self._RELATIONS:
                 raise ApiError(400, f"Unknown relation {rel!r} on {table!r}")
             target, fk, pk = self._RELATIONS[key]
-            tdf = self.current(target)
             if isinstance(spec, dict):  # nested relation load (J2 shape)
                 inner = self.find_many(target, with_=spec)
             else:
-                inner = tdf
+                inner = self.current(target)
             aliased = inner.select(
                 *[F.col(c).alias(f"{rel}_{c}") for c in inner.columns]
             )
@@ -445,11 +444,26 @@ class RehiveAPI:
         return self.find_many(table, **kwargs).limit(1)
 
     def insert(self, table: str, values: dict) -> DataFrame:
-        """Generic ``db.insert(t).values({...}).returning()`` (S4): next
-        sequential id, declared-schema row, appended, returned."""
+        """Generic ``db.insert(t).values({...}).returning()`` (S4).
+
+        Serial (long) pks auto-assign ``max(existing)+1``; the uuid-pk
+        ``users`` table requires a caller-supplied ``id`` — the engine
+        never draws random uuids on a hash-checked path (F15), exactly as
+        fixtures pre-generate them.  A supplied ``id`` always wins."""
         if table not in REHIVE_SCHEMAS or table == "redemption_events":
             raise ApiError(400, f"Cannot insert into {table!r}")
-        row = self._row(table, id=self._next_id(table), **values)
+        vals = dict(values)
+        if "id" not in vals:
+            pk_type = REHIVE_SCHEMAS[table]["id"].dataType
+            if isinstance(pk_type, LongType):
+                vals["id"] = self._next_id(table)
+            else:
+                raise ApiError(
+                    400,
+                    f"{table!r} has a non-serial pk: supply an explicit id "
+                    "(F15 — ids come from data, never rand/uuid)",
+                )
+        row = self._row(table, **vals)
         self._append(table, row)
         return row
 

@@ -367,12 +367,22 @@ def mp4_meta(b: bytes) -> dict:
         elif typ == b"moov":
             for t2, b2, e2 in _bmff_boxes(b, body, endb):
                 if t2 == b"mvhd":
+                    # bounds-check before the byte read: size==hdr boxes are
+                    # legal to the walker, so b2 can equal e2 (round-5
+                    # review: an IndexError here would escape decode_blob's
+                    # degrade-to-null catch list)
+                    if b2 >= e2:
+                        raise ValueError("empty mvhd box")
                     ver = b[b2]
                     if ver == 1:
+                        if b2 + 32 > e2:
+                            raise ValueError("truncated mvhd box")
                         timescale, duration = struct.unpack(
                             ">IQ", b[b2 + 20 : b2 + 32]
                         )
                     else:
+                        if b2 + 20 > e2:
+                            raise ValueError("truncated mvhd box")
                         timescale, duration = struct.unpack(
                             ">II", b[b2 + 12 : b2 + 20]
                         )
@@ -382,8 +392,14 @@ def mp4_meta(b: bytes) -> dict:
                     t_handler = None
                     for t3, b3, e3 in _bmff_boxes(b, b2, e2):
                         if t3 == b"tkhd":
+                            if b3 >= e3:
+                                raise ValueError("empty tkhd box")
                             ver = b[b3]
-                            off = b3 + (92 if ver == 1 else 76)
+                            # v1 body adds 12 bytes over v0 (three 32->64-bit
+                            # timestamps): width sits at 88, not 92 (round-5
+                            # review — the off-by-4 made every spec-sized v1
+                            # tkhd parse as truncated)
+                            off = b3 + (88 if ver == 1 else 76)
                             if off + 8 > e3:
                                 raise ValueError("truncated tkhd box")
                             w_fp, h_fp = struct.unpack(">II", b[off : off + 8])
@@ -491,9 +507,15 @@ def mp3_meta(b: bytes) -> dict:
         ver_bits = (h[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         layer_bits = (h[1] >> 1) & 0x3  # 1 = Layer III
         if layer_bits != 1 or ver_bits == 1:
+            if first is not None:
+                break  # false sync in trailing bytes after valid frames:
+                # terminate like the frame-length check does (round-5
+                # review), don't discard the parsed stream
             raise NotImplementedError("only MPEG-1/2/2.5 Layer III parsed")
         br_idx, sr_idx = h[2] >> 4, (h[2] >> 2) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
+            if first is not None:
+                break
             raise ValueError("free/invalid bitrate or bad sample-rate index")
         bitrate = (
             _MP3_BITRATES_V1[br_idx] if ver_bits == 3 else _MP3_BITRATES_V2[br_idx]

@@ -74,6 +74,9 @@ def zvalue(df: DataFrame, cols: Sequence[str], bounds: dict | None = None) -> Co
     cols = list(cols)
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-order needs 2-4 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
     if bounds is None:
         raise ValueError("zvalue needs bounds; use zorder_by for auto stats")
     stride = len(cols)
@@ -154,7 +157,14 @@ def rowgroup_stats(path: str, col: str) -> list[tuple]:
         ci = names[col]
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
-            out.append((st.min, st.max, md.row_group(rg).num_rows))
+            if st is None or not st.has_min_max:
+                # stats-less chunk (writer opted out, or all-null): a
+                # reader cannot prune it — surface as unbounded, and
+                # rowgroup_skip_fraction counts it unskippable (round-5
+                # review: st.min would have raised here)
+                out.append((None, None, md.row_group(rg).num_rows))
+            else:
+                out.append((st.min, st.max, md.row_group(rg).num_rows))
     return out
 
 
@@ -165,5 +175,9 @@ def rowgroup_skip_fraction(path: str, col: str, lo, hi) -> float:
     stats = rowgroup_stats(path, col)
     if not stats:
         return 0.0
-    skipped = sum(1 for mn, mx, _ in stats if mx < lo or mn > hi)
+    skipped = sum(
+        1
+        for mn, mx, _ in stats
+        if mn is not None and mx is not None and (mx < lo or mn > hi)
+    )
     return skipped / len(stats)

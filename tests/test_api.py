@@ -371,3 +371,25 @@ def test_builder_insert_returning_and_sql(api):
         api.find_many("users", with_={"nope": True})
     with pytest.raises(ApiError):
         api.insert("redemption_events", {})
+
+
+def test_insert_string_pk_requires_explicit_id(api):
+    """Round-5 review: the uuid-pk users table cannot auto-assign
+    max(id)+1 over string ids — an explicit id is required (F15), and a
+    supplied id is honored on any table."""
+    with pytest.raises(ApiError) as e:
+        api.insert("users", dict(email="x@y.z", full_name="X",
+                                 referral_code="RX", kyc_status="pending",
+                                 created_at=TS,
+                                 commission_balance=Decimal("0.00"),
+                                 subscription_status="inactive"))
+    assert e.value.status == 400
+    row = api.insert(
+        "users",
+        dict(id="u9999", email="x@y.z", full_name="X", referral_code="RX",
+             kyc_status="pending", created_at=TS,
+             commission_balance=Decimal("0.00"),
+             subscription_status="inactive"),
+    ).collect()[0]
+    assert row["id"] == "u9999"
+    assert api.find_first("users", where={"id": "u9999"}).count() == 1

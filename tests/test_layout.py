@@ -103,3 +103,17 @@ def test_zorder_rejects_bad_arity_and_passes_empty(spark):
         zvalue(df, ["a", "b", "a", "b", "a"], {})
     # empty input: no bounds -> returned unclustered, still writable
     assert zorder_by(df, ["a", "b"]).count() == 0
+
+
+def test_rowgroup_stats_missing_statistics_unskippable(spark, tmp_path):
+    """Round-5 review: a stats-less column chunk must count as
+    NOT prunable, not crash the footer reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"a": list(range(100)), "b": [None] * 100})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, p, write_statistics=False)
+    assert rowgroup_skip_fraction(p, "a", 1000, 2000) == 0.0
+    stats = rowgroup_stats(p, "a")
+    assert stats and stats[0][0] is None and stats[0][2] == 100

@@ -602,3 +602,57 @@ def test_decode_blob_routes_mp4_mp3():
     a = decode_blob(M.mp3_encode(n_frames=2))
     assert a["kind"] == "audio" and a["payload_bytes"] == 2 * (144 * 64000 // 44100)
     assert a["width"] is None and a["height"] is None
+
+
+def test_mp4_version1_tkhd_and_malformed_degrade():
+    """Round-5 review regressions: (a) a version-1 tkhd (64-bit
+    timestamps) parses — width sits at body+88, not +92; (b) empty
+    mvhd/tkhd boxes raise ValueError, never IndexError, so decode_blob's
+    degrade-to-null catch list holds."""
+    import struct as S
+
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as M
+    from r_e_hive__spark.functions.media_codec import _bmff_box
+    from r_e_hive__spark.operators.multimodal import decode_blob
+
+    base = M.mp4_encode(duration_ms=1000, width=128, height=72)
+    # rebuild the moov with a v1 tkhd: ver/flags + 8+8+4+4+8 + 8 + 8 + 36 + w/h
+    tkhd_v1 = _bmff_box(
+        b"tkhd",
+        S.pack(">B3xQQIIQ", 1, 0, 0, 1, 0, 1000)
+        + S.pack(">8xHHHH", 0, 0, 0, 0)
+        + S.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + S.pack(">II", 128 << 16, 72 << 16),
+    )
+    hdlr = _bmff_box(b"hdlr", S.pack(">B3xI", 0, 0) + b"vide" + bytes(12) + b"\x00")
+    mvhd = _bmff_box(
+        b"mvhd",
+        S.pack(">B3xIIII", 0, 0, 0, 1000, 1000)
+        + bytes(80),
+    )
+    moov = _bmff_box(b"moov", mvhd + _bmff_box(b"trak", tkhd_v1 + _bmff_box(b"mdia", hdlr)))
+    blob = base[:20] + moov
+    m = M.mp4_meta(blob)
+    assert (m["width"], m["height"], m["duration_ms"]) == (128, 72, 1000)
+
+    # empty mvhd at end of buffer: ValueError inside, clean degrade outside
+    bad = base[:20] + _bmff_box(b"moov", S.pack(">I", 8) + b"mvhd")
+    with _pytest.raises(ValueError):
+        M.mp4_meta(bad)
+    with _pytest.raises(NotImplementedError):  # not IndexError
+        decode_blob(bad)
+
+
+def test_mp3_trailing_junk_keeps_parsed_frames():
+    """Round-5 review: a false sync (Layer II bits / bad bitrate index) in
+    trailing bytes terminates the walk like the length check does — the
+    already-parsed stream is returned, not discarded."""
+    from r_e_hive__spark.functions import media_codec as M
+
+    good = M.mp3_encode(n_frames=4)
+    for junk in (bytes([0xFF, 0xE4, 0, 0]), bytes([0xFF, 0xFB, 0x03, 0xC0])):
+        m = M.mp3_meta(good + junk + bytes(50))
+        assert m["n_frames"] == 4
+        assert m["stream_bytes"] == len(good)

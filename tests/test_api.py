@@ -22,6 +22,14 @@ TS = datetime.datetime(2024, 1, 22, 12, 0, 0)
 
 @pytest.fixture()
 def api(spark):
+    """Fresh facade per test — for tests that MUTATE state."""
+    return RehiveAPI.from_fixtures(spark)
+
+
+@pytest.fixture(scope="module")
+def api_ro(spark):
+    """One shared facade for read-only tests (construction is ~2 s of
+    createDataFrame; reads never mutate self.t)."""
     return RehiveAPI.from_fixtures(spark)
 
 
@@ -36,14 +44,16 @@ def _balance(api, uid):
 # ---------------------------------------------------------------------------
 
 
-def test_get_packages_ascending_price(api):
+def test_get_packages_ascending_price(api_ro):
+    api = api_ro  # read-only: shared module fixture
     rows = api.get_packages().collect()
     prices = [r["price"] for r in rows]
     assert prices == sorted(prices)
     assert [r["name"] for r in rows][0] == "starter"
 
 
-def test_get_user_with_package_and_404(api):
+def test_get_user_with_package_and_404(api_ro):
+    api = api_ro  # read-only: shared module fixture
     u = api.get_user("u0001").collect()[0]
     assert u["package_name"] == "diamond"  # package 5 relation load
     assert u["commission_balance"] > 0  # derived, not the stored 0.00
@@ -52,7 +62,8 @@ def test_get_user_with_package_and_404(api):
     assert e.value.status == 404
 
 
-def test_get_user_referrals_two_level_load(api):
+def test_get_user_referrals_two_level_load(api_ro):
+    api = api_ro  # read-only: shared module fixture
     rows = api.get_user_referrals("u0001").collect()
     # u0001 has 6 chain heads + the hub = 7 direct referrals
     assert len(rows) == 7
@@ -61,18 +72,21 @@ def test_get_user_referrals_two_level_load(api):
     assert all(r["referred_user_email"].endswith("@example.com") for r in rows)
 
 
-def test_commission_history_limit_and_tiebreak(api):
+def test_commission_history_limit_and_tiebreak(api_ro):
+    api = api_ro  # read-only: shared module fixture
     rows = api.get_commission_history("u0001").collect()
     assert len(rows) == 100  # 105 exist; LIMIT 100 (:515)
     keys = [(r["created_at"], r["id"]) for r in rows]
     assert keys == sorted(keys, reverse=True)  # desc + id tiebreak
 
 
-def test_notifications_limit_50(api):
+def test_notifications_limit_50(api_ro):
+    api = api_ro  # read-only: shared module fixture
     assert len(api.get_notifications("u0001").collect()) == 50  # 60 exist (:667)
 
 
-def test_admin_lists_user_relation(api):
+def test_admin_lists_user_relation(api_ro):
+    api = api_ro  # read-only: shared module fixture
     w = api.admin_withdrawals().collect()
     assert len(w) == 4
     assert all(r["user_full_name"] is not None for r in w)
@@ -97,7 +111,8 @@ def test_create_gift_code_deterministic(spark):
     assert a1.get_gift_codes("u0001").where("id = 12").count() == 1
 
 
-def test_redeem_guard_parity(api):
+def test_redeem_guard_parity(api_ro):
+    api = api_ro  # read-only: shared module fixture
     with pytest.raises(ApiError) as e:
         api.redeem_gift_code("NOPE0000", "u0003", TS)
     assert e.value.status == 404
@@ -309,7 +324,8 @@ def test_event_ids_resume_from_supplied_log(spark, api):
 # ---------------------------------------------------------------------------
 
 
-def test_find_many_two_level_relation_load(api):
+def test_find_many_two_level_relation_load(api_ro):
+    api = api_ro  # read-only: shared module fixture
     rows = api.find_many(
         "referrals",
         where={"referrer_id": "u0001"},
@@ -322,7 +338,8 @@ def test_find_many_two_level_relation_load(api):
     assert any(r["referred_package_name"] is not None for r in rows)
 
 
-def test_find_first_point_lookup(api):
+def test_find_first_point_lookup(api_ro):
+    api = api_ro  # read-only: shared module fixture
     u = api.find_first(
         "users", where={"id": "u0001"}, with_={"package": True}
     ).collect()
@@ -331,7 +348,8 @@ def test_find_first_point_lookup(api):
     assert u[0]["commission_balance"] > 0
 
 
-def test_find_many_matches_named_endpoint(api):
+def test_find_many_matches_named_endpoint(api_ro):
+    api = api_ro  # read-only: shared module fixture
     built = api.find_many(
         "commissions",
         where={"user_id": "u0001"},
@@ -342,7 +360,8 @@ def test_find_many_matches_named_endpoint(api):
     assert [r["id"] for r in built] == [r["id"] for r in named]
 
 
-def test_find_many_user_relation_keeps_fk(api):
+def test_find_many_user_relation_keeps_fk(api_ro):
+    api = api_ro  # read-only: shared module fixture
     """The `user` relation's aliased pk is literally 'user_id' — the load
     must keep the source fk column intact (round-5: drop-by-name would
     delete both)."""

@@ -412,3 +412,128 @@ def test_insert_string_pk_requires_explicit_id(api):
     ).collect()[0]
     assert row["id"] == "u9999"
     assert api.find_first("users", where={"id": "u9999"}).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# independent DuckDB differential for the read endpoints
+# ---------------------------------------------------------------------------
+
+
+def _duck(api):
+    """Register the fixture base tables in DuckDB for endpoint oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("users", "packages", "referrals", "commissions",
+              "commission_withdrawals", "notifications"):
+        con.register(t, api.t[t].toPandas())
+    return con
+
+
+def test_referrals_endpoint_matches_duckdb(api_ro):
+    """GET /api/users/:id/referrals vs the equivalent SQL the reference's
+    Drizzle relation-load compiles to — an oracle independent of the
+    facade's own join code."""
+    import pandas as pd
+
+    got = (
+        api_ro.get_user_referrals("u0001")
+        .select("id", "referred_id", "created_at",
+                "referred_user_email", "package_name")
+        .toPandas()
+    )
+    want = _duck(api_ro).execute(
+        """
+        SELECT r.id, r.referred_id, r.created_at,
+               u.email AS referred_user_email, p.name AS package_name
+        FROM referrals r
+        LEFT JOIN users u ON u.id = r.referred_id
+        LEFT JOIN packages p ON p.id = u.package_id
+        WHERE r.referrer_id = 'u0001'
+        ORDER BY r.created_at DESC, r.id DESC
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_commission_history_matches_duckdb(api_ro):
+    import pandas as pd
+
+    got = api_ro.get_commission_history("u0001").toPandas()
+    want = _duck(api_ro).execute(
+        """
+        SELECT * FROM commissions WHERE user_id = 'u0001'
+        ORDER BY created_at DESC, id DESC LIMIT 100
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_balance_matches_duckdb(api_ro):
+    """The S5 core invariant against an independent engine: balance =
+    Σ ledger − Σ approved withdrawals, exact decimal."""
+    got = {
+        r["user_id"]: r["commission_balance"]
+        for r in api_ro.users_current()
+        .select(__import__("pyspark.sql.functions", fromlist=["col"]).col("id").alias("user_id"),
+                "commission_balance")
+        .collect()
+    }
+    want = _duck(api_ro).execute(
+        """
+        SELECT u.id,
+               COALESCE(c.s, 0.00) - COALESCE(w.s, 0.00) AS bal
+        FROM users u
+        LEFT JOIN (SELECT user_id, SUM(amount) s FROM commissions GROUP BY 1) c
+          ON c.user_id = u.id
+        LEFT JOIN (SELECT user_id, SUM(amount) s FROM commission_withdrawals
+                   WHERE status = 'approved' GROUP BY 1) w
+          ON w.user_id = u.id
+        """
+    ).fetchall()
+    for uid, bal in want:
+        assert got[uid] == bal, (uid, got[uid], bal)
+
+
+# ---------------------------------------------------------------------------
+# property: random decision sequences (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def test_decision_sequence_property(spark):
+    """For ANY sequence of approve/reject decisions on a withdrawal, the
+    current status equals the LAST decision and the balance debit equals
+    amount iff that last decision is 'approved' — the event-sourced twin
+    of the reference's last-UPDATE-wins column."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    api = RehiveAPI.from_fixtures(spark)
+    w = api.request_withdrawal("u0001", "2.00", TS, payment_details="{}").collect()[0]
+    base = _balance(api, "u0001")
+    state = {"n": 0}
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seq=st.lists(st.sampled_from(["approved", "rejected"]), min_size=1, max_size=4))
+    def run(seq):
+        for i, s in enumerate(seq):
+            state["n"] += 1
+            api.process_withdrawal(
+                w["id"], s, TS + datetime.timedelta(seconds=state["n"])
+            )
+        cur = api.get_withdrawals("u0001").where(f"id={w['id']}").collect()[0]
+        assert cur["status"] == seq[-1]
+        expect = base - Decimal("2.00") if seq[-1] == "approved" else base
+        assert _balance(api, "u0001") == expect
+
+    run()

@@ -126,3 +126,57 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# --- Repetition signals (Gopher-style quality rules; SURVEY.md §2.11 X16) --
+#
+# Rae et al. 2021 (Gopher, §A1.1) filter documents whose n-grams are too
+# repetitive: "fraction of duplicate n-grams" and "fraction [of the
+# document] in the most common n-gram".  We compute count-weighted
+# fractions (share of n-gram OCCURRENCES, not of characters — documented
+# deviation: char-weighting needs per-gram lengths that would triple the
+# expression for no additional operator coverage).  All pure higher-order
+# JVM expressions over one token array — zero UDFs, and short-document-
+# safe (empty gram list → fraction 0.0, never a divide-by-zero under ANSI).
+#
+# Scale note: per-row cost is O(distinct·total) for the mode count, fine
+# for typical web documents (≤ a few thousand tokens).  For pathological
+# monster documents, compute the same stats with explode + groupBy(doc,
+# gram) — one map-side-combined shuffle — instead of the scalar form.
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as array<string>; [] when the document has < n tokens
+    (unlike :func:`shingles`, which falls back to the whole document —
+    repetition stats must not count a short doc as one big gram)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(cnt >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    1 − distinct/total.  0.0 for documents with no n-grams."""
+    total = F.size(grams)
+    frac = 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
+    return F.when(total > 0, frac).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(grams: Column) -> Column:
+    """Share of n-gram occurrences taken by the single most frequent
+    n-gram (the mode) — high values flag boilerplate/spam.  0.0 when the
+    document has no n-grams."""
+    total = F.size(grams)
+    mode_count = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.when(total > 0, mode_count.cast("double") / total).otherwise(
+        F.lit(0.0)
+    )

@@ -1,0 +1,181 @@
+"""Deterministic sampling & domain-mixture operators (SURVEY.md §2.11 X15).
+
+Training-data pipelines constantly re-sample corpora: hold-out splits,
+per-domain quality tiers, and — the big one — *mixture rebalancing* (give
+the model 30% web, 20% code, … regardless of raw corpus skew).  At 100 TB
+the only acceptable plan is a **stateless filter**: a pseudo-random but
+deterministic keep/drop decision computed per row from a hash of a stable
+key, so
+
+- the sample is reproducible across runs, engines, and partitionings
+  (unlike ``df.sample``, whose output depends on partition layout),
+- no shuffle, no state, no driver coordination — it fuses into the scan
+  and survives any scale-up,
+- disjoint samples compose: ``u`` is a uniform in [0,1), so
+  ``u < 0.1`` (train-holdout) and ``0.1 <= u < 0.2`` (validation) are
+  disjoint by construction.
+
+The uniform is the first 8 hex digits of ``md5(key || salt)`` read as a
+32-bit integer — md5 is bit-identical in Spark and DuckDB, which is what
+makes the full differential oracle possible (see queries/sampling.py).
+The reference has no sampling surface (it is an OLTP app); this is a
+north-star extension operator.
+
+Mixture resampling is two-pass: one tiny aggregate (K domain counts — a
+broadcastable dict, NOT a collect of data rows), then the same stateless
+filter with a per-domain threshold.  The achievable corpus size is
+maximized subject to (a) exact target proportions and (b) no upsampling:
+``scale = min_d(count_d / weight_d)``, keep ``weight_d * scale`` rows of
+domain ``d``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^32 — the hash-uniform denominator.
+_U_DENOM = 4294967296.0
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): first 8 hex digits of
+    ``md5(key || salt)`` as a 32-bit int, divided by 2^32.
+
+    Pure JVM expression chain (md5 → substring → conv → cast) — whole-stage
+    codegen, no UDF, no rand().  DuckDB twin:
+    ``CAST(concat('0x', substr(md5(key || salt), 1, 8)) AS BIGINT)
+    / 4294967296.0`` (parity pinned in tests/test_sampling.py).
+    """
+    keyed = key.cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint").cast("double")
+        / F.lit(_U_DENOM)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a reproducible ~``fraction`` of rows: ``u(key) < fraction``.
+
+    A pure filter — at 100 TB this pipelines into the parquet scan with
+    zero shuffle.  ``salt`` decorrelates independent samples drawn from the
+    same key space.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(hash_uniform(F.col(key_col), salt) < F.lit(float(fraction)))
+
+
+def split_corpus(
+    df: DataFrame, key_col: str, fractions: Mapping[str, float], salt: str = ""
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (train/val/test) from one uniform:
+    split *i* keeps ``lo_i <= u < hi_i`` where the bounds are the running
+    prefix sums of ``fractions``.  Fractions must sum to <= 1.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = hash_uniform(F.col(key_col), salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"negative fraction for split {name!r}")
+        hi = lo + frac
+        out[name] = df.where((u >= F.lit(lo)) & (u < F.lit(hi)))
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum ``s`` keeps
+    ``u(key) < fractions[s]`` (strata not listed keep ``default_fraction``).
+
+    The deterministic twin of ``df.sampleBy`` — same plan shape (filter on
+    a CASE expression), but reproducible under repartitioning.
+    """
+    frac_expr: Column = F.lit(float(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {stratum!r} out of [0,1]")
+        frac_expr = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(float(frac))
+        ).otherwise(frac_expr)
+    return df.where(hash_uniform(F.col(key_col), salt) < frac_expr)
+
+
+def mixture_fractions(
+    counts: Mapping[str, int], target_weights: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-domain keep fractions that hit ``target_weights`` exactly (in
+    expectation) without upsampling, maximizing total kept rows.
+
+    ``scale = min_d(count_d / weight_d)`` is the largest corpus size at
+    which every domain can still supply its share from existing rows; the
+    binding domain keeps fraction 1.0.  Domains absent from
+    ``target_weights`` (or with weight 0) are dropped entirely.
+    Driver-side math over K domain counts — K is small (domains, not rows).
+    """
+    weights = {d: w for d, w in target_weights.items() if w > 0}
+    missing = [d for d in weights if counts.get(d, 0) <= 0]
+    if missing:
+        raise ValueError(f"target domains with no rows in corpus: {missing}")
+    scale = min(counts[d] / w for d, w in weights.items())
+    return {d: min(1.0, w * scale / counts[d]) for d, w in weights.items()}
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    target_weights: Mapping[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a skewed corpus to ``target_weights`` over ``domain_col``.
+
+    Fully in-plan (no driver round-trip): (1) one tiny map-side-combined
+    groupBy produces K domain counts; (2) ``scale = min(count/weight)``
+    is a one-row aggregate over those K rows; (3) per-domain keep
+    fractions ``least(1, weight*scale/count)`` broadcast-join back onto
+    the corpus, which is filtered by the stateless hash-uniform.  The
+    only shuffle touches K rows; the keep/drop pass fuses into the scan.
+    Same no-upsampling/exact-proportions contract as
+    :func:`mixture_fractions`.
+    """
+    weights = {d: float(w) for d, w in target_weights.items() if w > 0}
+    if not weights:
+        raise ValueError("target_weights has no positive entries")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{domain_col} string, _weight double"
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    per_domain = counts.join(F.broadcast(wdf), domain_col, "inner")
+    scale = per_domain.agg(
+        F.min(F.col("_n") / F.col("_weight")).alias("_scale")
+    )
+    fracs = per_domain.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0), F.col("_weight") * F.col("_scale") / F.col("_n")
+        ).alias("_keep_frac"),
+    )
+    u = hash_uniform(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(fracs), domain_col, "inner")
+        .where(u < F.col("_keep_frac"))
+        .drop("_keep_frac")
+    )

@@ -432,3 +432,58 @@ def lsh_neighbor_pairs(
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    cosine_threshold: float = 0.9,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via clustering — embeddings are assigned to their nearest
+    k-means centroid, and within each cluster any row whose cosine to a
+    LOWER-id cluster-mate reaches ``cosine_threshold`` is dropped.
+
+    Survivor rule: *parallel* keep-first-by-id — row b is dropped iff SOME
+    a < b in the same cluster has round(cos(a,b), 6) >= threshold, whether
+    or not a itself survives.  (The paper's sequential greedy scan is
+    order-dependent within a chain; the parallel rule is deterministic,
+    shuffle-friendly, and strictly more aggressive only on chains
+    a~b~c where a !~ c — documented deviation.)
+
+    Scale: the all-pairs work is confined within clusters, so cost is
+    Σ m_c² — SemDeDup's whole point is to pick k large enough that m_c is
+    small (the paper uses k = 50 000 on LAION).  The cluster equi-join
+    shuffles on cluster id; a pathological monster cluster is the usual
+    skew problem (salt it, or cap with a per-cluster row_number guard).
+    Returns the surviving rows with their ``_sd_cluster`` id.
+    """
+    assigned = df.withColumn(
+        "_sd_cluster", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+    )
+    a = assigned.select(
+        F.col("_sd_cluster"),
+        F.col(id_col).alias("_sd_a"),
+        F.col(vec_col).alias("_sd_va"),
+    )
+    b = assigned.select(
+        F.col("_sd_cluster"),
+        F.col(id_col).alias("_sd_b"),
+        F.col(vec_col).alias("_sd_vb"),
+    )
+    dups = (
+        a.join(b, "_sd_cluster")
+        .where(F.col("_sd_a") < F.col("_sd_b"))
+        .where(
+            F.round(
+                _paired_cosine(exact_decimal, F.col("_sd_va"), F.col("_sd_vb")), 6
+            )
+            >= F.lit(cosine_threshold)
+        )
+        .select(F.col("_sd_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti")

@@ -52,6 +52,12 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries retired from the driver's 50-entry declared surface but kept
+# under local differential test (tests/test_retired_queries.py) so the
+# ledger's "semantics still covered" claims stay verifiable, not
+# historical.  Same Query shape, same oracle contract.
+RETIRED: dict[str, Query] = {}
+
 # Registration order = driver execution order.  The grading driver records
 # CORRECTNESS rows for at most the first 50 queries() entries (round 1
 # recorded exactly the first 50 of 58), so the total declared surface is
@@ -77,6 +83,22 @@ REGISTRY: dict[str, Query] = {}
 #   a2/a3 standalone sum/count
 #                            -> q1_pricing_summary (all five aggregate
 #       shapes in one suite; see survey_rows=("A1","A2","A3",...))
+#
+# Round-5 retirements (making room for X15 sampling, X16 repetition
+# rules, X17 SemDeDup, X18 PII).  Unlike earlier rounds, these four move
+# to the RETIRED registry below and KEEP their differential oracles,
+# which tests/test_retired_queries.py runs at sf0.01 — retired ≠ untested:
+#
+#   x6_lang_distribution     -> x5_x6_text_suite (X6 language-ID/routing;
+#       the groupBy-distribution shape also in x15's mixture counts)
+#   rehive_user_balances     -> a1_user_balance (A1/A5 balance = Σ ledger),
+#       w13_latest_per_key + rehive_subscription_status (S5 views)
+#   j8_upline_aggregate      -> rehive_redemption_ledger (commission
+#       aggregation over the SAME upline closure), j8_ancestor_closure +
+#       j8_doubling_closure (the closure itself)
+#   x4_neardup_pairs         -> x4_lsh_neighbor_pairs (X4 sub-quadratic
+#       path, exact-cosine verified), x17_semdedup (exact in-cluster
+#       cosine pairing), x2_* (X2 text near-dup)
 _MODULES = (
     "relational",
     "streaming_batch",
@@ -89,6 +111,8 @@ _MODULES = (
     "rehive_domain",
     "text",
     "dedup",
+    "sampling",
+    "pii",
     "shards",
     "curation",
 )
@@ -113,6 +137,33 @@ def query(
             oracle=oracle,
             survey_rows=survey_rows,
             bench=bench,
+            doc=doc or (fn.__doc__ or ""),
+            golden_sf=golden_sf,
+        )
+        return fn
+
+    return deco
+
+
+def retired_query(
+    name: str,
+    oracle: str | None,
+    survey_rows: tuple[str, ...] = (),
+    doc: str = "",
+    golden_sf: str | None = None,
+):
+    """Decorator for queries retired from the declared surface (50-cap):
+    registered into RETIRED, run by pytest's differential, invisible to
+    the driver."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in RETIRED or name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        RETIRED[name] = Query(
+            name=name,
+            spark_fn=fn,
+            oracle=oracle,
+            survey_rows=survey_rows,
             doc=doc or (fn.__doc__ or ""),
             golden_sf=golden_sf,
         )

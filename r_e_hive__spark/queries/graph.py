@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators.graph import ancestor_closure, closure_from_parent_expr
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 _ORACLE_CLOSURE = """
@@ -111,7 +111,13 @@ def j8_doubling_closure(spark, sf_dir):
     )
 
 
-@query(
+# Retired from the declared surface in round 5 (50-query cap; ledger in
+# queries/__init__.py): the aggregate-over-closure semantics stay pinned
+# by rehive_redemption_ledger (per-level passive commissions over the SAME
+# upline closure) and the closure itself by j8_ancestor_closure /
+# j8_doubling_closure.  Differential kept green by
+# tests/test_retired_queries.py.
+@retired_query(
     "j8_upline_aggregate",
     _ORACLE_CLOSURE
     + """

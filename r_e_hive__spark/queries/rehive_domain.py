@@ -17,7 +17,7 @@ from r_e_hive__spark.fixtures import fixture_frames
 from r_e_hive__spark.oracle import fixture_sql
 from r_e_hive__spark.pipelines.redemption import process_redemptions
 from r_e_hive__spark.pipelines.views import balances, users_current
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 
 
 def _run_pipeline(spark):
@@ -73,7 +73,12 @@ def rehive_company_profits(spark, sf_dir):
     )
 
 
-@query(
+# Retired from the declared surface in round 5 (50-query cap; ledger in
+# queries/__init__.py): the balance-view semantics stay pinned by
+# a1_user_balance (A1/A5) and the latest-record-wins S5 path by
+# w13_latest_per_key + rehive_subscription_status.  Differential kept
+# green by tests/test_retired_queries.py.
+@retired_query(
     "rehive_user_balances",
     fixture_sql.user_balances_oracle(),
     survey_rows=("A1", "S5"),

@@ -1,0 +1,200 @@
+"""Deterministic sampling / mixture operators (X15) + repetition rules
+(X16) + PII scrubbing (X18) unit tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from r_e_hive__spark.functions import pii as P
+from r_e_hive__spark.functions import text as TX
+from r_e_hive__spark.operators import sampling as SA
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+# ---------------------------------------------------------------- X15
+
+
+def test_hash_uniform_matches_duckdb(spark):
+    """The cross-engine anchor: Spark's conv(md5) uniform == DuckDB's
+    hex-cast uniform, bit for bit, with and without salt."""
+    got = {
+        r.doc_id: r.u
+        for r in _docs(spark)
+        .select("doc_id", SA.hash_uniform(F.col("doc_id"), "s").alias("u"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT doc_id, CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's')),1,8)) AS BIGINT)"
+            f" / 4294967296.0 FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_sample_reproducible_under_repartition(spark):
+    """df.sample's documented failure mode is exactly what this operator
+    fixes: the kept set must be identical for any partitioning."""
+    docs = _docs(spark)
+    a = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in SA.deterministic_sample(docs.repartition(13), "doc_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_sample_nesting_and_salt(spark):
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 <= s30  # same uniform => monotone nesting
+    salted = {
+        r.doc_id
+        for r in SA.deterministic_sample(docs, "doc_id", 0.1, salt="other").collect()
+    }
+    assert salted != s10  # salt decorrelates
+
+
+def test_split_corpus_partitions_exactly(spark):
+    docs = _docs(spark)
+    splits = SA.split_corpus(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    ids = {k: {r.doc_id for r in v.collect()} for k, v in splits.items()}
+    allids = {r.doc_id for r in docs.collect()}
+    assert ids["train"] | ids["val"] | ids["test"] == allids
+    assert not (ids["train"] & ids["val"]) and not (ids["val"] & ids["test"])
+    with pytest.raises(ValueError):
+        SA.split_corpus(docs, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+def test_mixture_fractions_math():
+    counts = {"en": 60, "de": 20, "zh": 20}
+    fr = SA.mixture_fractions(counts, {"en": 0.5, "de": 0.25, "zh": 0.25})
+    # binding domain: de/zh (20/0.25=80 < en 60/0.5=120) keeps everything
+    assert fr["de"] == 1.0 and fr["zh"] == 1.0
+    assert fr["en"] == pytest.approx(0.5 * 80 / 60)
+    with pytest.raises(ValueError):
+        SA.mixture_fractions({"en": 10}, {"en": 0.5, "missing": 0.5})
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    docs = _docs(spark)
+    target = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}
+    out = SA.mixture_resample(docs, "lang", "doc_id", target)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(target)  # zh (weight absent) dropped entirely
+    total = sum(got.values())
+    for lang, w in target.items():
+        # hash sampling is binomial around the target share; the smoke
+        # corpus is small, so allow a generous tolerance
+        assert got[lang] / total == pytest.approx(w, abs=0.15)
+
+
+def test_mixture_resample_no_collect_in_plan(spark):
+    """The operator must stay fully declarative (one lazy DataFrame)."""
+    docs = _docs(spark)
+    out = SA.mixture_resample(docs, "lang", "doc_id", {"en": 0.5, "de": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# ---------------------------------------------------------------- X16
+
+
+def test_word_ngrams_and_repetition_fractions(spark):
+    rows = [
+        Row(id=1, text="a b a b a"),  # 2-grams: ab ba ab ba -> 2 distinct of 4
+        Row(id=2, text="x y"),  # one 2-gram
+        Row(id=3, text="solo"),  # no 2-grams
+        Row(id=4, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    g2 = TX.word_ngrams(F.col("text"), 2)
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            F.size(g2).alias("n"),
+            TX.dup_ngram_fraction(g2).alias("dup"),
+            TX.top_ngram_fraction(g2).alias("top"),
+        ).collect()
+    }
+    assert out[1].n == 4 and out[1].dup == pytest.approx(0.5)
+    assert out[1].top == pytest.approx(0.5)  # 'a b' twice of 4
+    assert out[2].n == 1 and out[2].dup == 0.0 and out[2].top == 1.0
+    assert out[3].n == 0 and out[3].dup == 0.0 and out[3].top == 0.0
+    assert out[4].n == 0
+
+
+def test_repetition_stats_no_python_udf(spark):
+    from r_e_hive__spark.queries.text import x16_repetition_stats
+
+    plan = (
+        x16_repetition_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- X18
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail bob.smith+x@corp.example.org now, call 555-123-4567 or "
+        "800.555.0199, host 192.168.0.1, pay 4242 4242 4242 4242 thanks"
+    )
+    df = spark.createDataFrame([Row(t=text)])
+    row = df.select(
+        P.pii_count(F.col("t"), "email").alias("e"),
+        P.pii_count(F.col("t"), "phone").alias("p"),
+        P.pii_count(F.col("t"), "ipv4").alias("i"),
+        P.pii_count(F.col("t"), "card").alias("c"),
+        P.pii_total(F.col("t")).alias("n"),
+        P.redact(F.col("t")).alias("r"),
+    ).collect()[0]
+    assert (row.e, row.p, row.i, row.c, row.n) == (1, 2, 1, 1, 5)
+    assert row.r == (
+        "mail [EMAIL] now, call [PHONE] or [PHONE], host [IP], "
+        "pay [CARD] thanks"
+    )
+
+
+def test_pii_clean_text_untouched(spark):
+    df = spark.createDataFrame([Row(t="no identifiers here, just words")])
+    row = df.select(
+        P.pii_total(F.col("t")).alias("n"), P.redact(F.col("t")).alias("r")
+    ).collect()[0]
+    assert row.n == 0 and row.r == "no identifiers here, just words"
+
+
+def test_pii_patterns_match_duckdb_re2(spark):
+    """The Java∩RE2 contract: every pattern produces identical counts in
+    both engines on a torture string."""
+    text = (
+        "a@b.co x 1.2.3.4 999-999-9999 12.34 v1.2.3.4.5 a@@b.com "
+        "4000-1111-2222-3333 555.123.4567 u_n%x@sub.domain.io 256.1.1.1"
+    )
+    con = duckdb.connect()
+    for kind in P.PII_PATTERNS:
+        spark_n = (
+            spark.createDataFrame([Row(t=text)])
+            .select(P.pii_count(F.col("t"), kind).alias("n"))
+            .collect()[0]
+            .n
+        )
+        duck_n = con.execute(
+            f"SELECT {P.du_pii_count('?', kind)}".replace("?", "'" + text.replace("'", "''") + "'")
+        ).fetchone()[0]
+        assert spark_n == duck_n, kind

@@ -1,0 +1,71 @@
+"""SemDeDup (X17) unit tests: cluster confinement, survivor rule,
+threshold behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from r_e_hive__spark.operators.similarity import semantic_dedup
+
+# two well-separated unit centroids on the first two axes
+_CENTS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+def test_exact_duplicates_keep_lowest_id(spark):
+    v = _unit([0.9, 0.1, 0.0])
+    w = _unit([0.1, 0.95, 0.0])
+    rows = [(1, v), (2, v), (3, v), (10, w), (11, w)]
+    out = semantic_dedup(_df(spark, rows), "vec_id", "embedding", _CENTS, 0.99)
+    kept = sorted(r.vec_id for r in out.collect())
+    assert kept == [1, 10]
+
+
+def test_duplicates_in_different_clusters_both_survive(spark):
+    # identical-looking cosine-1 pair but assigned to different clusters
+    # never meet: the pairing is strictly within-cluster
+    a = _unit([1.0, 0.2, 0.0])   # cluster 0
+    b = _unit([0.2, 1.0, 0.0])   # cluster 1
+    out = semantic_dedup(
+        _df(spark, [(1, a), (2, a), (3, b)]), "vec_id", "embedding", _CENTS, 0.99
+    )
+    kept = {r.vec_id: r._sd_cluster for r in out.collect()}
+    assert set(kept) == {1, 3} and kept[1] == 0 and kept[3] == 1
+
+
+def test_threshold_one_keeps_near_but_not_exact(spark):
+    a = _unit([1.0, 0.10, 0.0])
+    b = _unit([1.0, 0.12, 0.0])  # near a but cosine < 0.9999
+    out = semantic_dedup(
+        _df(spark, [(1, a), (2, b)]), "vec_id", "embedding", _CENTS, 0.9999
+    )
+    assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+    out2 = semantic_dedup(
+        _df(spark, [(1, a), (2, b)]), "vec_id", "embedding", _CENTS, 0.9
+    )
+    assert sorted(r.vec_id for r in out2.collect()) == [1]
+
+
+def test_parallel_rule_drops_chain_members(spark):
+    """b~a and c~b with a<b<c: the parallel keep-first rule drops c when
+    c is near ANY lower id (here both), even though b itself is dropped —
+    the documented deviation from sequential greedy."""
+    a = _unit([1.0, 0.10, 0.0])
+    b = _unit([1.0, 0.11, 0.0])
+    c = _unit([1.0, 0.12, 0.0])
+    out = semantic_dedup(
+        _df(spark, [(1, a), (2, b), (3, c)]), "vec_id", "embedding", _CENTS, 0.999
+    )
+    assert sorted(r.vec_id for r in out.collect()) == [1]

@@ -1,0 +1,66 @@
+"""Document-quality operators (SURVEY.md §2.11 X16).
+
+The scalar repetition expressions in functions/text.py cost
+O(distinct·total) per document for the mode count — perfect for typical
+web documents, quadratic-ish for pathological monsters (machine-generated
+logs, concatenated dumps).  This module provides the distributed twin:
+explode n-grams, aggregate per (doc, gram) with map-side combine, then
+per-doc — one shuffle keyed by (doc_id, gram), each reducer row O(1).
+Same outputs, pinned equal to the scalar form in tests/test_sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from r_e_hive__spark.functions.text import word_ngrams
+
+
+def repetition_stats_grouped(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document repetition stats via explode + two-level aggregation:
+
+    returns (id_col, n_grams, n_distinct, dup_frac, top_frac) with the
+    exact semantics of functions/text.py's scalar dup_ngram_fraction /
+    top_ngram_fraction (documents with < n tokens report 0 grams and 0.0
+    fractions).
+
+    Scale shape: stage 1 groupBy(doc, gram) gets map-side partial counts
+    (each input partition emits at most its distinct grams), stage 2
+    reduces #distinct-gram rows per doc.  No row ever holds a whole
+    document's gram array, so a 10⁷-token document costs memory O(1) per
+    task instead of O(doc²) — this is the variant to use when documents
+    are unbounded.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_gram")
+    )
+    per_gram = grams.groupBy(id_col, "_gram").agg(F.count("*").alias("_c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("_c").alias("_mode"),
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        (1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")).alias(
+            "dup_frac"
+        ),
+        (F.col("_mode").cast("double") / F.col("n_grams")).alias("top_frac"),
+    )
+    # documents with < n tokens have no exploded rows: restore them with
+    # the scalar form's zero stats
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            F.coalesce("top_frac", F.lit(0.0)).alias("top_frac"),
+        )
+    )

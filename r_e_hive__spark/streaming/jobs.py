@@ -365,3 +365,72 @@ def run_stream_to_memory(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def running_balance_tws(stream: DataFrame) -> DataFrame:
+    """ST6 twin on the MODERN arbitrary-stateful API:
+    ``transformWithStateInPandas`` (Spark 4.0+, SPARK-46815) instead of
+    ``applyInPandasWithState``.  Same semantics as
+    :func:`running_balance_stateful`: per-user integer-cents balance,
+    credit 'purchase' / debit 'error', emit (user_id, n_events, balance)
+    per micro-batch.
+
+    Why carry both: applyInPandasWithState is the stable API today;
+    transformWithState is its successor (composable typed state —
+    value/list/map — plus timers and TTL) and is the one that gains
+    features.  Keeping byte-identical twins pinned by one test
+    (tests/test_streaming.py) means the engine can switch defaults when
+    operations demand it, without a semantics hunt.
+
+    Requires the RocksDB state-store provider (Spark's transformWithState
+    implementation is RocksDB-only) and the ``protobuf`` wheel (the
+    driver<->worker state protocol is protobuf-based); the twin test is
+    skip-gated on the latter.  State per key is one long — at 100 TB of
+    events the state store scales with #distinct users, not event volume,
+    and RocksDB spills to disk.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningBalance(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "balance_cents", _BALANCE_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            (user_id,) = key
+            existing = self._state.get()
+            cents = int(existing[0]) if existing is not None else 0
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+                # identical accumulation rule to running_balance_stateful
+                v_cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(
+                    np.int64
+                )
+                credit = int(
+                    v_cents[(pdf["event_type"] == "purchase").to_numpy()].sum()
+                )
+                debit = int(
+                    v_cents[(pdf["event_type"] == "error").to_numpy()].sum()
+                )
+                cents += credit - debit
+            self._state.update((cents,))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "balance": cents / 100.0}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningBalance(),
+        outputStructType=_BALANCE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

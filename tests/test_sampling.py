@@ -198,3 +198,33 @@ def test_pii_patterns_match_duckdb_re2(spark):
             f"SELECT {P.du_pii_count('?', kind)}".replace("?", "'" + text.replace("'", "''") + "'")
         ).fetchone()[0]
         assert spark_n == duck_n, kind
+
+
+def test_repetition_grouped_matches_scalar(spark):
+    """The distributed explode+groupBy repetition twin (for unbounded
+    documents) must equal the scalar higher-order-function form row for
+    row on the smoke corpus."""
+    from r_e_hive__spark.operators.quality import repetition_stats_grouped
+
+    docs = _docs(spark)
+    g2 = TX.word_ngrams(F.col("text"), 2)
+    scalar = {
+        r.doc_id: (
+            r.n,
+            r.d,
+            round(r.dup, 9),
+            round(r.top, 9),
+        )
+        for r in docs.select(
+            "doc_id",
+            F.size(g2).alias("n"),
+            F.size(F.array_distinct(g2)).alias("d"),
+            TX.dup_ngram_fraction(g2).alias("dup"),
+            TX.top_ngram_fraction(g2).alias("top"),
+        ).collect()
+    }
+    grouped = {
+        r.doc_id: (r.n_grams, r.n_distinct, round(r.dup_frac, 9), round(r.top_frac, 9))
+        for r in repetition_stats_grouped(docs, "doc_id", "text", 2).collect()
+    }
+    assert grouped == scalar

@@ -494,3 +494,39 @@ def test_stream_continuous_aggregate_fence_and_partitioned_layout(spark, tmp_pat
         json.dump({"batch_id": 10_000}, fh)
     start("ckpt_b", "roll_b")
     assert not os.path.exists(str(tmp_path / "roll_b"))
+
+
+def test_tws_twin_matches_applyinpandas_twin(spark):
+    """running_balance_tws (transformWithStateInPandas, the modern
+    arbitrary-stateful API) must emit snapshot-identical results to
+    running_balance_stateful (applyInPandasWithState) over the same
+    multi-micro-batch stream — same keys, same per-batch event counts,
+    same balances.
+
+    transformWithState's driver<->worker state protocol is protobuf-based
+    (pyspark.sql.streaming.proto); in environments without the protobuf
+    wheel the query cannot start, so the twin is skip-gated — the
+    applyInPandasWithState path (the default everywhere in this engine)
+    is unaffected."""
+    pytest.importorskip("google.protobuf")
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got_new = jobs.run_stream_to_memory(
+            jobs.running_balance_tws(_stream(spark)), "t_balance_tws", "update"
+        )
+        rows_new = _rows(got_new, ["user_id", "n_events", "balance"])
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    got_old = jobs.run_stream_to_memory(
+        jobs.running_balance_stateful(_stream(spark)), "t_balance_old", "update"
+    )
+    rows_old = _rows(got_old, ["user_id", "n_events", "balance"])
+    assert rows_new == rows_old and len(rows_new) > 0

@@ -71,26 +71,46 @@ def deterministic_sample(
     return df.where(hash_uniform(F.col(key_col), salt) < F.lit(float(fraction)))
 
 
-def split_corpus(
-    df: DataFrame, key_col: str, fractions: Mapping[str, float], salt: str = ""
-) -> dict[str, DataFrame]:
-    """Disjoint deterministic splits (train/val/test) from one uniform:
-    split *i* keeps ``lo_i <= u < hi_i`` where the bounds are the running
-    prefix sums of ``fractions``.  Fractions must sum to <= 1.
+def split_label(
+    key: Column, fractions: Mapping[str, float], salt: str = ""
+) -> Column:
+    """Split name for each row — ONE CASE expression over one uniform,
+    with prefix-sum bounds: split *i* is ``lo_i <= u < hi_i``.
+
+    This is the single-pass form: labeling N splits costs one projection,
+    not N filtered scans.  Rows beyond the last bound (when fractions sum
+    to < 1) get NULL — drop them or treat NULL as "unassigned".
     """
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
-    u = hash_uniform(F.col(key_col), salt)
-    out: dict[str, DataFrame] = {}
-    lo = 0.0
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("negative split fraction")
+    u = hash_uniform(key, salt)
+    label: Column = F.lit(None).cast("string")
+    hi = 0.0
+    bounds = []
     for name, frac in fractions.items():
-        if frac < 0:
-            raise ValueError(f"negative fraction for split {name!r}")
-        hi = lo + frac
-        out[name] = df.where((u >= F.lit(lo)) & (u < F.lit(hi)))
-        lo = hi
-    return out
+        hi += frac
+        bounds.append((name, hi))
+    for name, bound in reversed(bounds):
+        label = F.when(u < F.lit(bound), F.lit(name)).otherwise(label)
+    return label
+
+
+def split_corpus(
+    df: DataFrame, key_col: str, fractions: Mapping[str, float], salt: str = ""
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (train/val/test) as one frame per
+    split, derived from :func:`split_label` so both APIs share one
+    boundary definition.  Fractions must sum to <= 1.
+
+    Prefer :func:`split_label` + a partitioned write when all splits are
+    consumed together — N filtered frames mean N scans if materialized
+    independently.
+    """
+    label = split_label(F.col(key_col), fractions, salt)
+    return {name: df.where(label == F.lit(name)) for name in fractions}
 
 
 def stratified_sample(

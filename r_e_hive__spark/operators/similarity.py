@@ -441,6 +441,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     cosine_threshold: float = 0.9,
     exact_decimal: bool = False,
+    strategy: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via clustering — embeddings are assigned to their nearest
@@ -456,34 +457,183 @@ def semantic_dedup(
 
     Scale: the all-pairs work is confined within clusters, so cost is
     Σ m_c² — SemDeDup's whole point is to pick k large enough that m_c is
-    small (the paper uses k = 50 000 on LAION).  The cluster equi-join
-    shuffles on cluster id; a pathological monster cluster is the usual
-    skew problem (salt it, or cap with a per-cluster row_number guard).
-    Returns the surviving rows with their ``_sd_cluster`` id.
+    small (the paper uses k = 50 000 on LAION; pass
+    ``kmeans_centroids(df, ..., n_clusters=N/target_cluster_size)`` here).
+
+    Strategies (identical results on non-tied data, pinned by test):
+
+    - ``"expr"`` — pure-JVM pair join with per-row norms hoisted out of
+      the O(pairs) dot (3 array-aggregates per pair -> 1); supports
+      ``exact_decimal`` for the oracle-parity declared query.  Catalyst
+      higher-order functions are interpreted per element, so this path is
+      CPU-bound at ~1 µs/pair·dim.
+    - ``"numpy"`` — Arrow-batched ``applyInPandas`` per cluster: pairwise
+      cosine as one blocked float64 matmul (BLAS), the documented
+      "built-ins genuinely can't express this efficiently" exception.
+      Measured 13.4 s -> 1.9 s on the sf1 embeddings (20 k × 64-dim,
+      k=64; BASELINE.md).  ``exact_decimal`` is not available here (BLAS
+      sums in float64 with hardware order); rounding at 6 dp makes the
+      two strategies agree except on exact .5e-6 cosine ties.
+
+    The cluster equi-join/grouping shuffles on cluster id; a pathological
+    monster cluster is the usual skew problem (salt it, or cap with a
+    per-cluster row_number guard).  Returns the surviving rows with their
+    ``_sd_cluster`` id.
     """
-    assigned = df.withColumn(
-        "_sd_cluster", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+    if strategy not in ("expr", "numpy"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "numpy" and exact_decimal:
+        raise ValueError("exact_decimal requires strategy='expr'")
+    # centroid scoring is k×dim work per row — spread a narrow parquet
+    # input across cores before it, like every other CPU-heavy operator here
+    vec = F.col(vec_col)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if strategy == "numpy":
+        # assignment vectorized too: interpreted HOF scoring was 4.5 s of
+        # the 5.3 s numpy-strategy total at sf1 (BASELINE.md)
+        assigned = _assign_centroid_numpy(
+            ensure_parallelism(df), vec_col, centroids
+        )
+        return _semantic_dedup_numpy(
+            assigned, id_col, vec_col, cosine_threshold, n_part
+        )
+    assigned = ensure_parallelism(df).withColumn(
+        "_sd_cluster", assign_centroid(vec, centroids, exact_decimal)
     )
-    a = assigned.select(
+    # per-row denominator part, hoisted out of the O(pairs) join:
+    # exact path carries norm² as double (cosine_exact's den is
+    # sqrt(na2*nb2)); double path carries the norm itself (cosine's den is
+    # na*nb) — each pair cosine below reproduces the corresponding
+    # functions/vector.py formula bit for bit.
+    den_part = (
+        V.norm2_exact(vec).cast("double") if exact_decimal else V.norm(vec)
+    )
+    # EXPLICIT numPartitions: the pair join is compute-bound (one array dot
+    # per candidate pair) on tiny shuffle bytes, exactly the shape where
+    # AQE's byte-based coalescing collapses the stage to 1-2 tasks and
+    # serializes minutes of CPU (measured at sf1: 52 s -> ~14 s with the
+    # explicit 32-way spread; BASELINE.md).  A user-specified repartition
+    # survives AQE; both join sides share the distribution so the join
+    # adds no further exchange.
+    sides = assigned.withColumn("_sd_den", den_part).repartition(
+        n_part, "_sd_cluster"
+    )
+    a = sides.select(
         F.col("_sd_cluster"),
         F.col(id_col).alias("_sd_a"),
         F.col(vec_col).alias("_sd_va"),
+        F.col("_sd_den").alias("_sd_dena"),
     )
-    b = assigned.select(
+    b = sides.select(
         F.col("_sd_cluster"),
         F.col(id_col).alias("_sd_b"),
         F.col(vec_col).alias("_sd_vb"),
+        F.col("_sd_den").alias("_sd_denb"),
     )
+    if exact_decimal:
+        den = F.sqrt(F.col("_sd_dena") * F.col("_sd_denb"))
+        num = V.dot_exact(F.col("_sd_va"), F.col("_sd_vb")).cast("double")
+    else:
+        den = F.col("_sd_dena") * F.col("_sd_denb")
+        num = V.dot(F.col("_sd_va"), F.col("_sd_vb"))
+    pair_cos = F.when(den > 0, num / den)
     dups = (
         a.join(b, "_sd_cluster")
         .where(F.col("_sd_a") < F.col("_sd_b"))
-        .where(
-            F.round(
-                _paired_cosine(exact_decimal, F.col("_sd_va"), F.col("_sd_vb")), 6
-            )
-            >= F.lit(cosine_threshold)
-        )
+        .where(F.round(pair_cos, 6) >= F.lit(cosine_threshold))
         .select(F.col("_sd_b").alias(id_col))
         .distinct()
     )
     return assigned.join(dups, id_col, "left_anti")
+
+
+def _semantic_dedup_numpy(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cosine_threshold: float,
+    n_part: int,
+) -> DataFrame:
+    """Numpy/BLAS strategy for semantic_dedup: one applyInPandas group per
+    cluster computes the pairwise cosine matrix as blocked float64 matmuls
+    and applies the keep-first-by-id rule vectorized.
+
+    Block structure bounds memory: rows are sorted by id, the cosine
+    matrix is materialized in ``block × m`` slabs (never m × m), and a row
+    is a duplicate iff any STRICTLY-EARLIER row reaches the threshold —
+    upper-triangle masking via column-index < row-index comparison.
+    Arrow moves each cluster's vectors in one batch; the only Python cost
+    is per cluster, not per pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = assigned.schema
+    thr = float(cosine_threshold)
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        if m <= 1:
+            return pdf
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        safe = norms > 0
+        dup = np.zeros(m, dtype=bool)
+        block = 1024
+        for lo in range(1, m, block):
+            hi = min(lo + block, m)
+            # cosines of rows [lo,hi) against ALL rows, then mask to the
+            # strict lower triangle (earlier ids only)
+            sims = V[lo:hi] @ V.T
+            den = np.outer(norms[lo:hi], norms)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(den > 0, sims / den, np.nan)
+            cos = np.round(cos, 6)
+            earlier = np.arange(m)[None, :] < np.arange(lo, hi)[:, None]
+            hit = (cos >= thr) & earlier
+            dup[lo:hi] = hit.any(axis=1)
+        dup &= safe  # zero vectors have no direction: never near-dups
+        return pdf[~dup]
+
+    return (
+        assigned.repartition(n_part, "_sd_cluster")
+        .groupBy("_sd_cluster")
+        .applyInPandas(dedup_cluster, schema=out_schema)
+    )
+
+
+def _assign_centroid_numpy(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: one Arrow batch matmul
+    (rows × dim @ dim × k) + argmax per mapInPandas batch.
+
+    Tie-break parity with :func:`assign_centroid` (struct-max -> LARGER
+    idx wins a score tie): argmax over the column-REVERSED score matrix
+    picks the last maximal column, mapped back as k-1-argmax.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × dim
+    # NOT df.schema.add(...): StructType.add mutates the receiver in place,
+    # corrupting the input frame's resolved schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("_sd_cluster", IntegerType(), False)]
+    )
+    k = C.shape[0]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                scores = V_ @ C.T  # rows × k
+                pdf = pdf.assign(
+                    _sd_cluster=(k - 1 - np.argmax(scores[:, ::-1], axis=1))
+                )
+            else:
+                pdf = pdf.assign(_sd_cluster=np.array([], dtype=np.int32))
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)

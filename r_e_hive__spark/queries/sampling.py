@@ -17,8 +17,6 @@ double with identical expression trees on both sides.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators import sampling as SA
@@ -96,9 +94,6 @@ def x15_mixture_split_sample(spark, sf_dir):
     kept = SA.mixture_resample(
         documents, "lang", "doc_id", _WEIGHTS, salt=_MIX_SALT
     ).select("doc_id", "lang", "source")
-    splits = SA.split_corpus(kept, "doc_id", _SPLITS, salt=_SPLIT_SALT)
-    labeled = reduce(
-        lambda a, b: a.unionByName(b),
-        [df.withColumn("split", F.lit(name)) for name, df in splits.items()],
-    )
-    return labeled.orderBy("doc_id")
+    return kept.withColumn(
+        "split", SA.split_label(F.col("doc_id"), _SPLITS, salt=_SPLIT_SALT)
+    ).orderBy("doc_id")

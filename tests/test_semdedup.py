@@ -69,3 +69,42 @@ def test_parallel_rule_drops_chain_members(spark):
         _df(spark, [(1, a), (2, b), (3, c)]), "vec_id", "embedding", _CENTS, 0.999
     )
     assert sorted(r.vec_id for r in out.collect()) == [1]
+
+
+def test_numpy_strategy_matches_expr(spark):
+    """The BLAS applyInPandas strategy must keep exactly the rows the
+    pure-expression strategy keeps (same clusters, same survivors) on the
+    smoke embeddings."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    from r_e_hive__spark.queries._ivf_centroids import _IVF_CENTROIDS
+
+    kw = dict(
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=_IVF_CENTROIDS,
+        cosine_threshold=0.25,
+    )
+    expr_rows = {
+        (r.vec_id, r._sd_cluster)
+        for r in semantic_dedup(emb, strategy="expr", **kw).collect()
+    }
+    np_rows = {
+        (r.vec_id, r._sd_cluster)
+        for r in semantic_dedup(emb, strategy="numpy", **kw).collect()
+    }
+    assert np_rows == expr_rows and len(np_rows) > 0
+
+
+def test_numpy_strategy_rejects_exact_decimal(spark):
+    import pytest as _pytest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    with _pytest.raises(ValueError):
+        semantic_dedup(
+            emb, "vec_id", "embedding", _CENTS, 0.5,
+            exact_decimal=True, strategy="numpy",
+        )

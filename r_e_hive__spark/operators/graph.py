@@ -258,3 +258,75 @@ def closure_from_parent_expr(
         F.col(key_col).alias("child"), parent_expr.alias("parent")
     ).where(F.col("parent").isNotNull())
     return ancestor_closure(edges, "child", "parent", max_levels=max_levels, **kw)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Connected components over an undirected edge set: returns
+    ``(node, component)`` where ``component`` is the MINIMUM node id
+    reachable from ``node`` — the canonical representative.
+
+    This is the missing step between pairwise near-dup detection and
+    survivor selection: X2/X4/X17 emit PAIRS, but transitive chains
+    (a~b, b~c, a!~c) must dedup as ONE group or the kept set depends on
+    pair order.  ``components.where(node == component)`` is exactly the
+    keep-min-per-group survivor rule, now transitively closed.
+
+    Algorithm: min-label propagation to fixpoint — each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle join + one map-side-combined min-agg per round); converged
+    when no label changes.  Rounds needed = graph diameter, which for
+    near-dup clusters is small (dup groups are dense); the driver-side
+    convergence check is one count per round (an O(changed) aggregate,
+    not a collect of data).  ``localCheckpoint`` every ``checkpoint_every``
+    rounds cuts the iterative-plan lineage exactly like the J8 closure
+    (same measured rationale, BASELINE.md).  For web-scale power-law
+    graphs with large diameters, the large-star/small-star formulation
+    (Kiveris et al. 2014) halves rounds to O(log²) — out of scope until a
+    real graph needs it; max_iter guards against it silently spinning.
+
+    Raises after ``max_iter`` non-converged rounds rather than returning
+    a partially-propagated labeling.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    sym = edges.select(src.alias("_n"), dst.alias("_m")).unionByName(
+        edges.select(dst.alias("_n"), src.alias("_m"))
+    )
+    nodes = sym.select(F.col("_n").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["_m"] == labels["node"])
+            .groupBy("_n")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["_n"], "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter; raise max_iter or use a "
+        "log-round formulation)"
+    )

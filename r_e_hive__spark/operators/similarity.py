@@ -43,12 +43,30 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exact_decimal: bool = True,
+    strategy: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     Output: (query_id, rank, vec_id, cosine) — rank by (rounded cosine desc,
     vec_id asc); rounding-first ranking keeps the order reproducible across
-    engines (determinism contract, SURVEY.md §2.12)."""
+    engines (determinism contract, SURVEY.md §2.12).
+
+    ``strategy="numpy"`` (production scan path, requires
+    ``exact_decimal=False``): the query set — already required to be
+    broadcast-small — ships as a literal matrix into ``mapInPandas``; each
+    Arrow batch scores ALL queries with one BLAS matmul and emits only its
+    per-query partial top-k, so the shuffle carries k·queries·batches tiny
+    rows, never the scan.  Same map-side-combine shape as the expr path's
+    window, ~30× its per-row cost (BASELINE.md).  Results are pinned
+    rank-identical to the expr path in tests/test_similarity.py."""
+    if strategy == "numpy":
+        if exact_decimal:
+            raise ValueError("exact_decimal requires strategy='expr'")
+        return _brute_force_topk_numpy(
+            queries, candidates, query_id, cand_id, vec_col, k
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # hoist each side's self-norm out of the pair loop: cosine(a,b) needs
     # 3 dot products, but ‖a‖² and ‖b‖² are per-ROW quantities — computing
     # them once per side instead of once per PAIR cuts the pairwise decimal
@@ -637,3 +655,73 @@ def _assign_centroid_numpy(
             yield pdf
 
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def _brute_force_topk_numpy(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """BLAS scan strategy for brute_force_topk: per-Arrow-batch matmul +
+    argpartition partial top-k, then a global window over the tiny partials.
+
+    Collecting the query set to the driver is collecting *parameters* (it
+    is broadcast-small by the operator's own contract — same argument as
+    kmeans_centroids); the candidate scan itself never leaves executors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    # id column types follow the inputs (ids need not be longs)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType, True),
+            StructField(cand_id, candidates.schema[cand_id].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[cand_id].to_numpy()
+            norms = np.sqrt((V_ * V_).sum(axis=1))
+            den = np.outer(q_norms, norms)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
+            cos = np.round(cos, 6)
+            take = min(k, cos.shape[1])
+            # partial top-k per query within this batch (argpartition is
+            # O(m); exact order is restored by the global window)
+            part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            out = {
+                query_id: np.repeat(q_ids, take),
+                cand_id: ids[part].ravel(),
+                "cosine": np.take_along_axis(cos, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partials = ensure_parallelism(candidates).mapInPandas(
+        score, schema=out_schema
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
+    return (
+        partials.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", cand_id, "cosine")
+    )

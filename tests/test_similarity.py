@@ -163,3 +163,34 @@ def test_hyperplane_bucket_null_vector_passes_through(spark):
     }
     assert rows[2] == 0
     assert isinstance(rows[1], int)
+
+
+def test_brute_force_numpy_strategy_matches_expr(spark):
+    """The BLAS scan strategy must reproduce the expr path's ranking
+    exactly (same rounded cosines, same tie-break) on the smoke corpus."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=10, exact_decimal=False)
+    expr_rows = sorted(
+        map(tuple, brute_force_topk(queries, emb, **kw).collect())
+    )
+    np_rows = sorted(
+        map(
+            tuple,
+            brute_force_topk(queries, emb, strategy="numpy", **kw).collect(),
+        )
+    )
+    assert np_rows == expr_rows and len(np_rows) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        brute_force_topk(queries, emb, strategy="numpy", exact_decimal=True)

@@ -294,8 +294,13 @@ def connected_components(
     a partially-propagated labeling.
     """
     src, dst = F.col(src_col), F.col(dst_col)
-    sym = edges.select(src.alias("_n"), dst.alias("_m")).unionByName(
-        edges.select(dst.alias("_n"), src.alias("_m"))
+    sym = (
+        edges.select(src.alias("_n"), dst.alias("_m"))
+        .unionByName(edges.select(dst.alias("_n"), src.alias("_m")))
+        # edge sets usually come out of expensive operators (LSH pair
+        # joins, SemDeDup); without this cut the whole producing pipeline
+        # re-executes twice per round (join + changed-count action)
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("_n").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component"))

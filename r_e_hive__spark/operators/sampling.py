@@ -183,7 +183,25 @@ def mixture_resample(
         sorted(weights.items()), f"{domain_col} string, _weight double"
     )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
-    per_domain = counts.join(F.broadcast(wdf), domain_col, "inner")
+    # OUTER-preserve every target domain so a weight with zero corpus
+    # rows fails LOUDLY at execution (mixture_fractions' ValueError,
+    # in-plan form) instead of being silently dropped — an inner join
+    # would rescale the remaining domains to a wrong mixture.  counts is
+    # the broadcast side (K rows; a left-outer can only broadcast right).
+    per_domain = wdf.join(F.broadcast(counts), domain_col, "left").select(
+        domain_col,
+        "_weight",
+        F.when(
+            F.assert_true(
+                F.col("_n").isNotNull(),
+                F.concat(
+                    F.lit("mixture_resample: target domain has no rows: "),
+                    F.col(domain_col),
+                ),
+            ).isNull(),
+            F.col("_n"),
+        ).alias("_n"),
+    )
     scale = per_domain.agg(
         F.min(F.col("_n") / F.col("_weight")).alias("_scale")
     )

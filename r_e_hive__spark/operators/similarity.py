@@ -57,8 +57,13 @@ def brute_force_topk(
     Arrow batch scores ALL queries with one BLAS matmul and emits only its
     per-query partial top-k, so the shuffle carries k·queries·batches tiny
     rows, never the scan.  Same map-side-combine shape as the expr path's
-    window, ~30× its per-row cost (BASELINE.md).  Results are pinned
-    rank-identical to the expr path in tests/test_similarity.py."""
+    window, ~11× its per-row cost at the measured minima (BASELINE.md).
+    Results are pinned rank-identical to the expr path on the test corpus;
+    the documented residual divergence class (same as semantic_dedup's):
+    BLAS sums in hardware order and np.round is half-to-even, so a cosine
+    landing exactly on a .5e-6 boundary can round differently from the
+    expr path's sequential-fold + HALF_UP — a last-ulp event, not a
+    ranking-logic difference."""
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -86,12 +91,14 @@ def brute_force_topk(
         F.col(vec_col).alias("_cvec"),
         _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
+    # NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors, matching
+    # cosine_exact's semantics: NULL sorts last under the desc ranking
+    den = F.sqrt(F.col("_qn2") * F.col("_cn2"))
     scored = q.crossJoin(c).select(
         query_id,
         cand_id,
         F.round(
-            _dot(F.col("_qvec"), F.col("_cvec")).cast("double")
-            / F.sqrt(F.col("_qn2") * F.col("_cn2")),
+            F.when(den > 0, _dot(F.col("_qvec"), F.col("_cvec")).cast("double") / den),
             6,
         ).alias("cosine"),
     )
@@ -134,12 +141,12 @@ def ivf_topk(
         F.col(vec_col).alias("_cvec"),
         _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
+    den = F.sqrt(F.col("_qn2") * F.col("_cn2"))  # zero-norm guard, as above
     scored = q.join(c, bucket_col).select(
         query_id,
         cand_id,
         F.round(
-            _dot(F.col("_qvec"), F.col("_cvec")).cast("double")
-            / F.sqrt(F.col("_qn2") * F.col("_cn2")),
+            F.when(den > 0, _dot(F.col("_qvec"), F.col("_cvec")).cast("double") / den),
             6,
         ).alias("cosine"),
     )
@@ -705,13 +712,20 @@ def _brute_force_topk_numpy(
                 cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
             cos = np.round(cos, 6)
             take = min(k, cos.shape[1])
-            # partial top-k per query within this batch (argpartition is
-            # O(m); exact order is restored by the global window)
-            part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            # partial top-k per query within this batch, selected by the
+            # SAME total order the global window uses — (cosine desc,
+            # cand_id asc) — so ties at the take-th value keep the lowest
+            # ids deterministically regardless of row order within the
+            # batch (plain argpartition would keep an arbitrary,
+            # partitioning-dependent subset of a tie group)
+            nan_safe = np.where(np.isnan(cos), -np.inf, cos)
+            sel = np.empty((cos.shape[0], take), dtype=np.int64)
+            for qi in range(cos.shape[0]):
+                sel[qi] = np.lexsort((ids, -nan_safe[qi]))[:take]
             out = {
                 query_id: np.repeat(q_ids, take),
-                cand_id: ids[part].ravel(),
-                "cosine": np.take_along_axis(cos, part, axis=1).ravel(),
+                cand_id: ids[sel].ravel(),
+                "cosine": np.take_along_axis(cos, sel, axis=1).ravel(),
             }
             yield pd.DataFrame(out)
 

@@ -129,7 +129,7 @@ def query(
     """Decorator registering a declared query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in REGISTRY:
+        if name in REGISTRY or name in RETIRED:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(
             name=name,

@@ -228,3 +228,16 @@ def test_repetition_grouped_matches_scalar(spark):
         for r in repetition_stats_grouped(docs, "doc_id", "text", 2).collect()
     }
     assert grouped == scalar
+
+
+def test_mixture_resample_missing_domain_raises(spark):
+    """A target domain with zero corpus rows must fail loudly at
+    execution (in-plan assert), not silently rescale the mixture."""
+    from pyspark.errors import PySparkException
+
+    docs = _docs(spark)
+    bad = SA.mixture_resample(
+        docs, "lang", "doc_id", {"en": 0.5, "klingon": 0.5}
+    )
+    with pytest.raises(PySparkException):
+        bad.count()

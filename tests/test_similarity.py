@@ -194,3 +194,32 @@ def test_brute_force_numpy_strategy_matches_expr(spark):
 
     with _pytest.raises(ValueError):
         brute_force_topk(queries, emb, strategy="numpy", exact_decimal=True)
+
+
+def test_brute_force_zero_vector_null_not_error(spark):
+    """A zero-norm vector has no direction: both strategies must return
+    NULL-cosine (expr) / omit (numpy) rather than raising ANSI
+    DIVIDE_BY_ZERO, and rank real candidates identically."""
+    from pyspark.sql import Row, functions as F
+
+    from r_e_hive__spark.operators.similarity import brute_force_topk
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.8, 0.6]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),  # zero vector
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    expr_out = brute_force_topk(q, emb, k=3, exact_decimal=False).collect()
+    ranked = {r.vec_id: (r.rank, r.cosine) for r in expr_out}
+    assert ranked[0][0] == 1 and ranked[1][0] == 2
+    assert ranked[2][1] is None  # zero vector: NULL cosine, ranked last
+    np_out = brute_force_topk(
+        q, emb, k=3, exact_decimal=False, strategy="numpy"
+    ).collect()
+    np_ranked = {r.vec_id: r.rank for r in np_out}
+    # numpy path omits the zero vector entirely; real ranks agree
+    assert np_ranked == {0: 1, 1: 2}

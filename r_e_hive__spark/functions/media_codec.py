@@ -91,6 +91,64 @@ def wav_encode(
     return bytes(hdr) + bytes(data)
 
 
+def wav_decode(b: bytes):
+    """Decode PCM samples to a numpy int32 array of shape (n_samples,
+    channels), plus the sample rate and bit depth.  Supports the same
+    subset wav_meta accepts (PCM, 8/16-bit); 8-bit WAV is unsigned per
+    the RIFF spec and is centered to signed here."""
+    import numpy as np
+
+    meta = wav_meta(b)
+    bits, ch = meta["bits_per_sample"], meta["channels"]
+    # locate the data chunk payload
+    pos = 12
+    payload = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"data":
+            payload = b[pos + 8 : pos + 8 + length]
+            break
+        pos += 8 + length + (length & 1)
+    if payload is None:
+        raise ValueError("WAV missing data chunk")
+    if bits == 16:
+        arr = np.frombuffer(payload, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"bits={bits}")
+    n = len(arr) // ch
+    return arr[: n * ch].reshape(n, ch), meta["sample_rate"], bits
+
+
+def wav_encode_pcm(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode a (n, channels) integer sample array as PCM WAV —
+    byte-deterministic, the inverse of wav_decode (8-bit re-biases to
+    unsigned).  This is the REAL encoder; the fixture-ramp generator
+    wav_encode stays for hermetic tests."""
+    import numpy as np
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if bits == 16:
+        data = a.astype("<i2").tobytes()
+    elif bits == 8:
+        data = (a + 128).astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"bits={bits}")
+    frame = ch * bits // 8
+    byte_rate = sample_rate * frame
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, frame, bits
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return bytes(hdr) + data
+
+
 # --- BMP -------------------------------------------------------------------
 
 

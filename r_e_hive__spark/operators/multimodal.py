@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -481,3 +482,108 @@ def sample_frames_stub(
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
     return binary_df.select("path", "content").mapInPandas(_frames, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+
+def resample_audio(binary_df: DataFrame, target_rate: int = 8000) -> DataFrame:
+    """REAL audio transform: decode PCM WAV samples, nearest-sample
+    resample to ``target_rate`` (the audio twin of the image
+    nearest-neighbor resize — index map ``floor(i·rate/target)``), and
+    re-encode.  Pure stdlib + numpy over Arrow batches; binary in →
+    binary out, per-row, no shuffle — the map-only scan shape every
+    100 TB media pass must have.  Non-WAV blobs raise
+    ``NotImplementedError`` (no silent passthrough: a pipeline that
+    thinks it resampled everything must be told it didn't)."""
+    import numpy as np
+
+    from r_e_hive__spark.functions import media_codec as MC
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if not MC.is_wav(raw):
+                    raise NotImplementedError(
+                        "resample_audio supports PCM WAV (built-in codec); "
+                        "compressed audio needs an external decoder"
+                    )
+                samples, rate, bits = MC.wav_decode(raw)
+                n = len(samples)
+                n_out = max(1, int(n * target_rate / rate)) if n else 0
+                idx = (np.arange(n_out) * rate // target_rate).astype(int)
+                idx = np.minimum(idx, max(0, n - 1))
+                out = MC.wav_encode_pcm(samples[idx], target_rate, bits)
+                rows.append(
+                    {
+                        "path": path,
+                        "sample_rate": target_rate,
+                        "n_samples": int(n_out),
+                        "content": out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_SCHEMA.fields]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        _resample, _AUDIO_SCHEMA
+    )
+
+
+_AUDIO_FEAT_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", IntegerType(), False),
+    ]
+)
+
+
+def audio_features(binary_df: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed RMS/peak over decoded PCM WAV — the real feature-extract
+    stage (featurize_blobs is the format-agnostic byte-histogram twin).
+    One output row per ``window`` samples (channel-averaged); 4-dp RMS
+    for cross-run hash stability."""
+    import numpy as np
+
+    from r_e_hive__spark.functions import media_codec as MC
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if not MC.is_wav(raw):
+                    raise NotImplementedError("audio_features supports PCM WAV")
+                samples, _rate, _bits = MC.wav_decode(raw)
+                mono = samples.mean(axis=1)
+                for wi in range(0, len(mono), window):
+                    chunk = mono[wi : wi + window]
+                    rows.append(
+                        {
+                            "path": path,
+                            "window_idx": wi // window,
+                            "rms": round(
+                                float(np.sqrt((chunk * chunk).mean())), 4
+                            ),
+                            "peak": int(np.abs(chunk).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FEAT_SCHEMA.fields]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        _feat, _AUDIO_FEAT_SCHEMA
+    )

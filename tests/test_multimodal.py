@@ -656,3 +656,77 @@ def test_mp3_trailing_junk_keeps_parsed_frames():
         m = M.mp3_meta(good + junk + bytes(50))
         assert m["n_frames"] == 4
         assert m["stream_bytes"] == len(good)
+
+
+# --- round-5 real audio transforms ----------------------------------------
+
+
+def test_wav_decode_roundtrip():
+    """wav_decode inverts both encoders and reproduces the fixture ramp."""
+    import numpy as np
+
+    from r_e_hive__spark.functions import media_codec as MC
+
+    raw = MC.wav_encode(100, sample_rate=8000, channels=2, bits=16)
+    samples, rate, bits = MC.wav_decode(raw)
+    assert (rate, bits) and samples.shape == (100, 2)
+    # the generator formula, decoded back exactly
+    want = np.array(
+        [[(((k * 31 + c * 7) % 251) - 125) * 128 for c in (0, 1)] for k in range(100)]
+    )
+    assert (samples == want).all()
+    # real-encoder round trip, 16- and 8-bit
+    again, rate2, _ = MC.wav_decode(MC.wav_encode_pcm(samples, 8000, 16))
+    assert rate2 == 8000 and (again == samples).all()
+    small = (samples // 256).astype(int)
+    again8, _, bits8 = MC.wav_decode(MC.wav_encode_pcm(small, 4000, 8))
+    assert bits8 == 8 and (again8 == small).all()
+
+
+def test_resample_audio_halves_rate(spark, tmp_path):
+    import os
+
+    from r_e_hive__spark.functions import media_codec as MC
+    from r_e_hive__spark.operators.multimodal import (
+        read_binary_dir,
+        resample_audio,
+    )
+
+    d = tmp_path / "wavs"
+    os.makedirs(d)
+    (d / "a.wav").write_bytes(MC.wav_encode(800, sample_rate=8000))
+    (d / "b.wav").write_bytes(MC.wav_encode(801, sample_rate=8000))
+    out = {
+        os.path.basename(r.path): r
+        for r in resample_audio(
+            read_binary_dir(spark, str(d)), target_rate=4000
+        ).collect()
+    }
+    assert out["a.wav"].n_samples == 400 and out["b.wav"].n_samples == 400
+    meta = MC.wav_meta(bytes(out["a.wav"].content))
+    assert meta["sample_rate"] == 4000 and meta["n_samples"] == 400
+    # decimation-by-2 keeps exactly the even samples
+    import numpy as np
+
+    orig, _, _ = MC.wav_decode(MC.wav_encode(800, sample_rate=8000))
+    got, _, _ = MC.wav_decode(bytes(out["a.wav"].content))
+    assert (got == orig[::2]).all()
+
+
+def test_audio_features_windows(spark, tmp_path):
+    import os
+
+    from r_e_hive__spark.functions import media_codec as MC
+    from r_e_hive__spark.operators.multimodal import (
+        audio_features,
+        read_binary_dir,
+    )
+
+    d = tmp_path / "wavs2"
+    os.makedirs(d)
+    (d / "a.wav").write_bytes(MC.wav_encode(600, sample_rate=8000))
+    rows = audio_features(
+        read_binary_dir(spark, str(d)), window=256
+    ).collect()
+    assert [r.window_idx for r in sorted(rows, key=lambda r: r.window_idx)] == [0, 1, 2]
+    assert all(r.rms > 0 and r.peak > 0 for r in rows)

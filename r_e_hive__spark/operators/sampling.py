@@ -217,3 +217,28 @@ def mixture_resample(
         .where(u < F.col("_keep_frac"))
         .drop("_keep_frac")
     )
+
+
+def deterministic_fixed_sample(
+    df: DataFrame, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly-``n``-row deterministic sample: the n rows with the
+    SMALLEST hash-uniform — a reservoir sample with the randomness
+    replaced by the md5 order, so it is reproducible and composes with
+    :func:`deterministic_sample` (it is always a subset of any
+    fraction-sample whose cutoff exceeds these rows' uniforms).
+
+    Plan shape: TakeOrderedAndProject (per-partition partial top-n,
+    merge n·partitions rows on one reducer) — no full sort, no full
+    shuffle; at 100 TB the driver-side merge sees n rows per partition,
+    so keep n modest (samples, not exports).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    u = hash_uniform(F.col(key_col), salt).alias("_u")
+    return (
+        df.withColumn("_u", u)
+        .orderBy("_u", key_col)
+        .limit(n)
+        .drop("_u")
+    )

@@ -241,3 +241,51 @@ def test_mixture_resample_missing_domain_raises(spark):
     )
     with pytest.raises(PySparkException):
         bad.count()
+
+
+def test_fixed_sample_exact_size_and_nesting(spark):
+    docs = _docs(spark)
+    s20 = [r.doc_id for r in SA.deterministic_fixed_sample(docs, "doc_id", 20).collect()]
+    assert len(s20) == len(set(s20)) == 20
+    # reproducible under repartitioning
+    s20b = [
+        r.doc_id
+        for r in SA.deterministic_fixed_sample(
+            docs.repartition(7), "doc_id", 20
+        ).collect()
+    ]
+    assert sorted(s20) == sorted(s20b)
+    # nests inside the larger fixed sample and inside a fraction sample
+    s50 = {r.doc_id for r in SA.deterministic_fixed_sample(docs, "doc_id", 50).collect()}
+    assert set(s20) <= s50
+    frac = {r.doc_id for r in SA.deterministic_sample(docs, "doc_id", 0.9).collect()}
+    assert set(s20) <= frac or len(frac) < 20  # 0.9-cutoff dominates 20 smallest
+    plan = (
+        SA.deterministic_fixed_sample(docs, "doc_id", 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_composition_of_new_ops(spark):
+    """Integration: quality gate -> PII redact -> mixture rebalance ->
+    split labels, composed as ONE lazy plan over documents — the round-5
+    operator families working together as a curation pipeline."""
+    from r_e_hive__spark.operators.quality import repetition_stats_grouped
+
+    docs = _docs(spark)
+    g2 = TX.word_ngrams(F.col("text"), 2)
+    gated = docs.where(TX.top_ngram_fraction(g2) <= F.lit(0.5))
+    redacted = gated.withColumn("text", P.redact(F.col("text")))
+    mixed = SA.mixture_resample(
+        redacted, "lang", "doc_id", {"en": 0.5, "de": 0.5}
+    )
+    labeled = mixed.withColumn(
+        "split", SA.split_label(F.col("doc_id"), {"train": 0.9, "val": 0.1})
+    )
+    rows = labeled.select("doc_id", "lang", "split").collect()
+    assert rows and {r.lang for r in rows} <= {"en", "de"}
+    assert {r.split for r in rows} <= {"train", "val"}
+    # and the grouped repetition stats join back onto the survivors
+    stats = repetition_stats_grouped(labeled, "doc_id", "text", 2)
+    assert stats.count() == len(rows)

@@ -37,7 +37,8 @@ def wav_meta(b: bytes) -> dict:
     callers route on exception type — ADVICE-class robustness)."""
     if not is_wav(b):
         raise ValueError("not a RIFF/WAVE file")
-    pos, fmt, data_bytes = 12, None, None
+    pos, fmt = 12, None
+    data_bytes = data_offset = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
@@ -49,9 +50,13 @@ def wav_meta(b: bytes) -> dict:
             )
             if tag != 1:
                 raise NotImplementedError(f"non-PCM WAV (format tag {tag})")
+            if channels == 0:
+                raise ValueError("WAV fmt declares 0 channels")
             fmt = (channels, rate, bits)
-        elif cid == b"data":
-            data_bytes = length
+        elif cid == b"data" and data_offset is None:
+            # FIRST data chunk wins (multiple data chunks are malformed;
+            # decode reads the same chunk this metadata describes)
+            data_bytes, data_offset = length, pos + 8
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data_bytes is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -63,6 +68,7 @@ def wav_meta(b: bytes) -> dict:
         "bits_per_sample": bits,
         "data_bytes": data_bytes,
         "n_samples": data_bytes // frame,
+        "data_offset": data_offset,
     }
 
 
@@ -100,18 +106,7 @@ def wav_decode(b: bytes):
 
     meta = wav_meta(b)
     bits, ch = meta["bits_per_sample"], meta["channels"]
-    # locate the data chunk payload
-    pos = 12
-    payload = None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        if cid == b"data":
-            payload = b[pos + 8 : pos + 8 + length]
-            break
-        pos += 8 + length + (length & 1)
-    if payload is None:
-        raise ValueError("WAV missing data chunk")
+    payload = b[meta["data_offset"] : meta["data_offset"] + meta["data_bytes"]]
     if bits == 16:
         arr = np.frombuffer(payload, dtype="<i2").astype(np.int32)
     elif bits == 8:
@@ -133,6 +128,14 @@ def wav_encode_pcm(samples, sample_rate: int, bits: int = 16) -> bytes:
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
+    # fail loudly on out-of-range samples: astype would silently WRAP
+    # (40000 -> -25536 at 16-bit), emitting corrupt audio
+    lo, hi = (-32768, 32767) if bits == 16 else (-128, 127)
+    if len(a) and (int(a.min()) < lo or int(a.max()) > hi):
+        raise ValueError(
+            f"samples out of range for {bits}-bit PCM "
+            f"[{lo}, {hi}]: min={int(a.min())} max={int(a.max())}"
+        )
     if bits == 16:
         data = a.astype("<i2").tobytes()
     elif bits == 8:

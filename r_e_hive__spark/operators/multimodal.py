@@ -570,6 +570,10 @@ def audio_features(binary_df: DataFrame, window: int = 256) -> DataFrame:
                 mono = samples.mean(axis=1)
                 for wi in range(0, len(mono), window):
                     chunk = mono[wi : wi + window]
+                    # peak over the RAW per-channel samples, not the
+                    # channel average: int(0.9) would report quiet-but-
+                    # live audio as peak=0 (false silence)
+                    raw_win = samples[wi : wi + window]
                     rows.append(
                         {
                             "path": path,
@@ -577,7 +581,7 @@ def audio_features(binary_df: DataFrame, window: int = 256) -> DataFrame:
                             "rms": round(
                                 float(np.sqrt((chunk * chunk).mean())), 4
                             ),
-                            "peak": int(np.abs(chunk).max()),
+                            "peak": int(np.abs(raw_win).max()),
                         }
                     )
             yield pd.DataFrame(

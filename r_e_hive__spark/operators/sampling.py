@@ -232,13 +232,21 @@ def deterministic_fixed_sample(
     merge n·partitions rows on one reducer) — no full sort, no full
     shuffle; at 100 TB the driver-side merge sees n rows per partition,
     so keep n modest (samples, not exports).
+
+    Contract (same as every hash-keyed sampler here): ``key_col`` must be
+    a unique key.  With duplicate keys the SET of selected key values is
+    still deterministic, but which physical row represents a duplicated
+    key at the cutoff is partitioning-dependent (equal uniform AND equal
+    tie-break) — dedupe first if keys can repeat.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    u = hash_uniform(F.col(key_col), salt).alias("_u")
+    ucol = "_u"
+    while ucol in df.columns:  # never clobber a caller's column
+        ucol += "_"
     return (
-        df.withColumn("_u", u)
-        .orderBy("_u", key_col)
+        df.withColumn(ucol, hash_uniform(F.col(key_col), salt))
+        .orderBy(ucol, key_col)
         .limit(n)
-        .drop("_u")
+        .drop(ucol)
     )

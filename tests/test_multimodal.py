@@ -256,6 +256,7 @@ def test_wav_roundtrip_and_meta():
         "bits_per_sample": 16,
         "data_bytes": 2468,
         "n_samples": 1234,
+        "data_offset": 44,
     }
     assert len(b) == 44 + 2468  # canonical PCM header size
     # stereo 8-bit: frame size and sample count follow the fmt chunk
@@ -669,7 +670,7 @@ def test_wav_decode_roundtrip():
 
     raw = MC.wav_encode(100, sample_rate=8000, channels=2, bits=16)
     samples, rate, bits = MC.wav_decode(raw)
-    assert (rate, bits) and samples.shape == (100, 2)
+    assert (rate, bits) == (8000, 16) and samples.shape == (100, 2)
     # the generator formula, decoded back exactly
     want = np.array(
         [[(((k * 31 + c * 7) % 251) - 125) * 128 for c in (0, 1)] for k in range(100)]
@@ -730,3 +731,36 @@ def test_audio_features_windows(spark, tmp_path):
     ).collect()
     assert [r.window_idx for r in sorted(rows, key=lambda r: r.window_idx)] == [0, 1, 2]
     assert all(r.rms > 0 and r.peak > 0 for r in rows)
+
+
+def test_wav_codec_rejects_malformed():
+    """Review-pinned contracts: 0-channel fmt raises ValueError (not
+    ZeroDivisionError), out-of-range samples raise instead of wrapping,
+    and multi-data-chunk files read the FIRST chunk consistently in
+    meta and decode."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from r_e_hive__spark.functions import media_codec as MC
+
+    good = MC.wav_encode(10, sample_rate=8000, channels=1, bits=16)
+    zero_ch = bytearray(good)
+    # fmt chunk starts at 12; channels field at offset 12+8+2
+    struct.pack_into("<H", zero_ch, 22, 0)
+    with _pytest.raises(ValueError):
+        MC.wav_meta(bytes(zero_ch))
+    with _pytest.raises(ValueError):
+        MC.wav_decode(bytes(zero_ch))
+
+    with _pytest.raises(ValueError):
+        MC.wav_encode_pcm(np.array([[40000]]), 8000, 16)
+    with _pytest.raises(ValueError):
+        MC.wav_encode_pcm(np.array([[300]]), 8000, 8)
+
+    # two data chunks: meta describes the one decode reads
+    extra = good + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    m = MC.wav_meta(extra)
+    samples, _, _ = MC.wav_decode(extra)
+    assert m["n_samples"] == len(samples) == 10

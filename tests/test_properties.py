@@ -231,7 +231,9 @@ def test_split_label_partitions_all_rows(spark, fracs):
 
     from r_e_hive__spark.operators.sampling import split_label
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     names = [f"s{i}" for i in range(len(fracs))]
     fractions = dict(zip(names, fracs))
     labeled = docs.select(

@@ -66,6 +66,66 @@ def with_shingles(
     )
 
 
+def _exploded_shingles_pandas(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    block_cols: Sequence[str],
+) -> DataFrame:
+    """ONE Arrow pass emitting (_id, _b_*, shingle, _n): each doc's
+    DISTINCT k-shingles plus its shingle count — replacing the expr
+    path's TWO interpreted-HOF shingling passes (Catalyst higher-order
+    functions run per element; Python string slicing over Arrow batches
+    wins here, BASELINE.md).
+
+    Token parity with functions/text.tokens (Spark split, limit=-1) is
+    exact: ``re.split(r"\s+")`` keeps leading AND trailing empty tokens
+    just like Spark's split, and the < k fallback emits the whole-doc
+    single shingle exactly like shingles() — pinned against the expr
+    path on edge strings in tests/test_dedup.py.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    fields = [StructField("_id", df.schema[id_col].dataType, True)]
+    fields += [
+        StructField(f"_b_{c}", df.schema[c].dataType, True) for c in block_cols
+    ]
+    fields += [
+        StructField("shingle", StringType(), False),
+        StructField("_n", IntegerType(), False),
+    ]
+    out_schema = StructType(fields)
+    ws = re.compile(r"\s+")
+    cols = [id_col, *block_cols, text_col]
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in fields}
+            for row in pdf[cols].itertuples(index=False):
+                rid, blocks, text = row[0], row[1:-1], row[-1]
+                toks = ws.split(text or "")
+                if len(toks) >= k:
+                    sset = {
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    }
+                else:
+                    sset = {" ".join(toks)}
+                n = len(sset)
+                for s in sset:
+                    out["_id"].append(rid)
+                    for c, v in zip(block_cols, blocks):
+                        out[f"_b_{c}"].append(v)
+                    out["shingle"].append(s)
+                    out["_n"].append(n)
+            yield pd.DataFrame(out, columns=[f.name for f in fields])
+
+    return ensure_parallelism(df).mapInPandas(gen, out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -74,6 +134,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: Sequence[str] = (),
     max_df: int | None = None,
+    shingle_strategy: str = "expr",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
 
@@ -99,21 +160,40 @@ def ngram_jaccard_pairs(
     output is bit-identical to the uncapped run.  For guaranteed-exact J on
     survivors, verify capped candidates with the array_intersect step used
     in minhash_lsh_pairs.
+
+    ``shingle_strategy``: ``"expr"`` (default) shingles twice with JVM
+    higher-order functions; ``"pandas"`` shingles ONCE in an Arrow batch
+    pass that also carries the per-doc count.  Measured crossover
+    (BASELINE.md): expr wins at 5 k docs (1.89 s vs 2.14 s — Python
+    worker startup dominates), pandas wins at 50 k docs (4.73 s vs
+    6.12 s) and grows its lead with corpus size; outputs are pinned
+    identical (tests/test_dedup.py), so pick by scale.
     """
-    src = ensure_parallelism(df)
-    sh = src.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
-    )
-    # per-doc shingle count is a NARROW projection of the source — computing
-    # it from the exploded stream would re-run the whole shingling pass
-    # (Spark recomputes shared subplans per consumer) and add a groupBy
-    # shuffle for a count the row already knows
-    sizes = src.select(
-        F.col(id_col).alias("_id"),
-        F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
-    )
+    if shingle_strategy == "pandas":
+        # one Arrow pass computes exploded shingles AND carries the per-doc
+        # count on every row; sizes reduce out of the same stream with a
+        # map-side-combined min (one tiny shuffle of (id, int) pairs) —
+        # strictly cheaper than the expr path's second full shingling pass
+        exploded = _exploded_shingles_pandas(df, text_col, id_col, k, block_cols)
+        sh = exploded.drop("_n")
+        sizes = exploded.groupBy("_id").agg(F.min("_n").alias("_n"))
+    elif shingle_strategy == "expr":
+        src = ensure_parallelism(df)
+        sh = src.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+        )
+        # per-doc shingle count is a NARROW projection of the source —
+        # computing it from the exploded stream would re-run the whole
+        # shingling pass (Spark recomputes shared subplans per consumer)
+        # and add a groupBy shuffle for a count the row already knows
+        sizes = src.select(
+            F.col(id_col).alias("_id"),
+            F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
+        )
+    else:
+        raise ValueError(f"unknown shingle_strategy {shingle_strategy!r}")
     # collect_SET: duplicate doc ids in the input would otherwise sit
     # adjacent in the sorted list and the i<j slice would pair them with
     # themselves (Jaccard 1.0 self-pairs) — the old self-join's strict

@@ -134,3 +134,51 @@ def test_lsh_and_simhash_parameter_guards(spark):
         minhash_lsh_pairs(df, "text", "id", num_hashes=32, bands=5)  # uneven
     with _pytest.raises(ValueError):
         simhash_neardup_pairs(df, "text", "id", max_hamming=4)
+
+
+def test_pandas_shingling_matches_expr_strategy(spark):
+    """The single-pass pandas shingling must reproduce the expr path's
+    pairs EXACTLY — including whitespace edge semantics (Spark split with
+    limit=-1 keeps leading AND trailing empty tokens) and the <k
+    whole-doc fallback."""
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.dedup import ngram_jaccard_pairs
+
+    edge = [
+        Row(doc_id=1, text="a b c d e"),
+        Row(doc_id=2, text="a b c d x"),
+        Row(doc_id=3, text="  leading ws a b c"),
+        Row(doc_id=4, text="trailing ws a b c   "),
+        Row(doc_id=5, text="short"),
+        Row(doc_id=6, text="short"),
+        Row(doc_id=7, text=""),
+        Row(doc_id=8, text="a  b\tc\nd e"),
+    ]
+    df = spark.createDataFrame(edge)
+    got = {}
+    for strat in ("expr", "pandas"):
+        got[strat] = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", k=3, threshold=0.0,
+                    shingle_strategy=strat,
+                ).collect(),
+            )
+        )
+    assert got["pandas"] == got["expr"] and len(got["pandas"]) > 0
+    # and on the real smoke corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    real = {}
+    for strat in ("expr", "pandas"):
+        real[strat] = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs, "text", "doc_id", k=3, threshold=0.3,
+                    shingle_strategy=strat,
+                ).collect(),
+            )
+        )
+    assert real["pandas"] == real["expr"]

@@ -335,3 +335,101 @@ def connected_components(
         "(graph diameter exceeds max_iter; raise max_iter or use a "
         "log-round formulation)"
     )
+
+
+def _cc_star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star round (Kiveris et al. 2014).
+
+    Neighborhoods are taken over the symmetrized edge set; for each
+    center u with m = min(N(u) ∪ {u}):
+    large-star  emits (v, m) for v ∈ N(u), v >  u  — strictly-larger
+    neighbors re-link to the minimum (keeps (u,m) implicitly via the
+    symmetric pass of m's own star);
+    small-star emits (v, m) for v ∈ N(u) ∪ {u}, v <= u, v != m —
+    smaller neighbors and u itself collapse onto the minimum.
+    Output is canonical (big, small) pairs with self-loops dropped.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("_m").alias("_n"), F.col("_n").alias("_m"))
+    )
+    m = sym.groupBy("_n").agg(
+        F.least(F.min("_m"), F.col("_n")).alias("_min")
+    )
+    nb = sym.join(m, "_n")
+    if large:
+        out = nb.where(F.col("_m") > F.col("_n")).select(
+            F.col("_m").alias("_n"), F.col("_min").alias("_m")
+        )
+    else:
+        smaller = nb.where(F.col("_m") <= F.col("_n")).select(
+            F.col("_m").alias("_n"), F.col("_min").alias("_m")
+        )
+        self_link = m.select(F.col("_n"), F.col("_min").alias("_m"))
+        out = smaller.unionByName(self_link)
+    return (
+        out.where(F.col("_n") != F.col("_m"))
+        .select(
+            F.greatest("_n", "_m").alias("_n"), F.least("_n", "_m").alias("_m")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — O(log² n) rounds REGARDLESS of graph diameter, vs
+    min-label propagation's O(diameter) (:func:`connected_components`).
+    Same output contract: (node, component = min reachable id).
+
+    Use this variant for long-chain / high-diameter graphs (lineage
+    chains, web graphs); for dense near-dup clusters (tiny diameter) the
+    simpler propagation converges in fewer, cheaper rounds.  Parity on
+    random graphs + a 60-long path (where propagation's round count
+    explodes) pinned in tests/test_components.py.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(dst.alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        edges.select(
+            F.greatest(src, dst).alias("_n"), F.least(src, dst).alias("_m")
+        )
+        .where(F.col("_n") != F.col("_m"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        nxt = _cc_star_round(_cc_star_round(cur, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)
+        # converged when the canonical edge set is unchanged (both
+        # directions of the set-difference, each a tiny anti-join count)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            # stars: every non-root points directly at its component root
+            labels = cur.select(
+                F.col("_n").alias("node"), F.col("_m").alias("component")
+            )
+            return (
+                nodes.join(labels, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

@@ -119,11 +119,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exact_decimal: bool = False,
+    strategy: str = "expr",
 ) -> DataFrame:
     """IVF-pruned top-k: only candidates in the query's probe buckets are
     scored.  ``queries`` must carry ``bucket_col`` (possibly exploded over
     n_probe buckets).  At scale ``candidates`` is written partitioned by
-    ``bucket_col`` so the probe is a partition-pruned scan, not a shuffle."""
+    ``bucket_col`` so the probe is a partition-pruned scan, not a shuffle.
+
+    ``strategy="numpy"`` (requires ``exact_decimal=False``): candidates
+    group by bucket into Arrow batches; each bucket scores ONLY the
+    queries probing it with one BLAS matmul and emits per-query partial
+    top-k (same selection order as the global window) — the bucketed
+    sibling of brute_force_topk's scan strategy, pinned rank-identical
+    in tests/test_similarity.py."""
+    if strategy == "numpy":
+        if exact_decimal:
+            raise ValueError("exact_decimal requires strategy='expr'")
+        return _ivf_topk_numpy(
+            queries, candidates, bucket_col, query_id, cand_id, vec_col, k
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r}")
     # per-side norm hoist, same reasoning (and bit-identity) as brute_force_topk
     _n2 = V.norm2_exact if exact_decimal else (lambda v: V.dot(v, v))
     _dot = V.dot_exact if exact_decimal else V.dot
@@ -732,6 +748,92 @@ def _brute_force_topk_numpy(
     partials = ensure_parallelism(candidates).mapInPandas(
         score, schema=out_schema
     )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
+    return (
+        partials.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", cand_id, "cosine")
+    )
+
+
+def _ivf_topk_numpy(
+    queries: DataFrame,
+    candidates: DataFrame,
+    bucket_col: str,
+    query_id: str,
+    cand_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """BLAS bucket strategy for ivf_topk: the (broadcast-small) probing
+    query set ships as a bucket→(ids, matrix) dict; each candidate Arrow
+    batch is scored bucket-by-bucket with one matmul against exactly the
+    queries probing that bucket, emitting per-(query, batch) partial
+    top-k in the global window's total order — the bucketed sibling of
+    _brute_force_topk_numpy (same parameters-not-data collect argument).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, bucket_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    by_bucket: dict = {}
+    for r in q_rows:
+        by_bucket.setdefault(r[1], []).append(
+            (r[0], np.asarray(r[2], dtype=np.float64))
+        )
+    packed = {
+        b: (
+            np.array([qid for qid, _ in rows]),
+            np.stack([v for _, v in rows]),
+        )
+        for b, rows in by_bucket.items()
+    }
+    for b, (ids_, Q_) in packed.items():
+        packed[b] = (ids_, Q_, np.sqrt((Q_ * Q_).sum(axis=1)))
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType, True),
+            StructField(cand_id, candidates.schema[cand_id].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for b, grp in pdf.groupby(bucket_col, sort=False):
+                hit = packed.get(b)
+                if hit is None:
+                    continue  # no query probes this bucket
+                q_ids, Q, q_norms = hit
+                V_ = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                ids = grp[cand_id].to_numpy()
+                norms = np.sqrt((V_ * V_).sum(axis=1))
+                den = np.outer(q_norms, norms)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
+                cos = np.round(cos, 6)
+                take = min(k, cos.shape[1])
+                nan_safe = np.where(np.isnan(cos), -np.inf, cos)
+                sel = np.empty((cos.shape[0], take), dtype=np.int64)
+                for qi in range(cos.shape[0]):
+                    sel[qi] = np.lexsort((ids, -nan_safe[qi]))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id: np.repeat(q_ids, take),
+                        cand_id: ids[sel].ravel(),
+                        "cosine": np.take_along_axis(cos, sel, axis=1).ravel(),
+                    }
+                )
+
+    partials = ensure_parallelism(candidates).mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (
         partials.where(F.col("cosine").isNotNull())

@@ -62,3 +62,34 @@ def test_random_graph_matches_union_find(spark):
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
     ]
     assert _got(spark, pairs) == _union_find(pairs)
+
+
+# --- large-star/small-star variant -----------------------------------------
+
+
+def _got_star(spark, pairs, **kw):
+    from r_e_hive__spark.operators.graph import connected_components_star
+
+    out = connected_components_star(_edges(spark, pairs), **kw)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_star_matches_union_find_random(spark):
+    rng = random.Random(99)
+    nodes = list(range(120))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    assert _got_star(spark, pairs) == _union_find(pairs)
+
+
+def test_star_handles_long_path_in_few_rounds(spark):
+    """A 60-edge path has diameter 60: min-label propagation would need
+    ~60 rounds, the star contraction must finish well under its
+    round guard — the O(log² n) claim, exercised."""
+    pairs = [(i, i + 1) for i in range(60)]
+    got = _got_star(spark, pairs, max_iter=12)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_star_and_singleton_groups(spark):
+    got = _got_star(spark, [(5, 9), (9, 5), (2, 2), (7, 3)])
+    assert got == {5: 5, 9: 5, 2: 2, 7: 3, 3: 3}

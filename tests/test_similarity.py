@@ -223,3 +223,41 @@ def test_brute_force_zero_vector_null_not_error(spark):
     np_ranked = {r.vec_id: r.rank for r in np_out}
     # numpy path omits the zero vector entirely; real ranks agree
     assert np_ranked == {0: 1, 1: 2}
+
+
+def test_ivf_numpy_strategy_matches_expr(spark):
+    """The bucketed BLAS strategy must reproduce the expr IVF path's
+    ranking exactly (same probes, same partial-top-k order)."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.similarity import (
+        assign_centroid,
+        ivf_topk,
+        probe_centroids,
+    )
+    from r_e_hive__spark.queries._ivf_centroids import _IVF_CENTROIDS
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cand = emb.withColumn(
+        "bucket", assign_centroid(F.col("embedding"), _IVF_CENTROIDS)
+    )
+    q = (
+        emb.where(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(
+                probe_centroids(F.col("embedding"), _IVF_CENTROIDS, 2)
+            ).alias("bucket"),
+        )
+    )
+    kw = dict(k=10, exact_decimal=False)
+    expr_rows = sorted(
+        map(tuple, ivf_topk(q, cand, "bucket", **kw).collect())
+    )
+    np_rows = sorted(
+        map(tuple, ivf_topk(q, cand, "bucket", strategy="numpy", **kw).collect())
+    )
+    assert np_rows == expr_rows and len(np_rows) > 0

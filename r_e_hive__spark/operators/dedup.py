@@ -57,9 +57,20 @@ def exact_dedup(
 
 
 def with_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, strategy: str = "expr"
 ) -> DataFrame:
-    """(id, shingle) exploded pairs, distinct per doc."""
+    """(id, shingle) exploded pairs, distinct per doc.
+
+    ``strategy="pandas"`` routes through the single-pass Arrow shingler
+    (same crossover economics as ngram_jaccard_pairs — wins from ~50 k
+    docs; parity pinned in tests/test_dedup.py), so MinHash signatures
+    inherit the fast path too."""
+    if strategy == "pandas":
+        return _exploded_shingles_pandas(df, text_col, id_col, k, ()).select(
+            F.col("_id").alias(id_col), "shingle"
+        )
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r}")
     return ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
@@ -245,7 +256,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    shingle_strategy: str = "expr",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed_i).
@@ -254,7 +270,7 @@ def minhash_signatures(
     partial aggregation means the shuffle carries only num_hashes longs per
     doc regardless of doc length.  xxhash64 is Spark-native (codegen'd),
     deterministic across runs/partitionings."""
-    sh = with_shingles(df, text_col, id_col, k)
+    sh = with_shingles(df, text_col, id_col, k, strategy=shingle_strategy)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)

@@ -182,3 +182,22 @@ def test_pandas_shingling_matches_expr_strategy(spark):
             )
         )
     assert real["pandas"] == real["expr"]
+
+
+def test_minhash_signatures_pandas_shingles_identical(spark):
+    """MinHash signatures are a pure function of the shingle SET, so the
+    Arrow shingler must produce bit-identical signatures."""
+    from r_e_hive__spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(docs, "text", "doc_id", num_hashes=8).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            docs, "text", "doc_id", num_hashes=8, shingle_strategy="pandas"
+        ).collect()
+    }
+    assert a == b and len(a) > 0

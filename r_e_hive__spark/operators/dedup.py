@@ -482,3 +482,44 @@ def contamination_hits(
             F.countDistinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    components: str = "auto",
+) -> DataFrame:
+    """Drop every row that is a non-representative member of a near-dup
+    GROUP: pairs (from ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_neardup_pairs / semantic_dedup's dup join) are transitively
+    closed into components (operators/graph.connected_components*), and
+    only each component's minimum id survives.
+
+    This is the last step of the near-dup pipeline the pairwise operators
+    deliberately leave open: without the closure, chains a~b, b~c with
+    a!~c would keep a AND c or drop both depending on pair order.
+    ``components``: 'propagation' (min-label, O(diameter) rounds — dense
+    dup clusters), 'star' (large/small-star contraction, O(log²) rounds —
+    high-diameter chains), or 'auto' = propagation (dup groups are almost
+    always dense and shallow).
+    """
+    from r_e_hive__spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    fn = (
+        connected_components_star
+        if components == "star"
+        else connected_components
+    )
+    if components not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown components strategy {components!r}")
+    labels = fn(pairs, pair_a, pair_b)
+    dropped = labels.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -93,3 +93,29 @@ def test_star_handles_long_path_in_few_rounds(spark):
 def test_star_star_and_singleton_groups(spark):
     got = _got_star(spark, [(5, 9), (9, 5), (2, 2), (7, 3)])
     assert got == {5: 5, 9: 5, 2: 2, 7: 3, 3: 3}
+
+
+def test_dedup_survivors_transitive_chain(spark):
+    """a~b, b~c (a!~c): pairwise keep-first would be order-dependent;
+    the closed survivor set keeps exactly min(component)."""
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(1, 7)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)]
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 4, 5]
+    kept_star = sorted(
+        r.doc_id
+        for r in dedup_survivors(
+            docs, pairs, "doc_id", components="star"
+        ).collect()
+    )
+    assert kept_star == kept

@@ -84,17 +84,25 @@ def _exploded_shingles_pandas(
     k: int,
     block_cols: Sequence[str],
 ) -> DataFrame:
-    """ONE Arrow pass emitting (_id, _b_*, shingle, _n): each doc's
+    r"""ONE Arrow pass emitting (_id, _b_*, shingle, _n): each doc's
     DISTINCT k-shingles plus its shingle count — replacing the expr
     path's TWO interpreted-HOF shingling passes (Catalyst higher-order
     functions run per element; Python string slicing over Arrow batches
-    wins here, BASELINE.md).
+    wins here, BASELINE.md).  The output is localCheckpointed: three
+    downstream consumers (postings, n_a, n_b) would otherwise each
+    re-execute the Python pass — Spark recomputes uncached shared
+    subplans per consumer.
 
     Token parity with functions/text.tokens (Spark split, limit=-1) is
-    exact: ``re.split(r"\s+")`` keeps leading AND trailing empty tokens
-    just like Spark's split, and the < k fallback emits the whole-doc
-    single shingle exactly like shingles() — pinned against the expr
-    path on edge strings in tests/test_dedup.py.
+    exact: the split pattern is Java's ASCII-only \s class
+    ([ 	
+
+]) — Python's \s is Unicode-aware and would tokenize
+    NBSP etc. differently — and re.split keeps leading AND trailing
+    empty tokens just like Spark's split; the < k fallback emits the
+    whole-doc single shingle exactly like shingles().  Pinned against
+    the expr path on edge strings (incl. Unicode whitespace) in
+    tests/test_dedup.py.
     """
     import re
 
@@ -110,7 +118,7 @@ def _exploded_shingles_pandas(
         StructField("_n", IntegerType(), False),
     ]
     out_schema = StructType(fields)
-    ws = re.compile(r"\s+")
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")  # Java \s, NOT Python \s
     cols = [id_col, *block_cols, text_col]
 
     def gen(batches):
@@ -146,6 +154,7 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str] = (),
     max_df: int | None = None,
     shingle_strategy: str = "expr",
+    assume_unique_ids: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
 
@@ -172,6 +181,13 @@ def ngram_jaccard_pairs(
     survivors, verify capped candidates with the array_intersect step used
     in minhash_lsh_pairs.
 
+    Contract: ``id_col`` is assumed unique per document
+    (``assume_unique_ids=True``, the zero-extra-shuffle path — a
+    duplicated id would duplicate its pairs through the size joins).
+    Pass ``assume_unique_ids=False`` to pay one tiny (id, int) dedup
+    shuffle and get duplicate-tolerant sizes on both strategies
+    (measured +0.5 s on the sf0.1 bench query, hence opt-in).
+
     ``shingle_strategy``: ``"expr"`` (default) shingles twice with JVM
     higher-order functions; ``"pandas"`` shingles ONCE in an Arrow batch
     pass that also carries the per-doc count.  Measured crossover
@@ -185,7 +201,9 @@ def ngram_jaccard_pairs(
         # count on every row; sizes reduce out of the same stream with a
         # map-side-combined min (one tiny shuffle of (id, int) pairs) —
         # strictly cheaper than the expr path's second full shingling pass
-        exploded = _exploded_shingles_pandas(df, text_col, id_col, k, block_cols)
+        exploded = _exploded_shingles_pandas(
+            df, text_col, id_col, k, block_cols
+        ).localCheckpoint(eager=True)
         sh = exploded.drop("_n")
         sizes = exploded.groupBy("_id").agg(F.min("_n").alias("_n"))
     elif shingle_strategy == "expr":
@@ -203,6 +221,11 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("_id"),
             F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
         )
+        if not assume_unique_ids:
+            # one row per DOC, not per input row: duplicate ids would
+            # otherwise duplicate every pair through the n_a/n_b joins
+            # (and diverge from the pandas strategy, which aggregates)
+            sizes = sizes.groupBy("_id").agg(F.min("_n").alias("_n"))
     else:
         raise ValueError(f"unknown shingle_strategy {shingle_strategy!r}")
     # collect_SET: duplicate doc ids in the input would otherwise sit

@@ -410,6 +410,14 @@ def connected_components_star(
     )
     for it in range(max_iter):
         nxt = _cc_star_round(_cc_star_round(cur, large=True), large=False)
+        # per-round checkpoint is load-bearing here (unlike the
+        # propagation variant's every-3rd cadence): each round composes
+        # TWO star operations over the previous round's plan, so an
+        # uncut lineage grows exponentially.  The previous round's
+        # blocks are released by Spark's ContextCleaner once `cur` is
+        # rebound below and the old frame is garbage-collected — at most
+        # a couple of edge-set snapshots are ever live (there is no
+        # public API to free localCheckpoint blocks eagerly).
         nxt = nxt.localCheckpoint(eager=True)
         # converged when the canonical edge set is unchanged (both
         # directions of the set-difference, each a tiny anti-join count)

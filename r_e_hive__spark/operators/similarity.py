@@ -680,6 +680,80 @@ def _assign_centroid_numpy(
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _topk_partial_schema(queries, candidates, query_id, cand_id):
+    """(query_id, cand_id, cosine) partial schema with id types following
+    the inputs, plus the empty final frame for the no-queries case."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    partial = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType, True),
+            StructField(cand_id, candidates.schema[cand_id].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    final = StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType, True),
+            StructField("rank", IntegerType(), False),
+            StructField(cand_id, candidates.schema[cand_id].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    return partial, final
+
+
+def _score_block(q_ids, Q, q_norms, ids, V_, k, query_id, cand_id):
+    """Score one candidate block against a query matrix and return its
+    per-query partial top-k as a pandas frame.
+
+    Selection uses the SAME total order the global window applies —
+    (cosine desc, cand_id asc) via lexsort — so ties at the take-th value
+    keep the lowest ids deterministically regardless of row order within
+    the block (argpartition would keep an arbitrary, partitioning-
+    dependent subset of a tie group).  Zero-norm vectors score NaN here
+    and are null-filtered in _finalize_topk, matching the expr paths'
+    NULL-cosine contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    norms = np.sqrt((V_ * V_).sum(axis=1))
+    den = np.outer(q_norms, norms)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
+    cos = np.round(cos, 6)
+    take = min(k, cos.shape[1])
+    nan_safe = np.where(np.isnan(cos), -np.inf, cos)
+    sel = np.empty((cos.shape[0], take), dtype=np.int64)
+    for qi in range(cos.shape[0]):
+        sel[qi] = np.lexsort((ids, -nan_safe[qi]))[:take]
+    return pd.DataFrame(
+        {
+            query_id: np.repeat(q_ids, take),
+            cand_id: ids[sel].ravel(),
+            "cosine": np.take_along_axis(cos, sel, axis=1).ravel(),
+        }
+    )
+
+
+def _finalize_topk(partials, query_id, cand_id, k):
+    """Global exact top-k over the tiny per-block partials (the window's
+    order is the contract _score_block pre-selected by)."""
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
+    return (
+        partials.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", cand_id, "cosine")
+    )
+
+
 def _brute_force_topk_numpy(
     queries: DataFrame,
     candidates: DataFrame,
@@ -689,32 +763,25 @@ def _brute_force_topk_numpy(
     k: int,
 ) -> DataFrame:
     """BLAS scan strategy for brute_force_topk: per-Arrow-batch matmul +
-    argpartition partial top-k, then a global window over the tiny partials.
+    lexsort partial top-k (_score_block), then _finalize_topk over the
+    tiny partials.
 
     Collecting the query set to the driver is collecting *parameters* (it
     is broadcast-small by the operator's own contract — same argument as
     kmeans_centroids); the candidate scan itself never leaves executors.
+    An empty query set returns an empty result, matching the expr path.
     """
     import numpy as np
-    import pandas as pd
 
+    partial_schema, final_schema = _topk_partial_schema(
+        queries, candidates, query_id, cand_id
+    )
     q_rows = queries.select(query_id, vec_col).collect()
     if not q_rows:
-        raise ValueError("empty query set")
+        return queries.sparkSession.createDataFrame([], final_schema)
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_norms = np.sqrt((Q * Q).sum(axis=1))
-
-    # id column types follow the inputs (ids need not be longs)
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    out_schema = StructType(
-        [
-            StructField(query_id, queries.schema[query_id].dataType, True),
-            StructField(cand_id, candidates.schema[cand_id].dataType, True),
-            StructField("cosine", DoubleType(), True),
-        ]
-    )
 
     def score(batches):
         for pdf in batches:
@@ -722,39 +789,12 @@ def _brute_force_topk_numpy(
                 continue
             V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[cand_id].to_numpy()
-            norms = np.sqrt((V_ * V_).sum(axis=1))
-            den = np.outer(q_norms, norms)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
-            cos = np.round(cos, 6)
-            take = min(k, cos.shape[1])
-            # partial top-k per query within this batch, selected by the
-            # SAME total order the global window uses — (cosine desc,
-            # cand_id asc) — so ties at the take-th value keep the lowest
-            # ids deterministically regardless of row order within the
-            # batch (plain argpartition would keep an arbitrary,
-            # partitioning-dependent subset of a tie group)
-            nan_safe = np.where(np.isnan(cos), -np.inf, cos)
-            sel = np.empty((cos.shape[0], take), dtype=np.int64)
-            for qi in range(cos.shape[0]):
-                sel[qi] = np.lexsort((ids, -nan_safe[qi]))[:take]
-            out = {
-                query_id: np.repeat(q_ids, take),
-                cand_id: ids[sel].ravel(),
-                "cosine": np.take_along_axis(cos, sel, axis=1).ravel(),
-            }
-            yield pd.DataFrame(out)
+            yield _score_block(q_ids, Q, q_norms, ids, V_, k, query_id, cand_id)
 
     partials = ensure_parallelism(candidates).mapInPandas(
-        score, schema=out_schema
+        score, schema=partial_schema
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
-    return (
-        partials.where(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", cand_id, "cosine")
-    )
+    return _finalize_topk(partials, query_id, cand_id, k)
 
 
 def _ivf_topk_numpy(
@@ -767,42 +807,31 @@ def _ivf_topk_numpy(
     k: int,
 ) -> DataFrame:
     """BLAS bucket strategy for ivf_topk: the (broadcast-small) probing
-    query set ships as a bucket→(ids, matrix) dict; each candidate Arrow
-    batch is scored bucket-by-bucket with one matmul against exactly the
-    queries probing that bucket, emitting per-(query, batch) partial
-    top-k in the global window's total order — the bucketed sibling of
-    _brute_force_topk_numpy (same parameters-not-data collect argument).
+    query set ships as a bucket→(ids, matrix, norms) dict; each candidate
+    Arrow batch is scored bucket-by-bucket with one matmul against
+    exactly the queries probing that bucket (_score_block), finalized by
+    the same global window — the bucketed sibling of
+    _brute_force_topk_numpy.  An empty query set returns an empty
+    result, matching the expr path.
     """
     import numpy as np
-    import pandas as pd
 
+    partial_schema, final_schema = _topk_partial_schema(
+        queries, candidates, query_id, cand_id
+    )
     q_rows = queries.select(query_id, bucket_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("empty query set")
+        return queries.sparkSession.createDataFrame([], final_schema)
     by_bucket: dict = {}
     for r in q_rows:
         by_bucket.setdefault(r[1], []).append(
             (r[0], np.asarray(r[2], dtype=np.float64))
         )
-    packed = {
-        b: (
-            np.array([qid for qid, _ in rows]),
-            np.stack([v for _, v in rows]),
-        )
-        for b, rows in by_bucket.items()
-    }
-    for b, (ids_, Q_) in packed.items():
+    packed = {}
+    for b, rows in by_bucket.items():
+        ids_ = np.array([qid for qid, _ in rows])
+        Q_ = np.stack([v for _, v in rows])
         packed[b] = (ids_, Q_, np.sqrt((Q_ * Q_).sum(axis=1)))
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    out_schema = StructType(
-        [
-            StructField(query_id, queries.schema[query_id].dataType, True),
-            StructField(cand_id, candidates.schema[cand_id].dataType, True),
-            StructField("cosine", DoubleType(), True),
-        ]
-    )
 
     def score(batches):
         for pdf in batches:
@@ -815,29 +844,11 @@ def _ivf_topk_numpy(
                 q_ids, Q, q_norms = hit
                 V_ = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
                 ids = grp[cand_id].to_numpy()
-                norms = np.sqrt((V_ * V_).sum(axis=1))
-                den = np.outer(q_norms, norms)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = np.where(den > 0, (Q @ V_.T) / den, np.nan)
-                cos = np.round(cos, 6)
-                take = min(k, cos.shape[1])
-                nan_safe = np.where(np.isnan(cos), -np.inf, cos)
-                sel = np.empty((cos.shape[0], take), dtype=np.int64)
-                for qi in range(cos.shape[0]):
-                    sel[qi] = np.lexsort((ids, -nan_safe[qi]))[:take]
-                yield pd.DataFrame(
-                    {
-                        query_id: np.repeat(q_ids, take),
-                        cand_id: ids[sel].ravel(),
-                        "cosine": np.take_along_axis(cos, sel, axis=1).ravel(),
-                    }
+                yield _score_block(
+                    q_ids, Q, q_norms, ids, V_, k, query_id, cand_id
                 )
 
-    partials = ensure_parallelism(candidates).mapInPandas(score, out_schema)
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
-    return (
-        partials.where(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", cand_id, "cosine")
+    partials = ensure_parallelism(candidates).mapInPandas(
+        score, schema=partial_schema
     )
+    return _finalize_topk(partials, query_id, cand_id, k)

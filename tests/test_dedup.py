@@ -147,6 +147,10 @@ def test_pandas_shingling_matches_expr_strategy(spark):
 
     edge = [
         Row(doc_id=1, text="a b c d e"),
+        # Unicode whitespace: Java \s is ASCII-only, so NBSP/em-space are
+        # TOKEN CHARACTERS — the pandas shingler must agree (review pin)
+        Row(doc_id=9, text="nb\u00a0sp a b c d"),
+        Row(doc_id=10, text="em\u2003quad x y z w"),
         Row(doc_id=2, text="a b c d x"),
         Row(doc_id=3, text="  leading ws a b c"),
         Row(doc_id=4, text="trailing ws a b c   "),

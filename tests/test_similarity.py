@@ -261,3 +261,25 @@ def test_ivf_numpy_strategy_matches_expr(spark):
         map(tuple, ivf_topk(q, cand, "bucket", strategy="numpy", **kw).collect())
     )
     assert np_rows == expr_rows and len(np_rows) > 0
+
+
+def test_numpy_topk_empty_queries_matches_expr(spark):
+    """Both strategies return an EMPTY frame (same schema) for an empty
+    query set — switching strategies must not change the empty-input
+    contract."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for strat in ("expr", "numpy"):
+        out = brute_force_topk(
+            q, emb, k=5, exact_decimal=False, strategy=strat
+        )
+        assert out.count() == 0
+        assert out.columns == ["query_id", "rank", "vec_id", "cosine"]

@@ -546,3 +546,81 @@ def dedup_survivors(
         F.col("node").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 20,
+) -> DataFrame:
+    """Span-level exact-substring duplication (the windowed-hash form of
+    Lee et al. 2021's ExactSubstr, arXiv:2107.06499): find maximal token
+    spans whose every ``window``-token window also occurs elsewhere in
+    the corpus (another doc, or another position of the same doc).
+
+    Suffix arrays don't distribute; the standard scalable proxy is:
+    (1) slide a ``window``-token hash over every doc (stride 1, xxhash64
+    of the window text — JVM codegen'd, one expression);
+    (2) keep hashes seen at >1 (doc, position) — one map-side-combined
+    count shuffle;
+    (3) merge each doc's surviving positions into maximal spans with a
+    gaps-and-islands window: a new island starts where
+    ``pos - prev_pos > window`` (i.e. the windows no longer overlap or
+    touch), island id = running count of gap flags.
+
+    Returns (id_col, span_start, span_end, n_windows) with 1-based
+    token offsets, span_end inclusive.  Detection granularity is
+    ``window`` tokens: duplicated passages shorter than ``window`` are
+    not seen (exactly ExactSubstr's min-match-length knob).  Hash
+    collisions (xxhash64) can merge unrelated windows — at the 2⁻⁶⁴
+    rate that is the accepted trade everywhere this pipeline runs.
+    At 100 TB: two shuffles total (hash count, per-doc island agg),
+    both keyed well; no all-pairs anything.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
+        ),
+    )
+    exploded = (
+        ensure_parallelism(df)
+        .where(n >= window)
+        .select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(id_col, F.col("w.pos").alias("_pos"), F.col("w.h").alias("_h"))
+    )
+    dup_h = (
+        exploded.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_h")
+    )
+    dup_wins = exploded.join(dup_h, "_h", "left_semi")
+    by_pos = W.partitionBy(id_col).orderBy("_pos")
+    islands = (
+        dup_wins.withColumn("_prev", F.lag("_pos").over(by_pos))
+        .withColumn(
+            "_gap",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_pos") - F.col("_prev") > window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_gap").over(by_pos))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + (window - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

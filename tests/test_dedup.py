@@ -205,3 +205,109 @@ def test_minhash_signatures_pandas_shingles_identical(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_duplicate_spans_finds_and_merges_shared_passage(spark):
+    """Two docs share a 12-token passage; window=5 must find it in BOTH
+    docs as one merged span covering exactly the passage."""
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    rows = [
+        Row(doc_id=1, text=f"a1 a2 a3 {passage} z1 z2"),
+        Row(doc_id=2, text=f"b1 {passage} y1 y2 y3 y4"),
+        Row(doc_id=3, text="c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # unique
+        Row(doc_id=4, text="tiny doc"),  # shorter than window
+    ]
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(
+            spark.createDataFrame(rows), "text", "doc_id", window=5
+        ).collect()
+    }
+    # doc 1: passage tokens are positions 4..15 -> windows 4..11 (8 of them)
+    assert spans[1] == (4, 15, 8)
+    # doc 2: passage at positions 2..13 -> windows 2..9
+    assert spans[2] == (2, 13, 8)
+    assert 3 not in spans and 4 not in spans
+
+
+def test_duplicate_spans_within_doc_repetition_and_islands(spark):
+    """A doc repeating its own opening far apart gets TWO islands (the
+    repeat makes both positions duplicated), and an unrelated middle
+    stays out of any span."""
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.dedup import duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(6))
+    mid = " ".join(f"m{i}" for i in range(10))
+    doc = f"{rep} {mid} {rep}"
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(
+            spark.createDataFrame([Row(doc_id=1, text=doc)]),
+            "text",
+            "doc_id",
+            window=6,
+        ).collect()
+    )
+    # tokens 1..6 and 17..22 duplicated; islands must NOT merge across
+    # the 10-token unique middle
+    assert spans == [(1, 6), (17, 22)]
+
+
+def test_duplicate_spans_matches_python_reference_on_corpus(spark):
+    """Differential vs a hash-free pure-Python reference on the smoke
+    corpus (the reference compares window STRINGS, so agreement also
+    certifies no xxhash64 collision influenced the result)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from r_e_hive__spark.operators.dedup import duplicate_spans
+
+    W = 8
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    win_counts: Counter = Counter()
+    doc_wins: dict = {}
+    for did, text in docs.items():
+        toks = ws.split(text or "")
+        wins = [
+            " ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)
+        ]
+        doc_wins[did] = wins
+        win_counts.update(wins)
+    want = defaultdict(list)
+    for did, wins in doc_wins.items():
+        dup_pos = [i + 1 for i, w in enumerate(wins) if win_counts[w] > 1]
+        start = prev = None
+        for p in dup_pos:
+            if start is None:
+                start = prev = p
+            elif p - prev > W:
+                want[did].append((start, prev + W - 1))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            want[did].append((start, prev + W - 1))
+    got = defaultdict(list)
+    for r in duplicate_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text",
+        "doc_id",
+        window=W,
+    ).collect():
+        got[r.doc_id].append((r.span_start, r.span_end))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+    assert sum(len(v) for v in want.values()) > 0  # corpus has duplicates

@@ -64,3 +64,57 @@ def repetition_stats_grouped(
             F.coalesce("top_frac", F.lit(0.0)).alias("top_frac"),
         )
     )
+
+
+def host_of(url):
+    """Registrable host of a URL column, lowercased — Spark's built-in
+    ``try_parse_url`` (JVM, codegen'd; NULL for malformed URLs rather
+    than an ANSI INVALID_URL error), no UDF."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def filter_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains,
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL host is on a domain blocklist — the standard
+    source-level curation gate (spam/adult/SEO domains) every web-corpus
+    pipeline runs before content filters.
+
+    The blocklist ships as a broadcast frame (it is a parameter-sized
+    list, thousands to millions of domains — far under executor memory);
+    matching is an equi-join on the host, plus, with
+    ``include_subdomains``, on every parent suffix of the host (a host
+    has ≤ label-count suffixes, so the explode is bounded and tiny).
+    One broadcast anti-join, no shuffle of the corpus — at 100 TB this
+    is a map-side filter like every other gate here.  Rows with
+    unparseable/NULL hosts are KEPT (a blocklist removes known-bad, it
+    does not require well-formedness — compose with a validity filter if
+    malformed URLs should also go).
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(d.lower(),) for d in blocked_domains], "_blocked string"
+    )
+    host = host_of(F.col(url_col))
+    if include_subdomains:
+        # explode the host into its dot-suffixes: a.b.co -> [a.b.co, b.co, co]
+        parts = F.split(host, r"\.")
+        n = F.size(parts)
+        suffixes = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+        probe = df.select(
+            F.col(url_col).alias("_u"), F.explode(suffixes).alias("_h")
+        )
+    else:
+        probe = df.select(F.col(url_col).alias("_u"), host.alias("_h"))
+    bad_urls = (
+        probe.join(F.broadcast(bl), probe["_h"] == bl["_blocked"], "left_semi")
+        .select(F.col("_u").alias(url_col))
+        .distinct()
+    )
+    return df.join(bad_urls, url_col, "left_anti")

@@ -289,3 +289,32 @@ def test_curation_composition_of_new_ops(spark):
     # and the grouped repetition stats join back onto the survivors
     stats = repetition_stats_grouped(labeled, "doc_id", "text", 2)
     assert stats.count() == len(rows)
+
+
+def test_filter_blocklist_domains_and_subdomains(spark):
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.quality import filter_blocklist
+
+    rows = [
+        Row(doc_id=1, url="https://spam.example.com/page?q=1"),
+        Row(doc_id=2, url="http://EXAMPLE.com/other"),        # case-folded
+        Row(doc_id=3, url="https://sub.deep.example.com/x"),  # subdomain
+        Row(doc_id=4, url="https://goodsite.org/a"),
+        Row(doc_id=5, url="https://notexample.com/b"),        # NOT a suffix match
+        Row(doc_id=6, url="not a url at all"),                # unparseable: kept
+    ]
+    df = spark.createDataFrame(rows)
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocklist(df, "url", ["example.com"]).collect()
+    )
+    assert kept == [4, 5, 6]
+    # exact-host mode keeps subdomains
+    kept_exact = sorted(
+        r.doc_id
+        for r in filter_blocklist(
+            df, "url", ["example.com"], include_subdomains=False
+        ).collect()
+    )
+    assert kept_exact == [1, 3, 4, 5, 6]

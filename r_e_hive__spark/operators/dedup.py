@@ -304,6 +304,44 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a MinHash signature frame (``id_col``, ``signature``) into
+    its banded-LSH form ``(id_col, signature, band_id, band_hash)`` —
+    band b's hash is ``xxhash64`` over signature rows [b*r, (b+1)*r).
+
+    This is the layout a persisted signature INDEX should be stored in
+    (partitioned/bucketed by ``band_hash``) so that incremental batches
+    probe it without shuffling it — see ``incremental_neardup``."""
+    r = num_hashes // bands
+    if r < 1 or num_hashes % bands != 0:
+        # r=0 would hash an EMPTY signature slice per band: every doc
+        # collides in every band and the self-join silently goes quadratic
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) "
+            f"with >=1 row per band"
+        )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+
+
+def _sig_match_fraction(sig_a, sig_b, num_hashes: int):
+    """Fraction of equal MinHash rows between two signature columns —
+    the unbiased Jaccard estimator (MMDS ch.3)."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -320,22 +358,8 @@ def minhash_lsh_pairs(
     minhashes.  If ``jaccard_threshold`` is set, candidates are verified with
     the *exact* shingle Jaccard (join back to shingle sets) — LSH recall with
     exact precision."""
-    r = num_hashes // bands
-    if r < 1 or num_hashes % bands != 0:
-        # r=0 would hash an EMPTY signature slice per band: every doc
-        # collides in every band and the self-join silently goes quadratic
-        raise ValueError(
-            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) "
-            f"with >=1 row per band"
-        )
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)]))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash"))
+    banded = band_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band_id", "band_hash"
     )
@@ -350,13 +374,7 @@ def minhash_lsh_pairs(
     )
     est = cand.withColumn(
         "est_jaccard",
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(num_hashes),
+        _sig_match_fraction(F.col("sig_a"), F.col("sig_b"), num_hashes),
     ).select("id_a", "id_b", "est_jaccard")
     if jaccard_threshold is None:
         return est
@@ -624,3 +642,146 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_sig: DataFrame | None = None,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    broadcast_new: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCREMENT (today's crawl batch) against a persisted MinHash
+    signature index of everything already accepted — without re-reading or
+    re-shingling one byte of history.
+
+    A 100 TB corpus is not built in one batch: it accretes (daily crawls,
+    snapshot diffs).  Re-running whole-corpus LSH per increment is
+    O(corpus) text work per day; the standard production shape is a
+    signature store keyed for LSH probing.  ``index_sig`` is that store:
+    ``(id_col, signature)`` rows for every previously KEPT doc (the second
+    element of this function's return value — feed it back in).
+
+    Returns ``(survivors, updated_index)``:
+
+    - ``survivors`` — rows of ``new_df`` that are near-dups of neither a
+      historical doc nor a lower-id surviving batch-mate.  Matching is
+      banded-LSH candidates verified by the signature Jaccard estimate
+      (``est_jaccard >= est_threshold``) on BOTH the new-vs-new and
+      new-vs-history sides — history has no text to exact-verify against,
+      and using one estimator for both sides keeps batch order irrelevant
+      to the decision rule.
+    - ``updated_index`` — ``index_sig`` plus the survivors' signatures.
+
+    Group semantics (deliberate, pinned in tests/test_dedup.py):
+
+    - **History wins.**  Any new doc in a connected component (transitive
+      closure over both pair kinds, operators/graph.connected_components)
+      that touches a historical doc is dropped — even if its id is lower.
+      An accepted corpus is immutable; an increment cannot retract it.
+    - **Keep-min within pure-new components** — identical to
+      ``dedup_survivors``.
+    - **No tombstones.**  Docs dropped in batch N do NOT suppress batch
+      N+1 (only survivors enter the index), so a chain a∈hist ~ b∈N ~ c∈N+1
+      with c≁a keeps c — whereas a single-batch run over {a,b,c} would drop
+      it.  Same divergence every suppression-list pipeline documents; the
+      alternative (indexing dropped docs too) makes the index grow with the
+      crawl, not the corpus.
+
+    ``id_col`` values must be unique ACROSS batches and history (any sane
+    ingest assigns monotone ids; collisions would alias unrelated docs).
+
+    Scale: the increment is tiny relative to the index, so its banded
+    signatures broadcast (``broadcast_new=None`` auto-gates on the
+    pre-aggregation plan estimate) — the index is probed map-side with NO
+    shuffle of either text corpus.  Persist the index via
+    ``band_signatures`` partitioned/bucketed by ``band_hash`` and the
+    probe prunes to matching buckets; the signature store costs
+    ~8·num_hashes bytes/doc (2.5 TB per 10 B docs at the default 32) and
+    is the ONLY thing history contributes to the join.
+    """
+    sig_new = minhash_signatures(new_df, text_col, id_col, k, num_hashes)
+    banded_new = band_signatures(sig_new, id_col, num_hashes, bands)
+
+    # new-vs-new candidate pairs, est-verified (same construction as
+    # minhash_lsh_pairs but from the already-computed signatures)
+    a = banded_new.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+        "band_id", "band_hash",
+    )
+    b = banded_new.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+        "band_id", "band_hash",
+    )
+    nn = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(
+            _sig_match_fraction(F.col("sig_a"), F.col("sig_b"), num_hashes)
+            >= est_threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+    if index_sig is not None:
+        banded_idx = band_signatures(index_sig, id_col, num_hashes, bands)
+        probe = banded_new.select(
+            F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+            "band_id", "band_hash",
+        )
+        if broadcast_new is None:
+            broadcast_new = _fits_broadcast(new_df)
+        if broadcast_new:
+            probe = F.broadcast(probe)
+        # big (index) side on the left so it streams; small probe hashed
+        ni = (
+            banded_idx.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+                "band_id", "band_hash",
+            )
+            .join(probe, ["band_id", "band_hash"])
+            .dropDuplicates(["id_a", "id_b"])
+            .where(
+                _sig_match_fraction(F.col("sig_a"), F.col("sig_b"), num_hashes)
+                >= est_threshold
+            )
+            .select("id_a", "id_b")
+        )
+        pairs = nn.unionByName(ni)
+        idx_nodes = index_sig.select(F.col(id_col).alias("node"))
+    else:
+        pairs = nn
+        idx_nodes = None
+
+    from r_e_hive__spark.operators.graph import connected_components
+
+    labels = connected_components(pairs, "id_a", "id_b")
+    if idx_nodes is not None:
+        hist_comps = (
+            labels.join(idx_nodes, "node", "left_semi")
+            .select("component")
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+        new_labels = labels.join(idx_nodes, "node", "left_anti")
+        flagged = new_labels.join(hist_comps, "component", "left")
+        dropped = flagged.where(
+            F.col("_hist").isNotNull() | (F.col("node") != F.col("component"))
+        ).select(F.col("node").alias(id_col))
+    else:
+        # no history: pure keep-min per component (== dedup_survivors)
+        dropped = labels.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+
+    survivors = new_df.join(dropped, id_col, "left_anti")
+    surv_sig = sig_new.join(dropped, id_col, "left_anti")
+    updated_index = (
+        surv_sig if index_sig is None else index_sig.unionByName(surv_sig)
+    )
+    return survivors, updated_index

@@ -311,3 +311,102 @@ def test_duplicate_spans_matches_python_reference_on_corpus(spark):
         k: sorted(v) for k, v in want.items()
     }
     assert sum(len(v) for v in want.values()) > 0  # corpus has duplicates
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def _inc_corpus(spark, rows):
+    return spark.createDataFrame(rows, "id INT, text STRING")
+
+
+def _batch_est_survivor_ids(df, est_threshold=0.5):
+    """Single-batch analog of incremental_neardup's decision rule:
+    est-verified LSH pairs -> component closure -> keep-min."""
+    pairs = D.minhash_lsh_pairs(
+        df, "text", "id", jaccard_threshold=None
+    ).where(F.col("est_jaccard") >= est_threshold).select("id_a", "id_b")
+    surv = D.dedup_survivors(df, pairs, "id")
+    return {r["id"] for r in surv.collect()}
+
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different content about spark shuffle partitioning at scale"
+DOC_C = "yet another unrelated document concerning duckdb oracle differentials"
+
+
+def test_incremental_matches_batch_when_ids_monotone(spark):
+    """Processing A then B incrementally == one batch over A∪B, when batch
+    ids are monotone (later snapshot = larger ids) and no cross-batch
+    chain passes through a dropped doc."""
+    batch1 = _inc_corpus(spark, [(1, DOC_A), (2, DOC_B)])
+    batch2 = _inc_corpus(spark, [(11, DOC_A2), (12, DOC_C), (13, DOC_C)])
+    s1, idx1 = D.incremental_neardup(batch1, "text", "id")
+    s2, idx2 = D.incremental_neardup(batch2, "text", "id", index_sig=idx1)
+    inc_ids = {r["id"] for r in s1.collect()} | {r["id"] for r in s2.collect()}
+
+    union = batch1.unionByName(batch2)
+    assert inc_ids == _batch_est_survivor_ids(union)
+    # 11 ~ 1 (history wins), 13 ~ 12 (keep-min within the new batch)
+    assert inc_ids == {1, 2, 12}
+    # index carries exactly the survivors' signatures
+    assert {r["id"] for r in idx2.select("id").collect()} == {1, 2, 12}
+
+
+def test_incremental_history_wins_even_with_lower_new_id(spark):
+    """A new doc with a LOWER id than its historical near-dup is still
+    dropped — accepted corpus is immutable."""
+    batch1 = _inc_corpus(spark, [(100, DOC_A)])
+    s1, idx1 = D.incremental_neardup(batch1, "text", "id")
+    batch2 = _inc_corpus(spark, [(5, DOC_A2)])
+    s2, idx2 = D.incremental_neardup(batch2, "text", "id", index_sig=idx1)
+    assert s2.count() == 0
+    assert {r["id"] for r in idx2.select("id").collect()} == {100}
+
+
+def test_incremental_no_tombstones_divergence(spark):
+    """Documented divergence: a doc dropped in batch N does not suppress
+    its near-dups in batch N+1 (only survivors are indexed)."""
+    batch1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx1 = D.incremental_neardup(batch1, "text", "id")
+    # 11 is a near-dup of 1 -> dropped, NOT indexed
+    batch2 = _inc_corpus(spark, [(11, DOC_A2)])
+    s2, idx2 = D.incremental_neardup(batch2, "text", "id", index_sig=idx1)
+    assert s2.count() == 0
+    # batch 3 doc near-dups 11 (the dropped doc) but not 1: it survives
+    doc_a3 = DOC_A2.replace("the quick brown", "a slow green")
+    # sanity: est(doc_a3, DOC_A) < 0.5 <= est(doc_a3, DOC_A2)
+    batch3 = _inc_corpus(spark, [(21, doc_a3)])
+    pair_check = D.minhash_lsh_pairs(
+        _inc_corpus(spark, [(1, DOC_A), (11, DOC_A2), (21, doc_a3)]),
+        "text", "id", jaccard_threshold=None,
+    ).collect()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pair_check}
+    assert est.get((11, 21), 0.0) >= 0.5
+    assert est.get((1, 21), 0.0) < 0.5
+    s3, _ = D.incremental_neardup(batch3, "text", "id", index_sig=idx2)
+    assert {r["id"] for r in s3.collect()} == {21}
+
+
+def test_incremental_first_batch_equals_plain_dedup(spark, documents):
+    """index_sig=None == single-batch est-threshold dedup, on real docs."""
+    docs = documents.select("doc_id", "text").limit(200)
+    surv, idx = D.incremental_neardup(docs, "text", "doc_id")
+    got = {r["doc_id"] for r in surv.collect()}
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", jaccard_threshold=None
+    ).where(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    want = {
+        r["doc_id"] for r in D.dedup_survivors(docs, pairs, "doc_id").collect()
+    }
+    assert got == want
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == got
+
+
+def test_band_signatures_validates_band_split(spark):
+    sig = D.minhash_signatures(
+        _inc_corpus(spark, [(1, DOC_A)]), "text", "id", num_hashes=32
+    )
+    with pytest.raises(ValueError, match="evenly divide"):
+        D.band_signatures(sig, "id", 32, 7)

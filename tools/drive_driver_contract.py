@@ -49,9 +49,18 @@ def norm(df: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     spark = (
-        SparkSession.builder.master("local[8]")
+        # driver mem/cores knobs for ABOVE-contract scale sweeps (sf1/sf5):
+        # the real driver runs sf0.01 where the 1g default suffices — these
+        # envs exist so the same harness can differentially verify at 10-50x
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_SIM_CPUS', '8')}]"
+        )
         .appName("driver-sim")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM", "1g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -328,6 +328,21 @@ def band_signatures(
             for b in range(bands)
         ]
     )
+    # in-plan signature-length guard: a signature shorter than num_hashes
+    # (e.g. a persisted index built with a different num_hashes fed back
+    # into incremental_neardup) would slice out-of-range NULLs, concat_ws
+    # would SKIP them, and every row would collide on xxhash64 of the
+    # empty string in the tail bands — a silent quadratic candidate
+    # explosion plus deflated est_jaccard.  Fail loudly instead (same
+    # assert_true pattern as hyperplane_bucket, round-3 hardening).
+    band_arr = F.when(
+        F.assert_true(
+            F.size("signature") == num_hashes,
+            f"band_signatures: signature length != num_hashes ({num_hashes})"
+            " — was the index built with different minhash parameters?",
+        ).isNull(),
+        band_arr,
+    )
     return sig.select(
         id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash")
     )
@@ -696,15 +711,23 @@ def incremental_neardup(
     ingest assigns monotone ids; collisions would alias unrelated docs).
 
     Scale: the increment is tiny relative to the index, so its banded
-    signatures broadcast (``broadcast_new=None`` auto-gates on the
-    pre-aggregation plan estimate) — the index is probed map-side with NO
-    shuffle of either text corpus.  Persist the index via
+    signatures broadcast (``broadcast_new=None`` auto-gates on the plan
+    estimate of the banded signature frame — the thing actually shipped)
+    — the index is probed map-side with NO shuffle of either text corpus.  Persist the index via
     ``band_signatures`` partitioned/bucketed by ``band_hash`` and the
     probe prunes to matching buckets; the signature store costs
     ~8·num_hashes bytes/doc (2.5 TB per 10 B docs at the default 32) and
     is the ONLY thing history contributes to the join.
     """
-    sig_new = minhash_signatures(new_df, text_col, id_col, k, num_hashes)
+    # sig_new feeds FOUR consumers (both sides of the new-new self-join,
+    # the history probe, and the survivor index) and the returned index is
+    # fed back batch after batch — without an eager materialization every
+    # action on batch N would re-run all N batches' shingling and the plan
+    # would grow superlinearly (round-5 code review).  localCheckpoint is
+    # O(this batch) and bounds the index's lineage at one leaf per batch.
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, k, num_hashes
+    ).localCheckpoint()
     banded_new = band_signatures(sig_new, id_col, num_hashes, bands)
 
     # new-vs-new candidate pairs, est-verified (same construction as
@@ -735,7 +758,10 @@ def incremental_neardup(
             "band_id", "band_hash",
         )
         if broadcast_new is None:
-            broadcast_new = _fits_broadcast(new_df)
+            # gate on what is actually shipped: the banded signature frame
+            # (bands x ~8·num_hashes bytes per doc), which for short docs
+            # is MUCH larger than the raw text (round-5 code review)
+            broadcast_new = _fits_broadcast(banded_new)
         if broadcast_new:
             probe = F.broadcast(probe)
         # big (index) side on the left so it streams; small probe hashed
@@ -779,6 +805,11 @@ def incremental_neardup(
             F.col("node").alias(id_col)
         )
 
+    # dropped is tiny (only the ids that lose); materializing it runs the
+    # candidate-pair + closure pipeline exactly ONCE, so the two returned
+    # frames (and every later batch's index) reuse the decision instead of
+    # replaying it per action (round-5 code review)
+    dropped = dropped.localCheckpoint()
     survivors = new_df.join(dropped, id_col, "left_anti")
     surv_sig = sig_new.join(dropped, id_col, "left_anti")
     updated_index = (

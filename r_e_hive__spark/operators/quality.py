@@ -69,8 +69,12 @@ def repetition_stats_grouped(
 def host_of(url):
     """Registrable host of a URL column, lowercased — Spark's built-in
     ``try_parse_url`` (JVM, codegen'd; NULL for malformed URLs rather
-    than an ANSI INVALID_URL error), no UDF."""
-    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+    than an ANSI INVALID_URL error), no UDF.  A trailing root-label dot
+    (``example.com.`` — the absolute-FQDN form, the classic blocklist
+    evasion) is stripped so the host matches its blocklist entry."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.+$", ""
+    )
 
 
 def filter_blocklist(
@@ -96,25 +100,30 @@ def filter_blocklist(
     """
     spark = df.sparkSession
     bl = spark.createDataFrame(
-        [(d.lower(),) for d in blocked_domains], "_blocked string"
+        [(d.lower().rstrip("."),) for d in blocked_domains], "_blocked string"
     )
     host = host_of(F.col(url_col))
-    if include_subdomains:
-        # explode the host into its dot-suffixes: a.b.co -> [a.b.co, b.co, co]
-        parts = F.split(host, r"\.")
-        n = F.size(parts)
-        suffixes = F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.array_join(F.slice(parts, i, n), "."),
+    if not include_subdomains:
+        # exact-host mode is ONE map-side broadcast anti-join — no probe,
+        # no join-back (anti-join NULL semantics keep unparseable hosts)
+        return df.join(
+            F.broadcast(bl), host == bl["_blocked"], "left_anti"
         )
-        probe = df.select(
-            F.col(url_col).alias("_u"), F.explode(suffixes).alias("_h")
-        )
-    else:
-        probe = df.select(F.col(url_col).alias("_u"), host.alias("_h"))
-    bad_urls = (
-        probe.join(F.broadcast(bl), probe["_h"] == bl["_blocked"], "left_semi")
-        .select(F.col("_u").alias(url_col))
-        .distinct()
+    # explode the host into its dot-suffixes: a.b.co -> [a.b.co, b.co, co]
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
     )
+    probe = df.select(
+        F.col(url_col).alias("_u"), F.explode(suffixes).alias("_h")
+    )
+    # duplicate _u rows are harmless to the anti-join — no distinct needed.
+    # bad_urls is the MATCHED slice (sparse in any real corpus); AQE's
+    # runtime size check turns the anti-join into a broadcast-hash anti,
+    # so the corpus itself still does not shuffle.
+    bad_urls = probe.join(
+        F.broadcast(bl), probe["_h"] == bl["_blocked"], "left_semi"
+    ).select(F.col("_u").alias(url_col))
     return df.join(bad_urls, url_col, "left_anti")

@@ -530,3 +530,20 @@ def test_incremental_dup_free_corpus_all_survive(spark):
     s2, idx2 = D.incremental_neardup(b2, "text", "id", index_sig=idx1)
     assert {r["id"] for r in s2.collect()} == {3}
     assert {r["id"] for r in idx2.select("id").collect()} == {1, 2, 3}
+
+
+def test_incremental_rejects_index_with_mismatched_num_hashes(spark):
+    """An index persisted under different minhash parameters must fail
+    loudly, not silently collide every history row in the tail bands
+    (round-5 code review: concat_ws skips the out-of-range NULL slices)."""
+    from py4j.protocol import Py4JJavaError
+
+    b1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx32 = D.incremental_neardup(b1, "text", "id", num_hashes=32)
+    b2 = _inc_corpus(spark, [(2, DOC_B)])
+    # raises at call time: the decision pipeline is materialized eagerly
+    # (localCheckpoint) inside incremental_neardup
+    with pytest.raises(Py4JJavaError, match="signature length"):
+        D.incremental_neardup(
+            b2, "text", "id", index_sig=idx32, num_hashes=64
+        )

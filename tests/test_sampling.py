@@ -318,3 +318,37 @@ def test_filter_blocklist_domains_and_subdomains(spark):
         ).collect()
     )
     assert kept_exact == [1, 3, 4, 5, 6]
+
+
+def test_filter_blocklist_trailing_dot_fqdn_no_bypass(spark):
+    """The absolute-FQDN form (trailing root-label dot) must not evade the
+    gate, in either matching mode and on either side of the comparison
+    (round-5 code review)."""
+    from pyspark.sql import Row
+
+    from r_e_hive__spark.operators.quality import filter_blocklist
+
+    rows = [
+        Row(doc_id=1, url="https://example.com./x"),       # FQDN dot
+        Row(doc_id=2, url="https://spam.example.com./y"),  # FQDN + subdomain
+        Row(doc_id=3, url="https://goodsite.org./z"),      # FQDN, clean
+    ]
+    df = spark.createDataFrame(rows)
+    kept = {
+        r.doc_id
+        for r in filter_blocklist(df, "url", ["example.com"]).collect()
+    }
+    assert kept == {3}
+    kept_exact = {
+        r.doc_id
+        for r in filter_blocklist(
+            df, "url", ["example.com"], include_subdomains=False
+        ).collect()
+    }
+    assert kept_exact == {2, 3}
+    # blocklist entries given in FQDN form are normalized too
+    kept_bl = {
+        r.doc_id
+        for r in filter_blocklist(df, "url", ["example.com."]).collect()
+    }
+    assert kept_bl == {3}

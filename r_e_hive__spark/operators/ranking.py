@@ -1,0 +1,207 @@
+"""TF-IDF / BM25 lexical ranking over a document corpus (SURVEY.md §2.11 X23).
+
+The retrieval half of a training-data pipeline: quality-weighting terms,
+keyword search over a corpus, building the lexical side of hybrid
+(BM25 + embedding) retrieval.  The reference has no search endpoint — this
+is a north-star extension like X9/X15-X22, built from public constructs
+only (Robertson & Zaragoza 2009 for BM25; the Lucene idf variant).
+
+Everything is declarative DataFrame composition — two map-side-combined
+shuffles build the postings (explode → groupBy), and a query is a
+broadcast-size term-list filter plus one aggregation.  No UDFs, no
+collects: corpus statistics (N, avgdl) travel as a one-row broadcast
+frame, so the whole computation stays one lazy plan end to end.
+
+Tokenization is the repo's cross-engine-parity class: lowercase + split
+on the EXPLICIT ASCII whitespace set ``[ \\t\\n\\x0B\\f\\r]+`` (Java's
+``\\s``), empties dropped — identical semantics in Spark executors, the
+DuckDB differential (RE2), and the pure-Python test reference (which must
+NOT use Python's Unicode-aware ``\\s``).  Same lesson as the Jaccard
+shingler (BASELINE.md round-5 x2 notes).
+
+Scale shape at 100 TB:
+
+- ``term_postings`` is the expensive pass: one explode (map-side) and one
+  ``(id, term)`` groupBy — shuffle bytes ≈ token count, with map-side
+  combine collapsing repeated terms per doc.  Persist it partitioned by
+  ``term`` (the inverted-index layout) and every later query prunes to
+  its terms' partitions.
+- ``document_frequencies`` / corpus stats are map-side-combined
+  aggregations over the postings — tiny outputs (vocab / one row).
+- A query never touches the corpus: ``isin`` over a literal term list is
+  a pushed-down filter on the postings scan, then a per-doc sum and a
+  ``TakeOrderedAndProject`` top-k.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators import plan_fits_broadcast
+
+#: ASCII-whitespace split class — Java \s parity; see module docstring.
+TOKEN_SPLIT = r"[ \t\n\x0B\f\r]+"
+
+
+def tokenize(text):
+    """Lowercased ASCII-whitespace tokens as array<string>, empties removed
+    (Spark's split keeps leading/trailing empty tokens)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def tokenize_py(text: str) -> list[str]:
+    """The same tokenization for driver-side query strings and test
+    references.  Explicit ASCII class — NOT Python's Unicode ``\\s``."""
+    return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.lower()) if t]
+
+
+def term_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The inverted-index build: one row per (document, distinct term) with
+    the within-doc term frequency and the document's token length.
+
+    Columns: ``(id_col, term, tf, doc_len)``.  NULL-text documents carry
+    no postings (explode of NULL drops the row) — they can never match a
+    query, which is the correct retrieval semantics for an empty doc.
+
+    ``doc_len`` is computed from the SAME token array that is exploded
+    (one pass) and rides the groupBy key — it is constant per document,
+    so it adds nothing to the shuffle's combine granularity.
+    """
+    toks = tokenize(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col), F.size(toks).alias("doc_len"), F.explode(toks).alias("term")
+        )
+        .groupBy(id_col, "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+        .select(id_col, "term", "tf", "doc_len")
+    )
+
+
+def document_frequencies(postings: DataFrame, id_col: str) -> DataFrame:
+    """``(term, df)`` — number of documents containing each term.  Postings
+    already hold one row per (doc, term), so this is a plain count."""
+    return postings.groupBy("term").agg(F.count(id_col).alias("df"))
+
+
+def corpus_stats(postings: DataFrame, id_col: str) -> DataFrame:
+    """One-row frame ``(n_docs, avgdl)`` — corpus size and mean document
+    length, from the postings (docs with ≥1 token; NULL/empty docs are
+    not retrievable and deliberately excluded from both).  Stays a lazy
+    frame so callers cross-join it broadcast instead of collecting."""
+    return (
+        postings.select(id_col, "doc_len")
+        .groupBy(id_col)
+        .agg(F.first("doc_len").alias("doc_len"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+        )
+    )
+
+
+def tfidf(
+    df: DataFrame, text_col: str, id_col: str, postings: DataFrame | None = None
+) -> DataFrame:
+    """Per-(document, term) TF-IDF weights: ``(id_col, term, tf, df,
+    idf, tfidf)``.
+
+    The smooth formulation (sklearn's ``TfidfTransformer`` default,
+    public): ``idf = ln((1 + N) / (1 + df)) + 1``, ``tfidf = tf * idf``
+    — never zero/negative, defined even for a term in every document.
+
+    The df-table join auto-broadcasts when the vocabulary fits the
+    session threshold; a web-scale vocabulary falls back to a shuffle
+    join on ``term``, which co-partitions with the postings build when
+    the postings were persisted partitioned by term.
+    """
+    p = postings if postings is not None else term_postings(df, text_col, id_col)
+    dfreq = document_frequencies(p, id_col)
+    n = p.select(id_col).distinct().agg(F.count("*").alias("n_docs"))
+    if plan_fits_broadcast(dfreq):
+        dfreq = F.broadcast(dfreq)
+    return (
+        p.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + F.lit(1.0),
+        )
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            "idf",
+            (F.col("tf") * F.col("idf")).alias("tfidf"),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query: str | Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``top_k`` documents for ``query`` under BM25: ``(id_col, score)``
+    descending, ties broken by ascending id (deterministic).
+
+    Per-term idf is the Lucene variant (always positive):
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; the term contribution is
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*doc_len/avgdl))``.
+
+    ``query`` may be a raw string (tokenized with the corpus tokenizer) or
+    a pre-split term sequence.  Duplicate query terms count once (bag-of-
+    words query weighting is a caller concern).  Pass ``postings`` (a
+    persisted ``term_postings`` output) to amortize the index across
+    queries — then a search is: pushed-down term filter → tiny df-count
+    agg → per-doc sum → TakeOrderedAndProject.
+    """
+    terms = tokenize_py(query) if isinstance(query, str) else [t.lower() for t in query]
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    p = postings if postings is not None else term_postings(df, text_col, id_col)
+    stats = corpus_stats(p, id_col)
+    # the term filter is a literal IN list — it pushes into the postings
+    # scan (partition-prunes a term-partitioned index); df-counts for the
+    # query's terms are computed on the FILTERED postings, so no
+    # vocabulary-wide aggregation runs at query time
+    hits = p.where(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count(id_col).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)

@@ -1,0 +1,289 @@
+"""TF-IDF / BM25 ranking (X23): pure-Python reference differential on a
+hand corpus + randomized docs, independent DuckDB differential on the real
+documents table, determinism/edge pins, and a top-k plan assertion."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.catalog import load_table
+from r_e_hive__spark.operators import ranking as R
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+# ------------------------------------------------------------------ reference
+
+
+def _py_postings(docs: dict[int, str]):
+    """id -> {term: tf}, and id -> doc_len, with the parity tokenizer."""
+    tf, dl = {}, {}
+    for i, text in docs.items():
+        toks = R.tokenize_py(text)
+        if not toks:
+            continue
+        dl[i] = len(toks)
+        m = {}
+        for t in toks:
+            m[t] = m.get(t, 0) + 1
+        tf[i] = m
+    return tf, dl
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    tf, dl = _py_postings(docs)
+    terms = sorted(set(R.tokenize_py(query)))
+    n = len(tf)
+    avgdl = sum(dl.values()) / n
+    dfreq = {
+        t: sum(1 for m in tf.values() if t in m) for t in terms
+    }
+    scores = {}
+    for i, m in tf.items():
+        s = 0.0
+        for t in terms:
+            if t not in m or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (m[t] * (k1 + 1.0)) / (
+                m[t] + k1 * (1.0 - b + b * dl[i] / avgdl)
+            )
+        if s > 0.0:
+            scores[i] = s
+    return scores
+
+
+def _py_tfidf(docs):
+    tf, _ = _py_postings(docs)
+    n = len(tf)
+    out = {}
+    for i, m in tf.items():
+        for t, c in m.items():
+            df = sum(1 for mm in tf.values() if t in mm)
+            out[(i, t)] = c * (math.log((1.0 + n) / (1.0 + df)) + 1.0)
+    return out
+
+
+# ------------------------------------------------------------------- unit/ref
+
+
+def test_bm25_matches_python_reference_hand_corpus(spark):
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown cat sleeps",
+        3: "a completely unrelated document about spark shuffles",
+        4: "fox fox fox",  # high tf, short doc
+        5: "",  # empty: no postings, never retrieved
+    }
+    df = spark.createDataFrame(list(docs.items()), "id INT, text STRING")
+    got = {
+        r["id"]: r["score"]
+        for r in R.bm25_search(df, "text", "id", "quick fox", top_k=10).collect()
+    }
+    want = _py_bm25(docs, "quick fox")
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    # saturation sanity: doc 4 (tf=3, short) must outrank doc 1 (tf=1)
+    assert got[4] > got[1]
+
+
+def test_bm25_randomized_python_differential(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 60)))
+        for i in range(60)
+    }
+    df = spark.createDataFrame(list(docs.items()), "id INT, text STRING")
+    query = "w0 w3 w17 w39"
+    want = _py_bm25(docs, query)
+    got = {
+        r["id"]: r["score"]
+        for r in R.bm25_search(df, "text", "id", query, top_k=1000).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+
+def test_tfidf_matches_python_reference(spark):
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+        for i in range(25)
+    }
+    df = spark.createDataFrame(list(docs.items()), "id INT, text STRING")
+    got = {
+        (r["id"], r["term"]): r["tfidf"]
+        for r in R.tfidf(df, "text", "id").collect()
+    }
+    want = _py_tfidf(docs)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_tokenizer_parity_edges(spark):
+    """NBSP is NOT a separator (ASCII class only); leading/trailing
+    whitespace produces no empty terms; case folds."""
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD  "), (2, "a b"), (3, "x \x0b y")],
+        "id INT, text STRING",
+    )
+    p = {
+        (r["id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in R.term_postings(df, "text", "id").collect()
+    }
+    assert p == {
+        (1, "hello"): (1, 2),
+        (1, "world"): (1, 2),
+        (2, "a b"): (1, 1),
+        (3, "x"): (1, 2),
+        (3, "y"): (1, 2),
+    }
+
+
+def test_bm25_query_edges(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "c")], "id INT, text STRING")
+    with pytest.raises(ValueError, match="no tokens"):
+        R.bm25_search(df, "text", "id", "   ")
+    # no-hit query: empty result, not an error
+    assert R.bm25_search(df, "text", "id", "zzz").count() == 0
+    # duplicate query terms count once
+    one = {r["id"]: r["score"] for r in R.bm25_search(df, "text", "id", "a").collect()}
+    two = {r["id"]: r["score"] for r in R.bm25_search(df, "text", "id", "a a").collect()}
+    assert one == two
+    # pre-split sequence form == string form
+    seq = {r["id"]: r["score"] for r in R.bm25_search(df, "text", "id", ["A"]).collect()}
+    assert seq == one
+
+
+def test_bm25_postings_reuse_and_plan(spark, documents):
+    """A persisted postings index gives identical results, and the final
+    top-k compiles to TakeOrderedAndProject (no global sort)."""
+    docs = documents.select("doc_id", "text").limit(300)
+    p = R.term_postings(docs, "text", "doc_id").localCheckpoint()
+    q = "the model data"
+    direct = R.bm25_search(docs, "text", "doc_id", q, top_k=20)
+    reused = R.bm25_search(docs, "text", "doc_id", q, top_k=20, postings=p)
+    assert [r.asDict() for r in direct.collect()] == [
+        r.asDict() for r in reused.collect()
+    ]
+    plan = reused._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------------- duckdb oracle
+
+
+def _duck_bm25(sf_dir: str, query_terms: list[str], k1=1.2, b=0.75, top_k=20):
+    """Independent BM25 in DuckDB over the same parquet, same tokenizer
+    class, same Lucene idf — computed with DuckDB's own SQL engine."""
+    terms_sql = ", ".join(f"('{t}')" for t in query_terms)
+    con = duckdb.connect()
+    try:
+        return con.sql(
+            f"""
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM read_parquet('{sf_dir}/documents.parquet'),
+                     UNNEST(list_filter(
+                        regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                        x -> x <> '')) AS t(term)
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (
+                SELECT doc_id, count(*)::DOUBLE AS doc_len
+                FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM dl
+            ),
+            q(term) AS (VALUES {terms_sql}),
+            dfreq AS (
+                SELECT term, count(*)::DOUBLE AS df
+                FROM tf WHERE term IN (SELECT term FROM q)
+                GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   sum(
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf * ({k1} + 1.0)
+                     / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doc_len / stats.avgdl))
+                   ) AS score
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT {top_k}
+            """
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_bm25_duckdb_differential_real_corpus(spark, documents):
+    query = "the data model training"
+    terms = sorted(set(R.tokenize_py(query)))
+    want = _duck_bm25(SF_SMOKE, terms, top_k=25)
+    got = R.bm25_search(
+        documents.select("doc_id", "text"), "text", "doc_id", query, top_k=25
+    ).collect()
+    assert len(got) == len(want)
+    for g, (w_id, w_score) in zip(got, want):
+        assert g["doc_id"] == w_id
+        assert g["score"] == pytest.approx(w_score, abs=1e-9)
+
+
+def test_tfidf_duckdb_differential_real_corpus(spark, documents):
+    con = duckdb.connect()
+    try:
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.sql(
+                f"""
+                WITH toks AS (
+                    SELECT doc_id, t.term
+                    FROM read_parquet('{SF_SMOKE}/documents.parquet'),
+                         UNNEST(list_filter(
+                            regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                            x -> x <> '')) AS t(term)
+                ),
+                tf AS (
+                    SELECT doc_id, term, count(*)::DOUBLE AS tf
+                    FROM toks GROUP BY doc_id, term
+                ),
+                dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+                n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf)
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0)
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+                """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    got = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in R.tfidf(documents.select("doc_id", "text"), "text", "doc_id").collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)

@@ -155,3 +155,78 @@ def pack_shards(
     # ".0" — no float rounding can occur below 2^53 total tokens per group)
     shard = ((start - (start % F.lit(budget))) / F.lit(budget)).cast("long")
     return out.withColumn(shard_col, shard).drop(cum)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping TOKEN windows — the
+    context-window chunker every RAG index / pretraining sequence prep
+    runs between curation (X1-X22) and packing (``pack_shards``).
+
+    Output: one row per chunk — ``(id_col, chunk_id, chunk_start,
+    n_chunk_tokens, chunk_text)`` where ``chunk_id`` is 0-based within the
+    document, ``chunk_start`` is the token offset, and ``chunk_text`` is
+    the space-rejoined token window.  Chunk starts advance by
+    ``stride = chunk_size - overlap``; the tail chunk may be shorter than
+    ``chunk_size`` but is emitted only if it extends PAST the previous
+    chunk's coverage (``n_chunk_tokens > overlap``) — a tail fully
+    contained in its predecessor adds no new tokens and would duplicate
+    training data.  Every token of every document appears in ≥1 chunk;
+    documents with no tokens (NULL/empty/whitespace text) emit nothing.
+
+    Tokenization is the repo's cross-engine ASCII-whitespace class
+    (operators/ranking.tokenize) — the DuckDB/Python differentials replay
+    it exactly.  Rejoining with single spaces canonicalizes intra-doc
+    whitespace, the standard chunker behavior.
+
+    Scale: strictly MAP-ONLY — tokens array → ``sequence`` of starts →
+    ``posexplode`` → ``slice``/``array_join``, all whole-stage-codegen
+    expressions.  No shuffle at any scale; output rows ≈
+    input tokens × (1 + overlap/stride) — the explode is bounded by the
+    overlap ratio, not quadratic in anything.
+    """
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap} for "
+            f"chunk_size {chunk_size}"
+        )
+    from r_e_hive__spark.operators.ranking import tokenize
+
+    stride = chunk_size - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(F.lit(chunk_size), F.size("_toks") - F.col("chunk_start")),
+        )
+        # drop a tail that adds no tokens beyond the previous chunk
+        .where(
+            (F.col("chunk_id") == 0) | (F.col("n_chunk_tokens") > F.lit(overlap))
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            "n_chunk_tokens",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_start") + 1, F.lit(chunk_size)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

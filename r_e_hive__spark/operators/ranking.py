@@ -205,3 +205,49 @@ def bm25_search(
         .agg(F.sum("_contrib").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str,
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval result lists (Cormack et al.
+    2009) — the standard way to combine BM25 with embedding top-k (X3)
+    into one hybrid ranking without score calibration.
+
+    Each input frame needs ``(id_col, score)``; rank within each list is
+    dense descending-score order with ascending-id tiebreak (deterministic
+    under ties).  Fused score = Σ_lists 1/(k + rank); documents missing
+    from a list simply contribute nothing for it.  Output:
+    ``(id_col, rrf_score, n_lists)`` descending, id-tiebroken, optionally
+    LIMITed to ``top_k``.
+
+    Scale: the inputs are top-k lists (tiny by construction), so the
+    single-partition rank windows and the union-aggregate are on frames of
+    ~top_k × lists rows — driver-scale work expressed in-plan.  Do NOT
+    feed whole-corpus score tables here; rank those with a distributed
+    window first.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    from pyspark.sql.window import Window
+
+    ranked = []
+    for r in rankings:
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        ranked.append(
+            r.select(id_col, "score")
+            .withColumn("_rank", F.row_number().over(w))
+            .select(id_col, (F.lit(1.0) / (F.lit(k) + F.col("_rank"))).alias("_rr"))
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    out = (
+        allr.groupBy(id_col)
+        .agg(F.sum("_rr").alias("rrf_score"), F.count("*").alias("n_lists"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )
+    return out.limit(top_k) if top_k is not None else out

@@ -287,3 +287,59 @@ def test_tfidf_duckdb_differential_real_corpus(spark, documents):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+# ---------------------------------------------------------------------- rrf
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 7.5), (3, 7.5), (4, 1.0)], "doc_id INT, score DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.99), (5, 0.98), (1, 0.50)], "doc_id INT, score DOUBLE"
+    )
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_lists"])
+        for r in R.rrf_fuse([a, b], "doc_id", k=60).collect()
+    ]
+    # ranks: a -> 1:1, 2:2 (tie broken by id), 3:3, 4:4 ; b -> 3:1, 5:2, 1:3
+    want = {
+        1: 1 / 61 + 1 / 63,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 64,
+        5: 1 / 62,
+    }
+    ordered = sorted(want, key=lambda i: (-want[i], i))
+    assert [g[0] for g in got] == ordered
+    for doc_id, score, n in got:
+        assert score == pytest.approx(want[doc_id], abs=1e-12)
+        assert n == (2 if doc_id in (1, 3) else 1)
+    # top_k limit + single-list edge
+    assert R.rrf_fuse([a, b], "doc_id", top_k=2).count() == 2
+    solo = R.rrf_fuse([a], "doc_id").collect()
+    assert [r["doc_id"] for r in solo] == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="at least one"):
+        R.rrf_fuse([], "doc_id")
+
+
+def test_rrf_hybrid_bm25_plus_semantic(spark, documents):
+    """Composite: fuse a BM25 list with a second ranked list on the real
+    corpus — ids present in both lists outrank single-list ids with
+    comparable ranks."""
+    docs = documents.select("doc_id", "text", "n_chars")
+    lexical = R.bm25_search(docs, "text", "doc_id", "the data model", top_k=30)
+    # a deterministic stand-in for an embedding top-k: longest docs
+    semantic = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(30)
+    fused = R.rrf_fuse([lexical, semantic], "doc_id", top_k=10).collect()
+    assert len(fused) == 10
+    both = {r["doc_id"] for r in fused if r["n_lists"] == 2}
+    lex_ids = {r["doc_id"] for r in lexical.collect()}
+    sem_ids = {r["doc_id"] for r in semantic.collect()}
+    assert both <= (lex_ids & sem_ids)
+    # scores strictly ordered with the documented tiebreak
+    pairs = [(r["rrf_score"], r["doc_id"]) for r in fused]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))

@@ -127,3 +127,79 @@ def filter_blocklist(
         F.broadcast(bl), probe["_h"] == bl["_blocked"], "left_semi"
     ).select(F.col("_u").alias(url_col))
     return df.join(bad_urls, url_col, "left_anti")
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    group_cols=(),
+    strategy: str = "approx",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep the best ``keep_fraction`` of rows by ``score_col`` (higher is
+    better), optionally per group — the percentile quality cut every
+    curation pipeline applies after scoring (CCNet's perplexity terciles,
+    "keep the top 30 % by quality_score per language").  NULL scores are
+    always dropped (an unscorable document cannot be in any top fraction).
+
+    Two strategies, same contract, different scale shapes:
+
+    - ``"exact"`` — ``percent_rank`` over (score desc) per group: rows
+      ranked strictly; ties at the boundary are kept together (they share
+      a percent_rank), so the kept count can exceed the exact fraction by
+      the tie-group size.  One shuffle + full sort PER GROUP — and with
+      empty ``group_cols`` a SINGLE-partition global sort, the same
+      documented degradation as keyless as-of (operators/temporal.py):
+      use it for per-group gates or modest data, never a whole corpus.
+    - ``"approx"`` — the 100 TB shape: per-group score thresholds from
+      ``approx_percentile`` (one map-side-combined aggregation producing
+      K tiny rows), broadcast back, then a MAP-SIDE ``score >= threshold``
+      filter.  No sort, no per-row shuffle.  The boundary is as sharp as
+      the sketch (``accuracy`` trades memory for error — at the default,
+      ±1/10000 of rank): a few boundary rows may be kept or dropped
+      relative to the exact gate, which is the standard, documented trade
+      for corpus-scale percentile filters.
+
+    Both strategies cut on a SCORE boundary (exact: the shared
+    percent_rank of a tie group; approx: the sketch quantile), so
+    equal-score ties are never split arbitrarily (determinism contract) —
+    the kept set is a deterministic function of the data, not of
+    partitioning or row order.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    gcols = list(group_cols)
+    scored = df.where(F.col(score_col).isNotNull())
+    if keep_fraction == 1.0:
+        return scored
+    if strategy == "exact":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*gcols).orderBy(F.desc(score_col))
+        return (
+            scored.withColumn("_pr", F.percent_rank().over(w))
+            .where(F.col("_pr") <= F.lit(keep_fraction))
+            .drop("_pr")
+        )
+    if strategy != "approx":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    q = F.lit(1.0 - keep_fraction)
+    thr_expr = F.approx_percentile(F.col(score_col), q, F.lit(accuracy)).alias(
+        "_thr"
+    )
+    if gcols:
+        thr = scored.groupBy(*gcols).agg(thr_expr)
+        return (
+            scored.join(F.broadcast(thr), gcols, "inner")
+            .where(F.col(score_col) >= F.col("_thr"))
+            .drop("_thr")
+        )
+    thr = scored.agg(thr_expr)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -352,3 +352,85 @@ def test_filter_blocklist_trailing_dot_fqdn_no_bypass(spark):
         for r in filter_blocklist(df, "url", ["example.com."]).collect()
     }
     assert kept_bl == {3}
+
+
+# ------------------------------------------------------------ percentile gate
+
+
+def test_percentile_gate_exact_python_differential(spark):
+    import random
+
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    rng = random.Random(31)
+    rows = [(i, f"g{i % 3}", rng.random()) for i in range(300)]
+    # inject ties at a likely boundary
+    rows += [(1000 + j, "g0", 0.5) for j in range(10)]
+    df = spark.createDataFrame(rows, "id INT, grp STRING, score DOUBLE")
+    for frac in (0.1, 0.3, 0.75, 1.0):
+        got = {
+            r["id"]
+            for r in percentile_gate(
+                df, "score", frac, ["grp"], strategy="exact"
+            ).collect()
+        }
+        want = set()
+        by_grp = {}
+        for i, g, s in rows:
+            by_grp.setdefault(g, []).append((s, i))
+        for g, members in by_grp.items():
+            members.sort(key=lambda t: -t[0])
+            n = len(members)
+            for rank, (s, i) in enumerate(members):
+                # percent_rank semantics: ties share the FIRST index of
+                # their run
+                first = next(
+                    idx for idx, (s2, _) in enumerate(members) if s2 == s
+                )
+                pr = 0.0 if n == 1 else first / (n - 1)
+                if pr <= frac:
+                    want.add(i)
+        assert got == want, frac
+
+
+def test_percentile_gate_approx_close_to_exact_and_mapside(spark):
+    import random
+
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    rng = random.Random(37)
+    rows = [(i, f"g{i % 4}", rng.gauss(0, 1)) for i in range(4000)]
+    rows += [(9000, "g0", None)]  # NULL score always dropped
+    df = spark.createDataFrame(rows, "id INT, grp STRING, score DOUBLE")
+    exact = {
+        r["id"]
+        for r in percentile_gate(df, "score", 0.3, ["grp"], strategy="exact").collect()
+    }
+    approx = {
+        r["id"]
+        for r in percentile_gate(df, "score", 0.3, ["grp"]).collect()
+    }
+    assert 9000 not in exact and 9000 not in approx
+    # boundary divergence only: symmetric difference tiny, bulk identical
+    assert len(exact ^ approx) <= 0.01 * len(exact)
+    assert len(approx) == pytest.approx(0.3 * 4000, rel=0.05)
+    # determinism: two runs identical
+    again = {
+        r["id"] for r in percentile_gate(df, "score", 0.3, ["grp"]).collect()
+    }
+    assert approx == again
+    # global (no groups) form works and filters
+    g = percentile_gate(df, "score", 0.5).count()
+    assert g == pytest.approx(2000, rel=0.05)
+
+
+def test_percentile_gate_validation(spark):
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    df = spark.createDataFrame([(1, 0.5)], "id INT, score DOUBLE")
+    with pytest.raises(ValueError, match="keep_fraction"):
+        percentile_gate(df, "score", 0.0)
+    with pytest.raises(ValueError, match="keep_fraction"):
+        percentile_gate(df, "score", 1.5)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        percentile_gate(df, "score", 0.5, strategy="magic")

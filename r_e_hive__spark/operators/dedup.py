@@ -677,9 +677,17 @@ def incremental_neardup(
     A 100 TB corpus is not built in one batch: it accretes (daily crawls,
     snapshot diffs).  Re-running whole-corpus LSH per increment is
     O(corpus) text work per day; the standard production shape is a
-    signature store keyed for LSH probing.  ``index_sig`` is that store:
-    ``(id_col, signature)`` rows for every previously KEPT doc (the second
-    element of this function's return value — feed it back in).
+    signature store keyed for LSH probing.  ``index_sig`` is that store,
+    in EITHER layout (auto-detected, and the updated index is returned in
+    the SAME layout so feed-back round-trips):
+
+    - ``(id_col, signature)`` — the compact form; its bands are
+      (re)computed per increment, O(history) cheap map work but still
+      per-batch;
+    - the BANDED ``band_signatures`` form ``(id_col, signature, band_id,
+      band_hash)`` — the production layout: persist it
+      partitioned/bucketed by ``band_hash`` and the probe join prunes to
+      matching buckets with ZERO per-increment hashing of history.
 
     Returns ``(survivors, updated_index)``:
 
@@ -751,8 +759,24 @@ def incremental_neardup(
         .select("id_a", "id_b")
     )
 
+    index_is_banded = index_sig is not None and "band_hash" in index_sig.columns
     if index_sig is not None:
-        banded_idx = band_signatures(index_sig, id_col, num_hashes, bands)
+        if index_is_banded:
+            # persisted band_signatures layout: probe it as-is — zero
+            # per-increment hashing of history (round-5 code review; the
+            # compact layout re-banded O(history) map work every batch).
+            # The signature-length guard band_signatures applies on build
+            # is re-asserted here in-plan, since this path skips it.
+            banded_idx = index_sig.where(
+                F.assert_true(
+                    F.size("signature") == num_hashes,
+                    "incremental_neardup: banded index signature length != "
+                    f"num_hashes ({num_hashes}) — was the index built with "
+                    "different minhash parameters?",
+                ).isNull()
+            )
+        else:
+            banded_idx = band_signatures(index_sig, id_col, num_hashes, bands)
         probe = banded_new.select(
             F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
             "band_id", "band_hash",
@@ -780,6 +804,8 @@ def incremental_neardup(
         )
         pairs = nn.unionByName(ni)
         idx_nodes = index_sig.select(F.col(id_col).alias("node"))
+        if index_is_banded:
+            idx_nodes = idx_nodes.distinct()  # bands× rows per id
     else:
         pairs = nn
         idx_nodes = None
@@ -812,7 +838,14 @@ def incremental_neardup(
     dropped = dropped.localCheckpoint()
     survivors = new_df.join(dropped, id_col, "left_anti")
     surv_sig = sig_new.join(dropped, id_col, "left_anti")
-    updated_index = (
-        surv_sig if index_sig is None else index_sig.unionByName(surv_sig)
-    )
+    if index_sig is None:
+        updated_index = surv_sig
+    elif index_is_banded:
+        # round-trip the banded layout: new survivors are banded ONCE here
+        # (O(survivors)), history rows pass through untouched
+        updated_index = index_sig.unionByName(
+            band_signatures(surv_sig, id_col, num_hashes, bands)
+        )
+    else:
+        updated_index = index_sig.unionByName(surv_sig)
     return survivors, updated_index

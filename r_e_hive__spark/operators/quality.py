@@ -171,6 +171,10 @@ def percentile_gate(
         raise ValueError(
             f"keep_fraction must be in (0, 1], got {keep_fraction}"
         )
+    if strategy not in ("exact", "approx"):
+        # validate BEFORE the fraction==1.0 early return: a config typo
+        # must not survive the no-op sweep point (round-5 code review)
+        raise ValueError(f"unknown strategy {strategy!r}")
     gcols = list(group_cols)
     scored = df.where(F.col(score_col).isNotNull())
     if keep_fraction == 1.0:
@@ -184,18 +188,29 @@ def percentile_gate(
             .where(F.col("_pr") <= F.lit(keep_fraction))
             .drop("_pr")
         )
-    if strategy != "approx":
-        raise ValueError(f"unknown strategy {strategy!r}")
     q = F.lit(1.0 - keep_fraction)
     thr_expr = F.approx_percentile(F.col(score_col), q, F.lit(accuracy)).alias(
         "_thr"
     )
     if gcols:
-        thr = scored.groupBy(*gcols).agg(thr_expr)
+        # NULL-SAFE group join: groupBy keeps a NULL-keyed group in `thr`,
+        # but a plain equality join never matches NULL==NULL — rows with a
+        # NULL group key (e.g. unknown language) would silently vanish
+        # instead of being gated like the exact strategy gates them
+        # (round-5 code review, verified divergence)
+        thr = F.broadcast(
+            scored.groupBy(*gcols).agg(thr_expr).select(
+                *[F.col(g).alias(f"_g_{g}") for g in gcols], "_thr"
+            )
+        )
+        cond = None
+        for g in gcols:
+            c = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+            cond = c if cond is None else cond & c
         return (
-            scored.join(F.broadcast(thr), gcols, "inner")
+            scored.join(thr, cond, "inner")
             .where(F.col(score_col) >= F.col("_thr"))
-            .drop("_thr")
+            .drop("_thr", *[f"_g_{g}" for g in gcols])
         )
     thr = scored.agg(thr_expr)
     return (

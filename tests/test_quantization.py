@@ -203,3 +203,30 @@ def test_quantized_topk_precomputed_codes_identical(spark, embeddings):
         queries, embeddings, k=8, candidate_codes=codes
     ).collect()
     assert a == b
+
+
+def test_quantized_numpy_null_embeddings_excluded_not_crash(spark):
+    """NULL embeddings follow the expr paths' NULL contract on the numpy
+    strategy too (round-5 code review: np.stack over None crashed the
+    worker)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    q = df.where(F.col("vec_id") == 1).withColumnRenamed("vec_id", "query_id")
+    for strat in ("numpy", "expr"):
+        got = {
+            r["vec_id"]
+            for r in S.quantized_topk(
+                q, df, k=3, rerank=False, strategy=strat
+            ).collect()
+        }
+        assert got == {1, 2}, strat
+    # the float numpy scan inherits the same fix
+    got = {
+        r["vec_id"]
+        for r in S.brute_force_topk(
+            q, df, k=3, exact_decimal=False, strategy="numpy"
+        ).collect()
+    }
+    assert got == {1, 2}

@@ -434,3 +434,38 @@ def test_percentile_gate_validation(spark):
         percentile_gate(df, "score", 1.5)
     with pytest.raises(ValueError, match="unknown strategy"):
         percentile_gate(df, "score", 0.5, strategy="magic")
+
+
+def test_percentile_gate_null_group_key_gated_not_dropped(spark):
+    """Rows with a NULL group key must be percentile-gated like any other
+    group in BOTH strategies, not silently dropped by a non-null-safe
+    join (round-5 code review, verified divergence)."""
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    rows = [(i, None, float(i)) for i in range(10)] + [
+        (100 + i, "g1", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id INT, grp STRING, score DOUBLE")
+    exact = {
+        r["id"]
+        for r in percentile_gate(df, "score", 0.5, ["grp"], strategy="exact").collect()
+    }
+    approx = {
+        r["id"]
+        for r in percentile_gate(df, "score", 0.5, ["grp"]).collect()
+    }
+    assert {i for i in exact if i < 100}, "NULL group must survive exact"
+    assert {i for i in approx if i < 100}, "NULL group must survive approx"
+    # exact keeps the strict top half; approx's quantile lands ON a data
+    # value here, keeping one extra boundary row per group (the documented
+    # strategy difference) — both treat the NULL group exactly like g1
+    assert exact == {5, 6, 7, 8, 9, 105, 106, 107, 108, 109}
+    assert approx == {4, 5, 6, 7, 8, 9, 104, 105, 106, 107, 108, 109}
+
+
+def test_percentile_gate_strategy_validated_before_noop(spark):
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    df = spark.createDataFrame([(1, 0.5)], "id INT, score DOUBLE")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        percentile_gate(df, "score", 1.0, strategy="aprox")

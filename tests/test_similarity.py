@@ -197,9 +197,11 @@ def test_brute_force_numpy_strategy_matches_expr(spark):
 
 
 def test_brute_force_zero_vector_null_not_error(spark):
-    """A zero-norm vector has no direction: both strategies must return
-    NULL-cosine (expr) / omit (numpy) rather than raising ANSI
-    DIVIDE_BY_ZERO, and rank real candidates identically."""
+    """A zero-norm vector has no direction: BOTH strategies omit it from
+    the ranking (it scores NULL and is unrankable) rather than raising
+    ANSI DIVIDE_BY_ZERO or padding trailing ranks — the unified contract
+    from the round-5 review (the expr path previously kept NULL-cosine
+    rows when k exceeded the scoreable candidates)."""
     from pyspark.sql import Row, functions as F
 
     from r_e_hive__spark.operators.similarity import brute_force_topk
@@ -213,16 +215,11 @@ def test_brute_force_zero_vector_null_not_error(spark):
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    expr_out = brute_force_topk(q, emb, k=3, exact_decimal=False).collect()
-    ranked = {r.vec_id: (r.rank, r.cosine) for r in expr_out}
-    assert ranked[0][0] == 1 and ranked[1][0] == 2
-    assert ranked[2][1] is None  # zero vector: NULL cosine, ranked last
-    np_out = brute_force_topk(
-        q, emb, k=3, exact_decimal=False, strategy="numpy"
-    ).collect()
-    np_ranked = {r.vec_id: r.rank for r in np_out}
-    # numpy path omits the zero vector entirely; real ranks agree
-    assert np_ranked == {0: 1, 1: 2}
+    for strat in ("expr", "numpy"):
+        out = brute_force_topk(
+            q, emb, k=3, exact_decimal=False, strategy=strat
+        ).collect()
+        assert {r.vec_id: r.rank for r in out} == {0: 1, 1: 2}, strat
 
 
 def test_ivf_numpy_strategy_matches_expr(spark):

@@ -90,8 +90,16 @@ def main() -> int:
     except Exception:
         pass
     only = {
-        n for n in os.environ.get("SPARK_GRAFT_SIM_ONLY", "").split(",") if n
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_SIM_ONLY", "").split(",")
+        if n.strip()
     }
+    unknown = only - set(qs)
+    if unknown:
+        # a typo must not produce a green zero-query run
+        raise SystemExit(
+            f"SPARK_GRAFT_SIM_ONLY names not in queries(): {sorted(unknown)}"
+        )
     con = duck_con()
     ok = fail = 0
     for name, fn in qs.items():

@@ -434,3 +434,98 @@ def running_balance_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_incremental_neardup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Streaming corpus accretion with near-dup gating (X22's streaming
+    twin): each micro-batch of documents is deduped against the persisted
+    MinHash signature index via ``operators.dedup.incremental_neardup``,
+    surviving documents are APPENDED to ``survivors_path``, and ONLY the
+    survivors' banded signatures are appended to ``index_path`` — history
+    is never rewritten and never re-hashed (the index is stored in the
+    ``band_signatures`` layout the operator consumes directly).
+
+    Per-trigger cost is O(batch + matches): the only full-index work is
+    the banded probe join, which prunes to matching ``band_hash`` buckets
+    when the index is bucketed on write.  This is the production shape of
+    a continuously-crawled corpus: the stream IS the increment sequence,
+    and the decision semantics (history-wins, keep-min, no-tombstones)
+    are exactly the batch operator's, pinned by the batch-equivalence
+    test in tests/test_streaming.py.
+
+    Replay safety: appends are not idempotent, so a sidecar fence file
+    (atomic tmp+rename, the X12 pattern) skips replayed batch_ids on the
+    common at-least-once recovery path; the residual crash window between
+    the two appends and the fence write needs transactional storage
+    (Delta/Iceberg) to close completely, same documented contract as
+    stream_continuous_aggregate."""
+    import json
+
+    from r_e_hive__spark.operators.dedup import (
+        band_signatures,
+        incremental_neardup,
+        minhash_signatures,
+    )
+
+    fence = os.path.join(checkpoint_dir, "neardup_fence.json")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            with open(fence) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch: already applied
+        except (OSError, ValueError, KeyError):
+            pass
+        try:
+            idx = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            idx = None
+        survivors, _ = incremental_neardup(
+            batch_df,
+            text_col,
+            id_col,
+            index_sig=idx,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            est_threshold=est_threshold,
+        )
+        # two consumers (document append + signature delta): materialize
+        # the decision once
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(survivors_path)
+        # append ONLY the delta: the new survivors' banded signatures.
+        # (Re-shingling the survivors is O(batch) deterministic work —
+        # minhash is a pure function of the text — traded for never
+        # rewriting the index file.)
+        delta = band_signatures(
+            minhash_signatures(survivors, text_col, id_col, k, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        )
+        delta.write.mode("append").parquet(index_path)
+        os.makedirs(os.path.dirname(fence), exist_ok=True)
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, fence)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

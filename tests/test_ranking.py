@@ -343,3 +343,30 @@ def test_rrf_hybrid_bm25_plus_semantic(spark, documents):
     # scores strictly ordered with the documented tiebreak
     pairs = [(r["rrf_score"], r["doc_id"]) for r in fused]
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_bm25_term_filter_pushes_into_parquet_scan(spark, documents, tmp_path):
+    """Against a PERSISTED postings index the query's IN-list term filter
+    must reach the parquet scan (partition/row-group pruning at scale),
+    and passing persisted corpus stats must not change results."""
+    docs = documents.select("doc_id", "text")
+    path = str(tmp_path / "postings.parquet")
+    R.term_postings(docs, "text", "doc_id").write.parquet(path)
+    idx = spark.read.parquet(path)
+    stats = R.corpus_stats(idx, "doc_id").localCheckpoint()
+    q = "the data model"
+    with_stats = R.bm25_search(
+        docs, "text", "doc_id", q, top_k=15, postings=idx, stats=stats
+    )
+    without = R.bm25_search(
+        docs, "text", "doc_id", q, top_k=15, postings=idx
+    )
+    assert [r.asDict() for r in with_stats.collect()] == [
+        r.asDict() for r in without.collect()
+    ]
+    plan = with_stats._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any(
+        "DataFilters" in l and "IN (" in l.replace("In (", "IN (")
+        for l in scan_lines
+    ), scan_lines

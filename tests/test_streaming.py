@@ -530,3 +530,83 @@ def test_tws_twin_matches_applyinpandas_twin(spark):
     )
     rows_old = _rows(got_old, ["user_id", "n_events", "balance"])
     assert rows_new == rows_old and len(rows_new) > 0
+
+
+def test_stream_incremental_neardup_matches_batch_loop(spark, tmp_path):
+    """X22's streaming twin: 3 real file-source micro-batches through
+    stream_incremental_neardup must produce exactly the survivors and
+    signature index a hand-driven incremental_neardup loop over the same
+    batches produces — and a replayed batch_id must be fenced out."""
+    import json
+    import os
+
+    from r_e_hive__spark.operators import dedup as D
+
+    DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+    DOC_A2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    DOC_B = "completely different content about spark shuffle partitioning at scale"
+    DOC_C = "yet another unrelated document concerning duckdb oracle differentials"
+
+    batches = [
+        [(1, DOC_A), (2, DOC_B)],
+        [(11, DOC_A2), (12, DOC_C), (13, DOC_C)],  # 11~1 hist, 13~12 batch
+        [(21, DOC_C)],                              # ~12 in history
+    ]
+    src = tmp_path / "docs"
+    os.makedirs(src)
+    for i, rows in enumerate(batches, 1):
+        df = spark.createDataFrame(rows, "id INT, text STRING")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+        _pin_mtime(src / f"b{i}.parquet", i)
+
+    idx_path = str(tmp_path / "sig_index")
+    surv_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("id INT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    q = jobs.stream_incremental_neardup(
+        stream, "text", "id", idx_path, surv_path, ckpt
+    )
+    q.awaitTermination()
+
+    got_surv = {r["id"] for r in spark.read.parquet(surv_path).collect()}
+    got_idx = {
+        r["id"] for r in spark.read.parquet(idx_path).select("id").distinct().collect()
+    }
+
+    # hand-driven batch loop, same parameters
+    want_idx_df = None
+    want = set()
+    for rows in batches:
+        df = spark.createDataFrame(rows, "id INT, text STRING")
+        s, want_idx_df = D.incremental_neardup(
+            df, "text", "id", index_sig=want_idx_df
+        )
+        want |= {r["id"] for r in s.collect()}
+    assert got_surv == want == {1, 2, 12}
+    assert got_idx == want
+    # the persisted index is the banded layout the operator consumes
+    cols = set(spark.read.parquet(idx_path).columns)
+    assert {"id", "signature", "band_id", "band_hash"} <= cols
+
+    # fence: re-applying an already-applied batch_id is a no-op
+    fence = json.load(open(os.path.join(ckpt, "neardup_fence.json")))
+    assert fence["batch_id"] == 2  # batches 0,1,2
+    before = spark.read.parquet(surv_path).count()
+    # fresh query restart over the SAME checkpoint: availableNow with no
+    # new files fires nothing and the fence stays intact
+    q2 = jobs.stream_incremental_neardup(
+        spark.readStream.schema("id INT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet"),
+        "text",
+        "id",
+        idx_path,
+        surv_path,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(surv_path).count() == before

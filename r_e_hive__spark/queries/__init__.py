@@ -99,6 +99,15 @@ RETIRED: dict[str, Query] = {}
 #   x4_neardup_pairs         -> x4_lsh_neighbor_pairs (X4 sub-quadratic
 #       path, exact-cosine verified), x17_semdedup (exact in-cluster
 #       cosine pairing), x2_* (X2 text near-dup)
+#
+# Round-5 second wave (making room for X23 BM25 ranking and X9 chunking):
+#
+#   p7_asof_timestamp        -> rehive_subscription_status (same as-of
+#       timestamp compare, over the reference-shaped fixture pipeline;
+#       P7 + F11 both still driver-pinned)
+#   rehive_company_profits   -> rehive_redemption_ledger (same floored
+#       GREATEST(0, ...) profit arithmetic inside the same fixture
+#       pipeline; A4), f_scalar_suite (F3)
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -54,11 +54,14 @@ def rehive_redemption_ledger(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "rehive_company_profits",
     fixture_sql.company_profits_oracle(),
     survey_rows=("A4", "F3"),
-    doc="Company profit per accepted redemption (floored at zero).",
+    doc="Company profit per accepted redemption (floored at zero). "
+    "RETIRED round 5 (50-cap): A4 stays driver-pinned by "
+    "rehive_redemption_ledger (same floored-profit arithmetic inside the "
+    "same fixture pipeline), F3 by f_scalar_suite.",
 )
 def rehive_company_profits(spark, sf_dir):
     _, out = _run_pipeline(spark)

@@ -18,7 +18,7 @@ from r_e_hive__spark.operators.relational import (
     relation_load,
     top_k,
 )
-from r_e_hive__spark.queries import ORDERS_AS_OF, query
+from r_e_hive__spark.queries import ORDERS_AS_OF, query, retired_query
 from r_e_hive__spark.queries._util import T
 
 # ---------------------------------------------------------------------------
@@ -133,7 +133,7 @@ def p6_null_json_events(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "p7_asof_timestamp",
     f"""
     SELECT o_orderkey, o_orderdate
@@ -145,7 +145,10 @@ def p6_null_json_events(spark, sf_dir):
 )
 def p7_asof_timestamp(spark, sf_dir):
     """Timestamp-vs-now predicate (subscription expiry check,
-    render-complete-deploy.js:598-599) with the fixed :as_of parameter."""
+    render-complete-deploy.js:598-599) with the fixed :as_of parameter.
+    RETIRED round 5 (50-cap): P7/F11 stay driver-pinned by
+    rehive_subscription_status, which applies the same as-of compare over
+    the reference-shaped fixture pipeline."""
     (orders,) = T(spark, sf_dir, "orders")
     return (
         orders.where(F.col("o_orderdate") > F.lit(ORDERS_AS_OF).cast("timestamp"))

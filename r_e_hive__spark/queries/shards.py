@@ -119,3 +119,47 @@ def x9_decontaminate(spark, sf_dir):
         )
         .orderBy("train_id")
     )
+
+
+_CHUNK_SIZE, _CHUNK_OV, _CHUNK_STRIDE = 32, 8, 24
+
+
+@query(
+    "x9_chunk_documents",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(
+                 regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                 x -> x <> '') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, s.start, (s.start // {_CHUNK_STRIDE})::INT AS chunk_id
+        FROM toks,
+             (SELECT UNNEST(generate_series(0, 100000, {_CHUNK_STRIDE})) AS start) s
+        WHERE len(t) > 0 AND s.start <= len(t) - 1
+    )
+    SELECT doc_id, chunk_id, start::INT AS chunk_start,
+           least({_CHUNK_SIZE}, len(t) - start)::INT AS n_chunk_tokens,
+           array_to_string(t[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text
+    FROM starts
+    WHERE chunk_id = 0 OR least({_CHUNK_SIZE}, len(t) - start) > {_CHUNK_OV}
+    ORDER BY doc_id, chunk_id
+    """,
+    survey_rows=("X9",),
+)
+def x9_chunk_documents(spark, sf_dir):
+    """Context-window chunking (X9, operators/packing.chunk_documents):
+    fixed-size overlapping token windows per document — size 32, overlap
+    8 — with contained-tail suppression; strictly map-only (tokens →
+    sequence of starts → posexplode → slice).  The oracle replays the
+    whole construction with DuckDB generate_series + list slicing;
+    chunk_text equality is exact string compare, no float anywhere."""
+    from r_e_hive__spark.operators.packing import chunk_documents
+
+    (documents,) = T(spark, sf_dir, "documents")
+    return chunk_documents(
+        documents.select("doc_id", "text"), "text", "doc_id",
+        _CHUNK_SIZE, _CHUNK_OV,
+    ).orderBy("doc_id", "chunk_id")

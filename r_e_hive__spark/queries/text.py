@@ -217,3 +217,83 @@ def x6_lang_distribution(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+_BM25_QUERY = "the data model training pipeline"
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 25
+
+
+@query(
+    "x23_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             UNNEST(list_filter(
+                regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS t(term)
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*)::DOUBLE AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS doc_len FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM dl
+    ),
+    q(term) AS (VALUES ('data'), ('model'), ('pipeline'), ('the'), ('training')),
+    dfreq AS (
+        SELECT term, count(*)::DOUBLE AS df
+        FROM tf WHERE term IN (SELECT term FROM q)
+        GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(sum(
+                 ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.doc_len / stats.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """,
+    survey_rows=("X23",),
+)
+def x23_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval over the documents corpus (X23,
+    operators/ranking.bm25_search): inverted-index postings build, Lucene
+    idf, k1/b saturation + length norm, deterministic
+    (rounded-score desc, doc_id asc) top-25.  The oracle recomputes the
+    whole formula in DuckDB SQL over the same parquet — tokenizer class,
+    idf, and normalization identical; scores rounded to 6 dp on BOTH
+    sides before the ORDER/LIMIT so last-ulp libm differences can't flip
+    the ranking hash (the x3 cosine discipline)."""
+    from r_e_hive__spark.operators.ranking import bm25_search
+
+    (documents,) = T(spark, sf_dir, "documents")
+    # top_k large enough to cover every matching doc, then the
+    # deterministic rounded re-rank picks the declared 25
+    scored = bm25_search(
+        documents.select("doc_id", "text"),
+        "text",
+        "doc_id",
+        _BM25_QUERY,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=10**6,
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )

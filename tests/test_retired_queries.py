@@ -27,6 +27,8 @@ def test_retired_registry_populated():
         "rehive_user_balances",
         "j8_upline_aggregate",
         "x4_neardup_pairs",
+        "p7_asof_timestamp",
+        "rehive_company_profits",
     }
 
 

@@ -308,12 +308,16 @@ def band_signatures(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """Explode a MinHash signature frame (``id_col``, ``signature``) into
-    its banded-LSH form ``(id_col, signature, band_id, band_hash)`` —
-    band b's hash is ``xxhash64`` over signature rows [b*r, (b+1)*r).
+    its banded-LSH form ``(id_col, signature, band_id, band_hash,
+    num_bands)`` — band b's hash is ``xxhash64`` over signature rows
+    [b*r, (b+1)*r).  ``num_bands`` is a constant metadata column (free
+    under parquet RLE) so a consumer of a PERSISTED index can verify its
+    banding parameters in-plan instead of silently joining mismatched
+    band spaces — see ``incremental_neardup``.
 
     This is the layout a persisted signature INDEX should be stored in
     (partitioned/bucketed by ``band_hash``) so that incremental batches
-    probe it without shuffling it — see ``incremental_neardup``."""
+    probe it without shuffling it."""
     r = num_hashes // bands
     if r < 1 or num_hashes % bands != 0:
         # r=0 would hash an EMPTY signature slice per band: every doc
@@ -345,7 +349,7 @@ def band_signatures(
     )
     return sig.select(
         id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash")
-    )
+    ).withColumn("num_bands", F.lit(bands))
 
 
 def _sig_match_fraction(sig_a, sig_b, num_hashes: int):
@@ -669,7 +673,8 @@ def incremental_neardup(
     bands: int = 8,
     est_threshold: float = 0.5,
     broadcast_new: bool | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_delta: bool = False,
+) -> tuple[DataFrame, ...]:
     """Dedup an INCREMENT (today's crawl batch) against a persisted MinHash
     signature index of everything already accepted — without re-reading or
     re-shingling one byte of history.
@@ -689,7 +694,8 @@ def incremental_neardup(
       partitioned/bucketed by ``band_hash`` and the probe join prunes to
       matching buckets with ZERO per-increment hashing of history.
 
-    Returns ``(survivors, updated_index)``:
+    Returns ``(survivors, updated_index)`` — or, with ``with_delta=True``,
+    ``(survivors, updated_index, delta)``:
 
     - ``survivors`` — rows of ``new_df`` that are near-dups of neither a
       historical doc nor a lower-id surviving batch-mate.  Matching is
@@ -699,6 +705,10 @@ def incremental_neardup(
       and using one estimator for both sides keeps batch order irrelevant
       to the decision rule.
     - ``updated_index`` — ``index_sig`` plus the survivors' signatures.
+    - ``delta`` — ONLY the survivors' contribution, in the index's
+      layout: what an append-only index store writes per increment
+      (re-deriving it outside would re-shingle the survivors — the
+      dominant per-batch text work done twice; second-review finding).
 
     Group semantics (deliberate, pinned in tests/test_dedup.py):
 
@@ -766,13 +776,25 @@ def incremental_neardup(
             # per-increment hashing of history (round-5 code review; the
             # compact layout re-banded O(history) map work every batch).
             # The signature-length guard band_signatures applies on build
-            # is re-asserted here in-plan, since this path skips it.
+            # is re-asserted here in-plan, since this path skips it — and
+            # so are the BANDING parameters: joining an index banded with
+            # different `bands` silently matches (almost) nothing and
+            # admits every near-dup of history (second-review finding).
+            # num_bands is carried by band_signatures' layout; band_id is
+            # checked too for indexes persisted before the column existed.
             banded_idx = index_sig.where(
                 F.assert_true(
-                    F.size("signature") == num_hashes,
-                    "incremental_neardup: banded index signature length != "
-                    f"num_hashes ({num_hashes}) — was the index built with "
-                    "different minhash parameters?",
+                    (F.size("signature") == num_hashes)
+                    & (F.col("band_id") < F.lit(bands))
+                    & (
+                        (F.col("num_bands") == F.lit(bands))
+                        if "num_bands" in index_sig.columns
+                        else F.lit(True)
+                    ),
+                    "incremental_neardup: banded index parameters disagree "
+                    f"with this call (num_hashes={num_hashes}, bands={bands})"
+                    " — was the index built with different minhash/banding "
+                    "parameters?",
                 ).isNull()
             )
         else:
@@ -803,9 +825,11 @@ def incremental_neardup(
             .select("id_a", "id_b")
         )
         pairs = nn.unionByName(ni)
+        # duplicate right-side rows cannot change a semi/anti join's
+        # output, so the banded layout's bands× rows per id need NO
+        # distinct here (a per-increment O(bands·history) aggregate for
+        # zero semantic effect — second-review finding)
         idx_nodes = index_sig.select(F.col(id_col).alias("node"))
-        if index_is_banded:
-            idx_nodes = idx_nodes.distinct()  # bands× rows per id
     else:
         pairs = nn
         idx_nodes = None
@@ -838,14 +862,19 @@ def incremental_neardup(
     dropped = dropped.localCheckpoint()
     survivors = new_df.join(dropped, id_col, "left_anti")
     surv_sig = sig_new.join(dropped, id_col, "left_anti")
-    if index_sig is None:
-        updated_index = surv_sig
-    elif index_is_banded:
+    if index_is_banded:
         # round-trip the banded layout: new survivors are banded ONCE here
-        # (O(survivors)), history rows pass through untouched
-        updated_index = index_sig.unionByName(
-            band_signatures(surv_sig, id_col, num_hashes, bands)
-        )
+        # (O(survivors)), history rows pass through untouched.  Indexes
+        # persisted before band_signatures carried num_bands lack that
+        # column — align the delta so the union stays well-formed.
+        delta = band_signatures(surv_sig, id_col, num_hashes, bands)
+        if "num_bands" not in index_sig.columns:
+            delta = delta.drop("num_bands")
     else:
-        updated_index = index_sig.unionByName(surv_sig)
+        delta = surv_sig
+    updated_index = (
+        delta if index_sig is None else index_sig.unionByName(delta)
+    )
+    if with_delta:
+        return survivors, updated_index, delta
     return survivors, updated_index

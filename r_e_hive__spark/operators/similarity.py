@@ -92,7 +92,8 @@ def brute_force_topk(
         _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
     # NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors, matching
-    # cosine_exact's semantics: NULL sorts last under the desc ranking
+    # cosine_exact's semantics; NULL-cosine rows are filtered before the
+    # rank window below (unrankable — the unified omit contract)
     den = F.sqrt(F.col("_qn2") * F.col("_cn2"))
     scored = q.crossJoin(c).select(
         query_id,
@@ -783,6 +784,9 @@ def _brute_force_topk_numpy(
         queries, candidates, query_id, cand_id
     )
     q_rows = queries.select(query_id, vec_col).collect()
+    # NULL query vectors are unrankable on every path (expr omits them) —
+    # np.asarray(None) would raise on the driver (second-review finding)
+    q_rows = [r for r in q_rows if r[1] is not None]
     if not q_rows:
         return queries.sparkSession.createDataFrame([], final_schema)
     q_ids = np.array([r[0] for r in q_rows])
@@ -830,6 +834,7 @@ def _ivf_topk_numpy(
         queries, candidates, query_id, cand_id
     )
     q_rows = queries.select(query_id, bucket_col, vec_col).collect()
+    q_rows = [r for r in q_rows if r[2] is not None]  # same NULL contract
     if not q_rows:
         return queries.sparkSession.createDataFrame([], final_schema)
     by_bucket: dict = {}

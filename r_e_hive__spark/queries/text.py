@@ -223,6 +223,17 @@ _BM25_QUERY = "the data model training pipeline"
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 25
 
 
+def _bm25_terms_values() -> str:
+    """Oracle term list DERIVED from the same tokenizer the Spark side
+    uses — hand-duplicating it would desync the two on any edit to
+    _BM25_QUERY (review finding)."""
+    from r_e_hive__spark.operators.ranking import tokenize_py
+
+    return ", ".join(
+        f"('{t}')" for t in sorted(set(tokenize_py(_BM25_QUERY)))
+    )
+
+
 @query(
     "x23_bm25_topk",
     f"""
@@ -243,7 +254,7 @@ _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 25
     stats AS (
         SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl FROM dl
     ),
-    q(term) AS (VALUES ('data'), ('model'), ('pipeline'), ('the'), ('training')),
+    q(term) AS (VALUES {_bm25_terms_values()}),
     dfreq AS (
         SELECT term, count(*)::DOUBLE AS df
         FROM tf WHERE term IN (SELECT term FROM q)

@@ -475,7 +475,6 @@ def stream_incremental_neardup(
     from r_e_hive__spark.operators.dedup import (
         band_signatures,
         incremental_neardup,
-        minhash_signatures,
     )
 
     fence = os.path.join(checkpoint_dir, "neardup_fence.json")
@@ -490,9 +489,18 @@ def stream_incremental_neardup(
             pass
         try:
             idx = spark.read.parquet(index_path)
-        except AnalysisException:  # first batch: no index yet
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch".  Any other analysis
+            # failure (corrupt directory, schema inference failure after a
+            # crashed append, permissions) must ABORT the trigger — falling
+            # back to idx=None would dedup the batch against nothing and
+            # permanently admit near-dups of all history (second-review
+            # finding; the sibling snapshot/rollup sinks self-correct on
+            # their fallback, this one would poison the corpus).
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
             idx = None
-        survivors, _ = incremental_neardup(
+        survivors, _, delta = incremental_neardup(
             batch_df,
             text_col,
             id_col,
@@ -501,21 +509,18 @@ def stream_incremental_neardup(
             num_hashes=num_hashes,
             bands=bands,
             est_threshold=est_threshold,
+            with_delta=True,
         )
         # two consumers (document append + signature delta): materialize
         # the decision once
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(survivors_path)
-        # append ONLY the delta: the new survivors' banded signatures.
-        # (Re-shingling the survivors is O(batch) deterministic work —
-        # minhash is a pure function of the text — traded for never
-        # rewriting the index file.)
-        delta = band_signatures(
-            minhash_signatures(survivors, text_col, id_col, k, num_hashes),
-            id_col,
-            num_hashes,
-            bands,
-        )
+        # append ONLY the delta — the operator exposes the survivors'
+        # signatures it already computed, so nothing is re-shingled
+        # (second-review finding).  First batch: the delta comes back in
+        # the compact layout (no index yet) and is banded once here.
+        if "band_hash" not in delta.columns:
+            delta = band_signatures(delta, id_col, num_hashes, bands)
         delta.write.mode("append").parquet(index_path)
         os.makedirs(os.path.dirname(fence), exist_ok=True)
         tmp = fence + ".tmp"

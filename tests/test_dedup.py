@@ -587,7 +587,7 @@ def test_incremental_banded_index_layout_roundtrip(spark):
     # banded index with wrong num_hashes fails loudly too
     import py4j.protocol
 
-    with pytest.raises(py4j.protocol.Py4JJavaError, match="signature length"):
+    with pytest.raises(py4j.protocol.Py4JJavaError, match="parameters disagree"):
         D.incremental_neardup(
             _inc_corpus(spark, [(99, DOC_A)]),
             "text",
@@ -595,3 +595,51 @@ def test_incremental_banded_index_layout_roundtrip(spark):
             index_sig=banded_idx,
             num_hashes=64,
         )
+
+
+def test_incremental_banded_index_bands_mismatch_raises(spark):
+    """A banded index probed with different `bands` must fail loudly —
+    mismatched band spaces silently match nothing and admit every
+    near-dup of history (second-review finding).  num_bands metadata
+    catches both directions; a legacy index without the column is still
+    caught when the call's bands is smaller (band_id range check)."""
+    from py4j.protocol import Py4JJavaError
+
+    b1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx = D.incremental_neardup(b1, "text", "id")
+    banded = D.band_signatures(idx, "id", 32, 8)
+    assert "num_bands" in banded.columns
+    b2 = _inc_corpus(spark, [(2, DOC_B)])
+    for wrong_bands in (16, 4):  # both directions via num_bands
+        with pytest.raises(Py4JJavaError, match="banding"):
+            D.incremental_neardup(
+                b2, "text", "id", index_sig=banded, bands=wrong_bands
+            )
+    legacy = banded.drop("num_bands")  # pre-metadata persisted index
+    with pytest.raises(Py4JJavaError, match="banding"):
+        D.incremental_neardup(
+            b2, "text", "id", index_sig=legacy, bands=4
+        )  # index band_id reaches 7 >= 4
+    # matched parameters still work on both layouts
+    s, _ = D.incremental_neardup(b2, "text", "id", index_sig=legacy)
+    assert {r["id"] for r in s.collect()} == {2}
+
+
+def test_incremental_with_delta_matches_index_growth(spark):
+    """with_delta returns exactly the survivors' index contribution, in
+    the index's layout, without re-deriving anything."""
+    b1 = _inc_corpus(spark, [(1, DOC_A), (2, DOC_B)])
+    _, idx1, d1 = D.incremental_neardup(b1, "text", "id", with_delta=True)
+    assert {r["id"] for r in d1.select("id").collect()} == {1, 2}
+    banded1 = D.band_signatures(idx1, "id", 32, 8)
+    b2 = _inc_corpus(spark, [(11, DOC_A2), (12, DOC_C)])
+    s2, idx2, d2 = D.incremental_neardup(
+        b2, "text", "id", index_sig=banded1, with_delta=True
+    )
+    # 11 ~ history doc 1 -> dropped; delta carries only survivor 12,
+    # banded like the index
+    assert {r["id"] for r in s2.collect()} == {12}
+    assert "band_hash" in d2.columns
+    assert {r["id"] for r in d2.select("id").distinct().collect()} == {12}
+    # updated index == old index + delta, row-for-row
+    assert idx2.count() == banded1.count() + d2.count()

@@ -218,3 +218,54 @@ def percentile_gate(
         .where(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols=("source", "lang"),
+) -> DataFrame:
+    """One-pass data card: the per-slice corpus statistics every dataset
+    release publishes (and every curation run eyeballs before/after each
+    gate).  Per group: document/token counts, token-length mean and
+    exact p50/p90, mean quality score, and the exact-duplicate fraction
+    (1 − distinct normalized fingerprints / docs — the X1 definition).
+
+    ONE groupBy over one map-side projection: counts/sums/percentiles and
+    the distinct-fingerprint count all aggregate in the same shuffle
+    (count_distinct plans as a two-phase partial-distinct aggregate, no
+    extra pass over the corpus).  Sorted by group for deterministic
+    display; NULL group keys report as their own slice (groupBy keeps
+    them — the percentile_gate lesson).
+
+    At 100 TB this is exactly one corpus scan; swap ``F.percentile`` for
+    ``F.percentile_approx`` if exact per-group sort-based percentiles
+    ever dominate (they are per-group, not global, so group cardinality
+    bounds the state).
+    """
+    from r_e_hive__spark.functions.text import fingerprint, n_tokens, quality_score
+
+    gcols = list(group_cols)
+    prepared = df.select(
+        *gcols,
+        n_tokens(F.col(text_col)).alias("_nt"),
+        quality_score(F.col(text_col)).alias("_q"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    return (
+        prepared.groupBy(*gcols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+            F.percentile("_nt", 0.5).alias("p50_tokens"),
+            F.percentile("_nt", 0.9).alias("p90_tokens"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.col("_fp")) / F.count("*")
+            ).alias("dup_fraction"),
+        )
+        .orderBy(*gcols)
+    )

@@ -469,3 +469,82 @@ def test_percentile_gate_strategy_validated_before_noop(spark):
     df = spark.createDataFrame([(1, 0.5)], "id INT, score DOUBLE")
     with pytest.raises(ValueError, match="unknown strategy"):
         percentile_gate(df, "score", 1.0, strategy="aprox")
+
+
+# -------------------------------------------------------------- corpus report
+
+
+def test_corpus_report_matches_python_aggregation(spark):
+    """Data-card aggregation differential: per-doc columns come from the
+    SAME text functions the declared x5 query oracle-pins; the report's
+    aggregation logic is replayed in pure Python over them."""
+    import math
+
+    from r_e_hive__spark.functions.text import fingerprint, n_tokens, quality_score
+    from r_e_hive__spark.operators.quality import corpus_report
+
+    from r_e_hive__spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        n_tokens(F.col("text")).alias("nt"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    groups = {}
+    for r in per_doc:
+        groups.setdefault((r["source"], r["lang"]), []).append(r)
+
+    def pct(sorted_vals, p):
+        # Spark F.percentile: exact interpolated (1-based rank arithmetic)
+        n = len(sorted_vals)
+        pos = (n - 1) * p
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        frac = pos - lo
+        return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+    got = {
+        (r["source"], r["lang"]): r
+        for r in corpus_report(docs, "text", "doc_id").collect()
+    }
+    assert set(got) == set(groups)
+    for key, members in groups.items():
+        g = got[key]
+        nts = sorted(m["nt"] for m in members)
+        assert g["n_docs"] == len(members)
+        assert g["n_tokens"] == sum(nts)
+        assert g["avg_tokens"] == pytest.approx(
+            round(sum(nts) / len(nts), 4), abs=1e-9
+        )
+        assert g["p50_tokens"] == pytest.approx(pct(nts, 0.5), abs=1e-9)
+        assert g["p90_tokens"] == pytest.approx(pct(nts, 0.9), abs=1e-9)
+        assert g["avg_quality"] == pytest.approx(
+            round(sum(m["q"] for m in members) / len(members), 4), abs=2e-4
+        )
+        dup = 1.0 - len({m["fp"] for m in members}) / len(members)
+        assert g["dup_fraction"] == pytest.approx(dup, abs=1e-9)
+    # (dup_fraction > 0 cases are pinned by the null-slice test below —
+    # the smoke corpus's exact dups happen to span slices, not share one)
+
+
+def test_corpus_report_null_group_slice(spark):
+    from r_e_hive__spark.operators.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "src", None, "hello world abc"),
+            (2, "src", "en", "the quick brown fox"),
+            (3, "src", "en", "the quick brown fox"),
+        ],
+        "doc_id INT, source STRING, lang STRING, text STRING",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in corpus_report(df, "text", "doc_id").collect()
+    }
+    assert ("src", None) in rows  # NULL lang is its own slice
+    assert rows[("src", "en")]["n_docs"] == 2
+    assert rows[("src", "en")]["dup_fraction"] == pytest.approx(0.5)

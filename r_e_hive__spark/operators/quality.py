@@ -262,10 +262,15 @@ def corpus_report(
             F.percentile("_nt", 0.5).alias("p50_tokens"),
             F.percentile("_nt", 0.9).alias("p90_tokens"),
             F.round(F.avg("_q"), 4).alias("avg_quality"),
-            (
-                F.lit(1.0)
-                - F.count_distinct(F.col("_fp")) / F.count("*")
-            ).alias("dup_fraction"),
+            # dup fraction among FINGERPRINTABLE docs: count_distinct
+            # skips NULL fingerprints (NULL text), so dividing by count(*)
+            # would report an all-NULL-text slice as 100% duplicates
+            F.when(
+                F.count("_fp") > 0,
+                F.lit(1.0) - F.count_distinct(F.col("_fp")) / F.count("_fp"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
         )
         .orderBy(*gcols)
     )

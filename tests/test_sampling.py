@@ -548,3 +548,29 @@ def test_corpus_report_null_group_slice(spark):
     assert ("src", None) in rows  # NULL lang is its own slice
     assert rows[("src", "en")]["n_docs"] == 2
     assert rows[("src", "en")]["dup_fraction"] == pytest.approx(0.5)
+
+
+def test_corpus_report_null_text_dup_accounting(spark):
+    """NULL-text docs have no fingerprint: they must not inflate (or
+    denominate) the duplicate fraction — an all-NULL slice is 0% dups,
+    not 100%."""
+    from r_e_hive__spark.operators.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "s", "xx", None),
+            (2, "s", "xx", None),
+            (3, "s", "en", "same text"),
+            (4, "s", "en", "same text"),
+            (5, "s", "en", None),
+        ],
+        "doc_id INT, source STRING, lang STRING, text STRING",
+    )
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in corpus_report(df, "text", "doc_id").collect()
+    }
+    assert rows[("s", "xx")]["dup_fraction"] == 0.0
+    # en: 2 fingerprintable docs, 1 distinct -> 0.5; the NULL doc ignored
+    assert rows[("s", "en")]["dup_fraction"] == pytest.approx(0.5)
+    assert rows[("s", "en")]["n_docs"] == 3

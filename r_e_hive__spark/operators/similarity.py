@@ -222,6 +222,83 @@ def kmeans_centroids(
     return out
 
 
+def train_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    n_iter: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+    init: list[list[float]] | None = None,
+    sample_limit: int = 2048,
+) -> tuple[list[list[float]], int]:
+    """Distributed spherical-k-means refinement over the FULL dataset
+    (Lloyd's iterations) — the training step behind every "learned"
+    quantizer here (`ivf_kmeans_topk`, `semantic_dedup`).
+
+    `kmeans_centroids` fits on a driver-capped sample — the standard
+    warm start, but the model never sees data beyond the cap.  This
+    refines those centroids against *all* vectors, the way corpus-scale
+    quantizers are actually trained: per iteration, assignment is a
+    map-only pass (centroids travel as literal expressions — the
+    broadcast-parameters pattern), and the update is ONE
+    map-side-combined ``groupBy(bucket)`` producing k×(dim+1) numbers.
+    Per-iteration cost at 100 TB: one corpus scan + a k-row shuffle;
+    nothing driver-side ever holds more than the k×dim parameters.
+
+    Spherical variant (Dhillon & Modha 2001): assignment by max dot
+    against unit centroids == cosine, matching `assign_centroid`'s
+    ranking everywhere downstream; updates re-normalize the mean.  An
+    emptied cluster keeps its previous centroid (documented standard
+    fallback).  Stops early when every centroid moves < ``tol`` (L2).
+
+    Returns ``(centroids, iterations_run)`` — unit-normalized, same
+    shape `ivf_kmeans_topk(..., centroids=...)` accepts.  Determinism:
+    same init + same data ⇒ same assignments; double-precision sums
+    commute up to ~1e-12 relative under re-partitioning (ranking ties at
+    that scale are the same caveat every float reduction here carries).
+    """
+    import math
+
+    if init is None:
+        init = kmeans_centroids(
+            df, vec_col, id_col, n_clusters=n_clusters, seed=seed,
+            sample_limit=sample_limit,
+        )
+    centroids = [list(map(float, c)) for c in init]
+    dim = len(centroids[0])
+    vec = F.col(vec_col)
+    dims = [
+        F.sum(vec.getItem(i).cast("double")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    it = 0
+    for it in range(1, n_iter + 1):
+        assigned = df.select(
+            assign_centroid(vec, centroids).alias("_b"), vec.alias(vec_col)
+        )
+        stats = (
+            assigned.groupBy("_b")
+            .agg(F.count("*").alias("_n"), *dims)
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cluster -> keep old
+        for r in stats:
+            mean = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in mean))
+            if nrm > 0:
+                nxt[r["_b"]] = [x / nrm for x in mean]
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(c0, c1)))
+            for c0, c1 in zip(centroids, nxt)
+        )
+        centroids = nxt
+        if shift < tol:
+            break
+    return centroids, it
+
+
 def _centroid_scores(
     vec: Column, centroids: list[list[float]], exact: bool = False
 ) -> Column:

@@ -1,0 +1,128 @@
+"""X29: distributed Lloyd's (spherical k-means) trainer — numpy reference
+differential + contract pins (`operators/similarity.train_kmeans`)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.operators import similarity as S
+
+
+def _cluster_data(n_per=40, dim=8, seed=7):
+    """Three well-separated unit-ish clusters (deterministic)."""
+    rng = random.Random(seed)
+    anchors = [
+        [1.0] + [0.0] * (dim - 1),
+        [0.0, 1.0] + [0.0] * (dim - 2),
+        [0.0, 0.0, 1.0] + [0.0] * (dim - 3),
+    ]
+    rows = []
+    i = 0
+    for a in anchors:
+        for _ in range(n_per):
+            v = [x + rng.uniform(-0.05, 0.05) for x in a]
+            rows.append((i, v))
+            i += 1
+    return rows
+
+
+def _np_spherical_kmeans(X, init, n_iter, tol):
+    """Independent reference.  Tie-break on assignment = LARGER centroid
+    index (matching assign_centroid's struct-max semantics)."""
+    C = np.array(init, dtype=np.float64)
+    it = 0
+    for it in range(1, n_iter + 1):
+        scores = X @ C.T  # (n, k)
+        # argmax with ties -> larger idx: reverse, argmax, map back
+        b = (C.shape[0] - 1) - np.argmax(scores[:, ::-1], axis=1)
+        nxt = C.copy()
+        for j in range(C.shape[0]):
+            pts = X[b == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    nxt[j] = m / n
+        shift = float(np.max(np.linalg.norm(C - nxt, axis=1)))
+        C = nxt
+        if shift < tol:
+            break
+    return C, it
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        _cluster_data(), "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+
+
+def test_matches_numpy_reference(spark, vecs):
+    # deliberately bad init: all three in the same octant corner
+    init = [
+        [1.0, 1.0, 0.0, 0, 0, 0, 0, 0],
+        [1.0, 0.0, 1.0, 0, 0, 0, 0, 0],
+        [0.0, 1.0, 1.0, 0, 0, 0, 0, 0],
+    ]
+    init = [[x / math.sqrt(2.0) for x in c] for c in init]
+    got, it_got = S.train_kmeans(
+        vecs, "embedding", "vec_id", init=init, n_iter=8, tol=1e-9
+    )
+    X = np.array([v for _, v in _cluster_data()], dtype=np.float64)
+    want, it_want = _np_spherical_kmeans(X, init, n_iter=8, tol=1e-9)
+    assert it_got == it_want
+    assert np.allclose(np.array(got), want, atol=1e-9)
+
+
+def test_converges_and_recovers_clusters(spark, vecs):
+    init = [
+        [1.0] + [0.0] * 7,
+        [0.0, 1.0] + [0.0] * 6,
+        [0.0, 0.0, 1.0] + [0.0] * 5,
+    ]
+    cents, it = S.train_kmeans(
+        vecs, "embedding", "vec_id", init=init, n_iter=20, tol=1e-12
+    )
+    assert it < 20  # early convergence, not the cap
+    # each learned centroid stays dominated by its anchor axis
+    for j, c in enumerate(cents):
+        assert max(range(8), key=lambda d: c[d]) == j
+        assert sum(x * x for x in c) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark, vecs):
+    # negative on EVERY dim: its dot with any data point is ~ -0.35,
+    # strictly below whatever the best axis centroid offers -> wins nothing
+    far = [-1.0 / math.sqrt(8.0)] * 8
+    init = [
+        [1.0] + [0.0] * 7,
+        [0.0, 1.0] + [0.0] * 6,
+        far,
+    ]
+    cents, _ = S.train_kmeans(
+        vecs, "embedding", "vec_id", init=init, n_iter=3, tol=1e-12
+    )
+    assert cents[2] == pytest.approx(far, abs=0.0)
+
+
+def test_sample_init_then_full_refinement(spark, vecs):
+    """End-to-end: warm start from the capped-sample fitter, refine on all
+    data, feed the result to IVF — full-probe IVF must equal brute force."""
+    cents, _ = S.train_kmeans(
+        vecs, "embedding", "vec_id", n_clusters=3, n_iter=5, sample_limit=30
+    )
+    queries = vecs.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = S.ivf_kmeans_topk(
+        queries, vecs, k=3, n_clusters=3, n_probe=3, centroids=cents
+    )
+    bf = S.brute_force_topk(queries, vecs, k=3)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in ivf.collect()}
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in bf.collect()}
+    assert got == want

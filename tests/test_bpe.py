@@ -1,0 +1,143 @@
+"""X30: BPE tokenizer — hand-computed merge pins, driver≡distributed
+strategy differential, encode-replay property, losslessness."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.functions.text import SUBWORD_RE
+from r_e_hive__spark.operators import bpe as B
+
+# Sennrich-style classic: low×5 lower×2 newest×6 widest×3 (one word per
+# row so pieces carry no leading space and stay hand-computable)
+CLASSIC = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+# hand-derived (tie-breaks lexicographic asc on equal counts):
+CLASSIC_MERGES = [
+    ("e", "s"),
+    ("es", "t"),
+    ("l", "o"),
+    ("lo", "w"),
+    ("e", "w"),
+]
+
+
+@pytest.fixture(scope="module")
+def classic_df(spark):
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(CLASSIC)], "doc_id INT, text STRING"
+    )
+
+
+def test_hand_merges_driver(spark, classic_df):
+    got = B.train_bpe(classic_df, "text", num_merges=5, strategy="driver")
+    assert got == CLASSIC_MERGES
+
+
+def test_distributed_equals_driver_classic(spark, classic_df):
+    got = B.train_bpe(
+        classic_df, "text", num_merges=5, strategy="distributed"
+    )
+    assert got == CLASSIC_MERGES
+
+
+def test_distributed_equals_driver_randomized(spark):
+    rng = random.Random(1234)
+    syll = ["lo", "wer", "new", "est", "wi", "de", "st", "ing", "re", "un"]
+    docs = [
+        (i, " ".join(
+            "".join(rng.choice(syll) for _ in range(rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 6))
+        ))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    d = B.train_bpe(df, "text", num_merges=12, strategy="driver")
+    x = B.train_bpe(df, "text", num_merges=12, strategy="distributed")
+    assert d == x
+    assert len(d) == 12
+
+
+def test_merges_exhaust_early(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id INT, text STRING")
+    got = B.train_bpe(df, "text", num_merges=10, strategy="driver")
+    # "ab" and " ab": (a,b)=2 wins, then ( ,ab)=1, then nothing
+    assert got == [("a", "b"), (" ", "ab")]
+
+
+def test_encode_piece_classic():
+    ranks = {p: i for i, p in enumerate(CLASSIC_MERGES)}
+    assert B.encode_piece("lowest", ranks) == ["low", "est"]
+    assert B.encode_piece("low", ranks) == ["low"]
+    assert B.encode_piece("newest", ranks) == ["n", "ew", "est"]
+    assert B.encode_piece("xyz", ranks) == ["x", "y", "z"]  # all-OOV pairs
+    assert B.encode_piece("", ranks) == []
+
+
+def test_encode_replays_training_segmentation(spark, classic_df):
+    """Property: encoding a training piece with the merge ranks equals
+    applying the merge list sequentially (the training end-state) — the
+    two different algorithms must agree on every training word."""
+    merges = B.train_bpe(classic_df, "text", num_merges=5, strategy="driver")
+    ranks = {p: i for i, p in enumerate(merges)}
+    for piece in set(CLASSIC):
+        seq = tuple(piece)
+        for m in merges:
+            seq = B._merge_word(seq, m)
+        assert B.encode_piece(piece, ranks) == list(seq), piece
+    # overlap semantics: greedy left-to-right, no re-merge within a pass
+    assert B._merge_word(tuple("aaa"), ("a", "a")) == ("aa", "a")
+
+
+def test_bpe_encode_dataframe_lossless(spark, classic_df):
+    import re
+
+    merges = B.train_bpe(classic_df, "text", num_merges=5)
+    docs = spark.createDataFrame(
+        [
+            (1, "the lowest newest widest thing"),
+            (2, "low low lower"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in B.bpe_encode(docs, "text", merges).collect()
+    }
+    pat = re.compile(SUBWORD_RE)
+    for i, text in [(1, "the lowest newest widest thing"), (2, "low low lower"), (4, "")]:
+        toks = rows[i]["bpe_tokens"]
+        assert "".join(toks) == "".join(pat.findall(text))
+        assert all(t for t in toks)
+    assert rows[3]["bpe_tokens"] is None
+    # merges actually compress: fewer tokens than characters
+    assert len(rows[2]["bpe_tokens"]) < len("low low lower".replace(" ", "X"))
+
+
+def test_real_corpus_token_budget(spark):
+    """Smoke on the real documents table: a trained tokenizer's token
+    count lands between merges-exhausted (= piece count) and char count,
+    and strictly improves on the unmerged pre-token char budget."""
+    from r_e_hive__spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    merges = B.train_bpe(docs, "text", num_merges=40, strategy="driver")
+    assert len(merges) == 40
+    out = B.bpe_encode(docs, "text", merges).select(
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.size(F.regexp_extract_all("text", F.lit(SUBWORD_RE), 0)).alias(
+            "n_pieces"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+    agg = out.agg(
+        F.sum("n_bpe").alias("b"),
+        F.sum("n_pieces").alias("p"),
+        F.sum("n_chars").alias("c"),
+    ).head()
+    assert agg["p"] <= agg["b"] <= agg["c"]

@@ -108,6 +108,14 @@ RETIRED: dict[str, Query] = {}
 #   rehive_company_profits   -> rehive_redemption_ledger (same floored
 #       GREATEST(0, ...) profit arithmetic inside the same fixture
 #       pipeline; A4), f_scalar_suite (F3)
+#
+# Round-5 third wave (making room for X28 LM perplexity):
+#
+#   x2_simhash_neardup       -> x2_minhash_lsh_neardup + x2_ngram_jaccard
+#       _topk (X2 near-dup, both FULL differentials vs the simhash
+#       query's weaker golden-VALUES pin), x4_lsh_neighbor_pairs (the
+#       same sign-fingerprint banding construction over vectors).  The
+#       golden oracle still runs at sf0.01 via test_retired_queries.py.
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators import dedup as D
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 # DuckDB shingle CTE: distinct word-3-shingles per doc
@@ -158,7 +158,7 @@ _SIMHASH_GOLDEN_SQL = (
 )
 
 
-@query(
+@retired_query(
     "x2_simhash_neardup",
     _SIMHASH_GOLDEN_SQL,
     survey_rows=("X2",),

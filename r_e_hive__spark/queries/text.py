@@ -308,3 +308,88 @@ def x23_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_BM25_TOPK)
     )
+
+
+_LM_ADD_K, _LM_MIN_COUNT = 0.5, 2
+
+
+@query(
+    "x28_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                    '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id,
+               CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS w1,
+               tk[i] AS w2
+        FROM toks, UNNEST(generate_series(1, len(tk))) AS g(i)
+    ),
+    raw AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+    uni AS (SELECT w2 AS term, sum(c) AS cnt FROM raw GROUP BY 1),
+    vocab AS (SELECT term FROM uni WHERE cnt >= {_LM_MIN_COUNT}),
+    folded AS (
+        SELECT CASE WHEN w1 = '<s>' THEN w1
+                    WHEN w1 IN (SELECT term FROM vocab) THEN w1
+                    ELSE '<unk>' END AS w1,
+               CASE WHEN w2 IN (SELECT term FROM vocab) THEN w2
+                    ELSE '<unk>' END AS w2,
+               c
+        FROM raw
+    ),
+    big AS (SELECT w1, w2, sum(c) AS cnt FROM folded GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(cnt) AS ctx_cnt FROM big GROUP BY 1),
+    v AS (SELECT count(*) + 1 AS v FROM vocab),
+    spairs AS (
+        SELECT doc_id,
+               CASE WHEN w1 = '<s>' THEN w1
+                    WHEN w1 IN (SELECT term FROM vocab) THEN w1
+                    ELSE '<unk>' END AS w1,
+               CASE WHEN w2 IN (SELECT term FROM vocab) THEN w2
+                    ELSE '<unk>' END AS w2
+        FROM pairs
+    ),
+    scored AS (
+        SELECT doc_id,
+               ln((coalesce(b.cnt, 0) + {_LM_ADD_K})
+                  / (coalesce(ctx.ctx_cnt, 0) + {_LM_ADD_K} * v.v)) AS lp
+        FROM spairs
+        LEFT JOIN big b USING (w1, w2)
+        LEFT JOIN ctx USING (w1)
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           ROUND(avg(lp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_rows=("X28",),
+)
+def x28_perplexity(spark, sf_dir):
+    """X28 — CCNet-style LM quality scoring (operators/lm.py): an add-k
+    bigram LM trained IN-ENGINE on the documents corpus, then every
+    document scored with its per-token average log-probability (ppl =
+    exp(-avg_logp) is a bijection of it — the rounded avg_logp is the
+    stable cross-engine value).  The oracle replays the ENTIRE
+    construction — tokenizer class, BOS prefix, min_count vocabulary,
+    UNK folding, add-k formula — in DuckDB SQL over the same parquet;
+    avg_logp rounded to 6 dp on both sides (the x23 libm discipline).
+    Training + scoring is one lazy composition over ONE materialized
+    corpus pass (train_ngram_lm's localCheckpoint)."""
+    from r_e_hive__spark.operators import lm as L
+
+    (documents,) = T(spark, sf_dir, "documents")
+    model = L.train_ngram_lm(
+        documents, "text", min_count=_LM_MIN_COUNT, add_k=_LM_ADD_K
+    )
+    return (
+        L.score_perplexity(documents, model, "text", "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_logp", 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

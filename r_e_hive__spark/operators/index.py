@@ -1,0 +1,207 @@
+"""File-level Bloom-filter index: hash-based data skipping for point
+lookups (X31).
+
+The 100 TB problem this solves: z-order/min-max skipping (X13,
+``operators.layout``) prunes row groups only when the predicate column is
+one the layout was clustered on — a point lookup on any OTHER
+high-cardinality column (``o_custkey`` on an ``o_orderdate``-clustered
+orders table, a doc_id on a source-clustered corpus) still scans every
+file, because every file's min/max spans the whole domain.  A per-file
+Bloom filter answers "might this file contain value v?" with no false
+negatives, so the lookup reads only the files that actually hold v plus
+an fpp-bounded handful of false positives.  This is the construction
+behind Delta's bloom-filter index and parquet's own column bloom filters
+(which pyspark's writer does not expose); here the index is an ordinary
+parquet sidecar table the engine builds and probes itself.
+
+Build is one scan: k positions per row as ``pmod(xxhash64(col, i), m)``
+expressions (JVM-side, whole-stage codegen), packed into 64-bit words by
+a map-side-combined ``bit_or`` — the shuffle carries at most
+``m/64`` words per file, not one row per value.  Probe hashes the lookup
+value THROUGH THE SAME Spark expressions (a one-row job — computing
+xxhash64 in Python would re-implement the JVM hash and silently drift),
+keeps the files whose bitmap has all k bits set, and hands the pruned
+file list to an ordinary parquet read, where the equality predicate
+still pushes down to row-group stats inside each kept file.
+
+Sizing uses the classic formulas per file (n = max rows in any data
+file, from footers only): m = ceil(-n ln fpp / ln^2 2), k = round(m/n
+ln 2).  Rows are an upper bound on per-file distincts, so real fpp is at
+most the target.  NULLs are not indexed — an equality probe can never
+select them (``col = NULL`` is never true), and hashing them would pile
+every null onto one word (Spark's multi-arg xxhash64 skips null inputs —
+the ``operators.reconcile`` lesson).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# hard floor keeps tiny tables from degenerate m (and the probe cheap);
+# ceiling caps k at parquet-bloom-typical depth.
+_MIN_ITEMS = 1024
+_MAX_K = 8
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    n = max(int(n_items), _MIN_ITEMS)
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    k = min(_MAX_K, max(1, round(m / n * math.log(2))))
+    return m, k
+
+
+def _max_file_rows(table_path: str) -> int:
+    """Largest row count of any data file under ``table_path`` — footers
+    only, no data scan (the ``layout.rowgroup_stats`` discipline)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(table_path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(table_path)
+        else [table_path]
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {table_path}")
+    return max(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _positions(col, m: int, k: int) -> list:
+    # seed index as a hashed input (not xxhash64's fixed seed): k
+    # independent-enough hash lanes from one primitive.
+    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    *,
+    fpp: float = 0.01,
+    out_path: str | None = None,
+) -> DataFrame:
+    """Build the per-file Bloom bitmap table for ``col``.
+
+    Returns (and, with ``out_path``, persists) one row per data file:
+    ``(file, words: map<int, long>, m, k, col)`` — ``words`` maps word
+    index to a 64-bit lane of the bitmap; absent word = all zeros, so
+    index size tracks bits actually set, not m.  ``m``/``k``/``col`` ride
+    on every row to make the sidecar self-describing (no separate meta
+    file to lose).
+    """
+    df = spark.read.parquet(table_path)
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in table at {table_path}")
+    m, k = _bloom_params(_max_file_rows(table_path), fpp)
+
+    pos = F.explode(F.array(*_positions(F.col(col), m, k))).alias("_pos")
+    bits = (
+        df.where(F.col(col).isNotNull())
+        .select(F.input_file_name().alias("file"), pos)
+        .select(
+            "file",
+            F.expr("cast(_pos div 64 as int)").alias("word"),
+            # pyspark's shiftleft wrapper takes a Python-int shift; the SQL
+            # form accepts a column shift.
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("mask"),
+        )
+        # map-side combine collapses k*rows down to <= m/64 words per
+        # (file, word) before the shuffle — the aggregate, not the data,
+        # crosses the wire.
+        .groupBy("file", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("mask")))
+            ).alias("words")
+        )
+        .select(
+            "file",
+            "words",
+            F.lit(m).alias("m"),
+            F.lit(k).alias("k"),
+            F.lit(col).alias("col"),
+        )
+    )
+    if out_path is not None:
+        bits.write.mode("overwrite").parquet(out_path)
+        return spark.read.parquet(out_path)
+    return bits
+
+
+def probe_positions(spark: SparkSession, table_path: str, col: str, value, m: int, k: int) -> list[int]:
+    """The k bit positions ``value`` hashes to — computed by the SAME
+    Spark expressions the build used, on a one-row frame (a deliberate
+    tiny driver job: re-implementing xxhash64 in Python would drift).
+    The literal is cast to the table column's type first; hashing
+    ``lit(5)`` as int vs the column's bigint gives different bits.
+    """
+    dtype = spark.read.parquet(table_path).schema[col].dataType
+    probe = F.lit(value).cast(dtype)
+    row = spark.range(1).select(*_positions(probe, m, k)).first()
+    return [int(v) for v in row]
+
+
+def bloom_prune(index: DataFrame, positions: list[int]) -> DataFrame:
+    """Index rows whose bitmap has every probed bit set — the files a
+    lookup must still read.  No false negatives by Bloom construction."""
+    cond = F.lit(True)
+    for p in positions:
+        word, bit = p // 64, p % 64
+        lane = F.coalesce(F.element_at(F.col("words"), F.lit(word)), F.lit(0))
+        cond = cond & (
+            lane.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), bit)) != 0
+        )
+    return index.where(cond)
+
+
+def bloom_lookup(
+    spark: SparkSession,
+    table_path: str,
+    index: DataFrame,
+    col: str,
+    value,
+) -> DataFrame:
+    """Point lookup ``col = value`` reading only Bloom-surviving files.
+
+    The kept-file list is collected driver-side — it is O(#files), the
+    same scale as the file listing every parquet read already does, not
+    O(rows).  Equality still pushes down into each kept file's row-group
+    stats, so skipping composes: Bloom drops files, min/max drops row
+    groups inside the survivors.
+    """
+    if value is None:
+        raise ValueError("bloom_lookup probes equality; col = NULL is never true")
+    meta = index.select("m", "k", "col").first()
+    if meta is None:
+        return spark.read.parquet(table_path).where(F.col(col) == F.lit(value)).limit(0)
+    if meta["col"] != col:
+        raise ValueError(f"index is over {meta['col']!r}, probe is on {col!r}")
+    pos = probe_positions(spark, table_path, col, value, int(meta["m"]), int(meta["k"]))
+    kept = [r["file"] for r in bloom_prune(index, pos).select("file").collect()]
+    base = spark.read.parquet(table_path)
+    if not kept:
+        return base.where(F.col(col) == F.lit(value)).limit(0)
+    return (
+        spark.read.schema(base.schema)
+        .parquet(*kept)
+        .where(F.col(col) == F.lit(value))
+    )
+
+
+def bloom_skip_fraction(index: DataFrame, positions: list[int]) -> float:
+    """Fraction of data files the probe skips (1.0 = read nothing) — the
+    figure of merit the tests and BASELINE.md pin, mirroring
+    ``layout.rowgroup_skip_fraction``."""
+    total = index.count()
+    if total == 0:
+        return 0.0
+    return 1.0 - bloom_prune(index, positions).count() / total

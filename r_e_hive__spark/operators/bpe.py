@@ -152,8 +152,12 @@ def _fold_merge(syms, left: str, right: str):
 
 
 def _train_distributed(hist: DataFrame, num_merges: int) -> list[tuple[str, str]]:
-    # split("") emits chars (zero-width-match semantics vary across Java
-    # versions on the edges — drop any empty artifacts defensively)
+    # split("") emits CODE POINTS on this JVM (a surrogate pair stays one
+    # symbol — pinned by tests/test_bpe.py non-BMP differential), matching
+    # the driver trainer's tuple(piece); UTF8 byte order == code-point
+    # order keeps the tie-breaks aligned too.  Zero-width-match semantics
+    # vary across Java versions on the edges — drop empty artifacts
+    # defensively.
     words = hist.select(
         F.filter(
             F.split(F.col("piece"), ""), lambda s: s != ""

@@ -782,6 +782,19 @@ def incremental_neardup(
             # admits every near-dup of history (second-review finding).
             # num_bands is carried by band_signatures' layout; band_id is
             # checked too for indexes persisted before the column existed.
+            # A legacy index (no num_bands column) built with FEWER bands
+            # than this call passes both in-plan checks yet matches almost
+            # nothing — the silent-admit failure the guard exists for
+            # (round-5 ADVICE).  For that layout only, pay one
+            # column-pruned max(band_id) agg up front and fail loudly.
+            if "num_bands" not in index_sig.columns:
+                mx = index_sig.agg(F.max("band_id").alias("m")).first()["m"]
+                if mx is not None and mx != bands - 1:
+                    raise ValueError(
+                        "incremental_neardup: legacy banded index has "
+                        f"max band_id={mx} but this call uses bands={bands}"
+                        " — rebuild the index or pass the original bands"
+                    )
             banded_idx = index_sig.where(
                 F.assert_true(
                     (F.size("signature") == num_hashes)

@@ -90,6 +90,12 @@ def delete_where(
     hit = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if extra_predicate is not None:
         hit = hit & extra_predicate
+    # SQL DELETE semantics: a NULL predicate means "not deleted".  The
+    # keep-side filter must therefore be NOT coalesce(hit, false) — a bare
+    # ~hit is NULL for NULL-predicate rows and where() drops them from the
+    # rewrite, silently losing data beyond the requested delete (round-5
+    # ADVICE, high).  The deleted count likewise counts only hit IS TRUE.
+    hit = F.coalesce(hit, F.lit(False))
     src = spark.read.parquet(*touched)
     n_del = src.where(hit).count()
     if n_del == 0:

@@ -261,6 +261,10 @@ def train_kmeans(
     """
     import math
 
+    # NULL embeddings would assign to a NULL bucket with NULL dimension
+    # sums and crash the update (round-5 ADVICE) — drop them up front,
+    # matching the numpy top-k paths' explicit NULL-vector filter.
+    df = df.where(F.col(vec_col).isNotNull())
     if init is None:
         init = kmeans_centroids(
             df, vec_col, id_col, n_clusters=n_clusters, seed=seed,
@@ -285,6 +289,8 @@ def train_kmeans(
         )
         nxt = [list(c) for c in centroids]  # empty cluster -> keep old
         for r in stats:
+            if r["_b"] is None or r["_n"] == 0:
+                continue
             mean = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
             nrm = math.sqrt(sum(x * x for x in mean))
             if nrm > 0:
@@ -1008,6 +1014,7 @@ def quantized_topk(
     rerank: bool = True,
     strategy: str = "numpy",
     candidate_codes: DataFrame | None = None,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Cosine top-k over int8-quantized candidates, optionally re-ranked
     exactly: the standard two-stage ANN shape (coarse int8 scan →
@@ -1036,6 +1043,8 @@ def quantized_topk(
     """
     if shortlist_mult < 1:
         raise ValueError(f"shortlist_mult must be >= 1, got {shortlist_mult}")
+    if exact_decimal and strategy != "expr":
+        raise ValueError("exact_decimal requires strategy='expr'")
     qq = quantize_embeddings(queries, vec_col).select(
         query_id, F.col("q_codes").alias("_qc")
     )
@@ -1071,13 +1080,17 @@ def quantized_topk(
     pairs = F.broadcast(approx.select(query_id, cand_id))
     cvec = candidates.select(cand_id, F.col(vec_col).alias("_cv"))
     qvec = F.broadcast(queries.select(query_id, F.col(vec_col).alias("_qv")))
+    # exact_decimal: decimal-exact rerank cosines (order-independent,
+    # hash-stable vs a SQL oracle) — the declared x25 query's mode; the
+    # production default keeps the double fast path.
+    _cos = V.cosine_exact if exact_decimal else V.cosine
     scored = (
         cvec.join(pairs, cand_id)
         .join(qvec, query_id)
         .select(
             query_id,
             cand_id,
-            F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(_cos(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
         )
     )
     return _finalize_topk(scored, query_id, cand_id, k)

@@ -116,6 +116,23 @@ RETIRED: dict[str, Query] = {}
 #       query's weaker golden-VALUES pin), x4_lsh_neighbor_pairs (the
 #       same sign-fingerprint banding construction over vectors).  The
 #       golden oracle still runs at sf0.01 via test_retired_queries.py.
+#
+# Round-6 rotation (VERDICT r5 items 1 and 5: driver-pin the temporal
+# family X10/X11/X12 and the quantized-ANN X25; all four newcomers are
+# FULL hash differentials):
+#
+#   s7_json_egress           -> p6_null_json_events (F10 JSON scalars);
+#       S7's to_json(struct(...)) egress keeps its oracle under
+#       test_retired_queries.py
+#   a1_user_balance          -> q1_pricing_summary + st6_running_state
+#       (A1 ledger sums), rehive_redemption_ledger (A1/A4 over the
+#       fixture pipeline); A5 sufficiency HAVING retains its oracle in
+#       pytest
+#   x9_decontaminate         -> x9_token_shards + x9_chunk_documents (X9),
+#       x2_ngram_jaccard_topk (the shared shingle machinery)
+#   x3_ivf_kmeans_topk       -> x25_quantized_topk (two-stage ANN with a
+#       coarse quantizer, full pipeline replay) + x3_cosine_topk (X3);
+#       the IVF differential still runs in pytest
 _MODULES = (
     "relational",
     "streaming_batch",
@@ -132,6 +149,7 @@ _MODULES = (
     "pii",
     "shards",
     "curation",
+    "temporal",
 )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from r_e_hive__spark.catalog import _ctx_id
 from r_e_hive__spark.functions import fixedpoint as fp
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 # ---------------------------------------------------------------------------
@@ -84,7 +84,7 @@ def q1_pricing_summary(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "a1_user_balance",
     """
     SELECT user_id,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 # ---------------------------------------------------------------------------
@@ -65,7 +65,7 @@ def s4_append_returning(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "s7_json_egress",
     """
     SELECT n_nationkey,

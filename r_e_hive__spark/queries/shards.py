@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from r_e_hive__spark.functions import text as TX
 from r_e_hive__spark.operators.dedup import contamination_hits
 from r_e_hive__spark.operators.packing import pack_shards
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 # Stratified sampling rule: deterministic systematic sample by doc_id
@@ -78,7 +78,7 @@ _BENCH_PRED = "doc_id % 97 = 0"
 _K = 5  # word-shingle width for overlap detection
 
 
-@query(
+@retired_query(
     "x9_decontaminate",
     f"""
     WITH toks AS (

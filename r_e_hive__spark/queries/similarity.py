@@ -114,7 +114,7 @@ def _ivf_kmeans_oracle() -> str:
     """
 
 
-@query(
+@retired_query(
     "x3_ivf_kmeans_topk",
     _ivf_kmeans_oracle(),
     survey_rows=("X3",),
@@ -148,6 +148,98 @@ def x3_ivf_kmeans_topk(spark, sf_dir):
         n_probe=2,
         exact_decimal=True,
         centroids=_IVF_CENTROIDS,
+    )
+
+
+def _quantized_oracle() -> str:
+    """Full differential oracle for x25: replays the ENTIRE two-stage
+    quantized-ANN pipeline in DuckDB — per-vector SQ8 quantization
+    (scale = max|v|/127, codes = round(v/scale)), INTEGER-code cosine
+    shortlist (code dots are sums of integers ≤ 2^53: exact in double in
+    ANY order; the sqrt/divide/round tail is IEEE-identical given equal
+    inputs), then the decimal-exact full-precision re-rank.  Operation
+    order mirrors operators/similarity.py exactly: den = SQRT(qn2*cn2)
+    (sqrt of product, as brute_force_topk's expr path), ROUND(..., 6)
+    before ranking, NULL cosines dropped before the window."""
+    code_dot = (
+        "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+    )
+    return f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS s
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CASE WHEN s > 0
+               THEN round(CAST(x AS DOUBLE)/s, 0) ELSE 0.0 END) AS c
+      FROM scaled
+    ),
+    normed AS (
+      SELECT vec_id, c, {code_dot.format(a='c', b='c')} AS n2 FROM codes
+    ),
+    approx AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             ROUND(CASE WHEN SQRT(q.n2 * e.n2) > 0
+               THEN {code_dot.format(a='q.c', b='e.c')} / SQRT(q.n2 * e.n2)
+             END, 6) AS qcos
+      FROM (SELECT * FROM normed WHERE vec_id < 4) q CROSS JOIN normed e
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, vec_id) AS rn
+        FROM approx WHERE qcos IS NOT NULL
+      ) WHERE rn <= 40
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id,
+             {_du_cosine('q.embedding', 'e.embedding')} AS cosine
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, rank, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM rerank WHERE cosine IS NOT NULL
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "x25_quantized_topk",
+    _quantized_oracle(),
+    survey_rows=("X25", "X3"),
+)
+def x25_quantized_topk(spark, sf_dir):
+    """Two-stage quantized ANN (operators/similarity.quantized_topk): int8
+    SQ8 coarse scan (per-vector scales cancel in cosine, so scoring is the
+    INTEGER cosine of the code arrays — 4× less IO at 100 TB) shortlists
+    4×k candidates per query; the full-precision decimal-exact re-rank
+    orders the final top-10.  The oracle replays quantization, integer
+    shortlist, and re-rank wholesale — differential, not a snapshot.
+    Recall vs exact brute force is pinned separately
+    (tests/test_quantization.py, recall@10 = 1.0 at mult=4)."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    queries_df = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.quantized_topk(
+        queries_df,
+        embeddings,
+        "query_id",
+        "vec_id",
+        "embedding",
+        k=10,
+        shortlist_mult=4,
+        rerank=True,
+        strategy="expr",
+        exact_decimal=True,
     )
 
 

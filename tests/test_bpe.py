@@ -60,6 +60,26 @@ def test_distributed_equals_driver_randomized(spark):
     assert len(d) == 12
 
 
+def test_distributed_equals_driver_non_bmp(spark):
+    """Astral (non-BMP) text: Spark's split(piece, '') is CODE-POINT
+    aware on this JVM (a surrogate pair stays one symbol — verified, not
+    assumed), so it matches the driver's tuple(piece) splitting; UTF8
+    byte comparison and Python str comparison agree on code-point order
+    for the tie-breaks.  Pins the driver≡distributed contract on emoji /
+    astral-char pieces (round-5 ADVICE questioned exactly this)."""
+    docs = [
+        (1, "\U0001F600\U0001F600x \U0001F600x"),
+        (2, "x\U0001F680 \U0001F680\U0001F600 a\U0001F600b"),
+        (3, "\U0001F600\U0001F600x a\U0001F600b a\U0001F600b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    d = B.train_bpe(df, "text", num_merges=6, strategy="driver")
+    x = B.train_bpe(df, "text", num_merges=6, strategy="distributed")
+    assert d == x
+    # the learned alphabet really contains whole astral code points
+    assert any("\U0001F600" in a + b for a, b in d)
+
+
 def test_merges_exhaust_early(spark):
     df = spark.createDataFrame([(1, "ab ab")], "doc_id INT, text STRING")
     got = B.train_bpe(df, "text", num_merges=10, strategy="driver")

@@ -616,13 +616,26 @@ def test_incremental_banded_index_bands_mismatch_raises(spark):
                 b2, "text", "id", index_sig=banded, bands=wrong_bands
             )
     legacy = banded.drop("num_bands")  # pre-metadata persisted index
-    with pytest.raises(Py4JJavaError, match="banding"):
+    with pytest.raises(ValueError, match="max band_id"):
         D.incremental_neardup(
             b2, "text", "id", index_sig=legacy, bands=4
-        )  # index band_id reaches 7 >= 4
+        )  # index band_id reaches 7 != 4-1
+    # legacy index built with FEWER bands than the call: band_id stays in
+    # range and signature length matches, so without the max(band_id)
+    # check it would silently match ~nothing and admit history near-dups
+    # (round-5 ADVICE) — must fail loudly instead
+    legacy_fewer = D.band_signatures(idx, "id", 32, 4).drop("num_bands")
+    with pytest.raises(ValueError, match="max band_id"):
+        D.incremental_neardup(
+            b2, "text", "id", index_sig=legacy_fewer, bands=8
+        )
     # matched parameters still work on both layouts
     s, _ = D.incremental_neardup(b2, "text", "id", index_sig=legacy)
     assert {r["id"] for r in s.collect()} == {2}
+    s4, _ = D.incremental_neardup(
+        b2, "text", "id", index_sig=legacy_fewer, bands=4
+    )
+    assert {r["id"] for r in s4.collect()} == {2}
 
 
 def test_incremental_with_delta_matches_index_growth(spark):

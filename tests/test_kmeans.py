@@ -62,6 +62,26 @@ def vecs(spark):
     )
 
 
+def test_null_vectors_ignored(spark, vecs):
+    """NULL embedding rows must not crash the Lloyd's loop (round-5
+    ADVICE: NULL bucket + NULL sums -> TypeError) and must not perturb
+    the trained centroids — same result as pre-filtered input."""
+    withnulls = vecs.unionByName(
+        spark.createDataFrame(
+            [(900, None), (901, None)], "vec_id INT, embedding ARRAY<DOUBLE>"
+        )
+    )
+    init = S.kmeans_centroids(vecs, n_clusters=3, seed=11, sample_limit=64)
+    c_clean, it_clean = S.train_kmeans(
+        vecs, n_clusters=3, n_iter=4, init=init
+    )
+    c_null, it_null = S.train_kmeans(
+        withnulls, n_clusters=3, n_iter=4, init=init
+    )
+    assert it_clean == it_null
+    assert c_clean == c_null
+
+
 def test_matches_numpy_reference(spark, vecs):
     # deliberately bad init: all three in the same octant corner
     init = [

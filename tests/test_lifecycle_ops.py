@@ -88,6 +88,32 @@ def test_delete_where_extra_predicate(spark, tmp_path):
     assert left.count() == ev.where(F.col("user_id") == lo).count() - n
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    NOT deleted.  A touched file's NULL-predicate rows must survive the
+    rewrite (round-5 ADVICE: bare ~hit was NULL there and dropped them),
+    both for a NULL in the range column and a NULL in extra_predicate."""
+    rows = [
+        (1, 10, -1.0),    # range col matches, extra false -> keep
+        (2, None, 2.0),   # NULL range col: hit is NULL -> keep
+        (3, 10, None),    # NULL extra-predicate col: hit is NULL -> keep
+        (4, 10, 5.0),     # true hit -> delete
+        (5, 99, 3.0),     # false hit -> keep
+    ]
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        rows, "event_id INT, user_id INT, value DOUBLE"
+    ).coalesce(1).write.parquet(d)
+    out = delete_where(
+        spark, d, "user_id", 10, extra_predicate=F.col("value") > 0
+    )
+    assert out["rows_deleted"] == 1
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(d).collect()
+    )
+    assert got == [1, 2, 3, 5]
+
+
 def test_compact_files_binpacks_and_is_idempotent(spark, tmp_path):
     ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
     d = str(tmp_path / "frag")

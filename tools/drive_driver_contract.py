@@ -101,34 +101,55 @@ def main() -> int:
             f"SPARK_GRAFT_SIM_ONLY names not in queries(): {sorted(unknown)}"
         )
     con = duck_con()
+
+    def run_one(name, fn):
+        run_sf, tag = SF_DIR, ""
+        g = golden.get(name)
+        if g and os.path.realpath(g) != os.path.realpath(SF_DIR):
+            run_sf, tag = g, f" [golden-pinned @ {g}]"
+        sdf = fn(spark, run_sf).toPandas()
+        if name not in oracles:
+            return f"{name}: rows-only ({len(sdf)} rows)"
+        odf = con.execute(oracles[name]).fetchdf()
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            raise AssertionError(f"schema mismatch {s_cols} vs {o_cols}")
+        if len(sdf) != len(odf):
+            raise AssertionError(f"rowcount {len(sdf)} vs {len(odf)}")
+        if norm(sdf) != norm(odf):
+            raise AssertionError("value hash mismatch")
+        return f"{name}: OK ({len(sdf)} rows){tag}"
+
     ok = fail = 0
+    transients: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            run_sf, tag = SF_DIR, ""
-            g = golden.get(name)
-            if g and os.path.realpath(g) != os.path.realpath(SF_DIR):
-                run_sf, tag = g, f" [golden-pinned @ {g}]"
-            sdf = fn(spark, run_sf).toPandas()
-            if name not in oracles:
-                print(f"{name}: rows-only ({len(sdf)} rows)")
-                ok += 1
-                continue
-            odf = con.execute(oracles[name]).fetchdf()
-            s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
-            if s_cols != o_cols:
-                raise AssertionError(f"schema mismatch {s_cols} vs {o_cols}")
-            if len(sdf) != len(odf):
-                raise AssertionError(f"rowcount {len(sdf)} vs {len(odf)}")
-            if norm(sdf) != norm(odf):
-                raise AssertionError("value hash mismatch")
-            ok += 1
-            print(f"{name}: OK ({len(sdf)} rows){tag}")
+            msg = run_one(name, fn)
         except Exception as e:
-            fail += 1
-            print(f"{name}: FAIL — {type(e).__name__}: {e}")
+            # one retry, WITH the first failure logged: an unreproduced
+            # 49/1 driver run was observed in round 5 with no query name
+            # captured (VERDICT r5 item 8) — any future transient must
+            # record which query flaked and why, and a persistent failure
+            # must fail twice before counting.
+            first = f"{type(e).__name__}: {e}"
+            print(f"{name}: first attempt failed — {first}")
             traceback.print_exc(limit=3)
+            try:
+                msg = run_one(name, fn) + " [TRANSIENT — passed on retry]"
+                transients.append(f"{name}: {first}")
+            except Exception as e2:
+                fail += 1
+                print(f"{name}: FAIL (x2) — {type(e2).__name__}: {e2}")
+                traceback.print_exc(limit=3)
+                continue
+        ok += 1
+        print(msg)
+    if transients:
+        print(f"TRANSIENTS ({len(transients)}):")
+        for t in transients:
+            print(f"  {t}")
     print(f"TOTAL {ok} ok / {fail} fail of {len(qs) if not only else len(only)}")
     return 1 if fail else 0
 

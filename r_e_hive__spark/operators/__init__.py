@@ -27,6 +27,38 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+# Measured strategy crossovers (BASELINE.md round-5 A/Bs).  The Arrow/
+# numpy strategies pay a fixed ~0.5 s Python-worker-startup + transfer tax
+# that only amortizes past tens of thousands of rows; below it the pure-JVM
+# expression path wins.  Calibration anchors (Catalyst sizeInBytes == parquet
+# file size for scans): documents sf0.1 = 5 k docs ≈ 0.6 MB (expr wins the
+# shingler A/B), sf1 = 50 k docs ≈ 6 MB (pandas wins); embeddings sf0.1 =
+# 2 k × 64-dim ≈ 0.8 MB (BLAS top-k already ~11× there).  Module-level so
+# tests can monkeypatch the gate both ways.
+SHINGLE_PANDAS_MIN_BYTES = 4 << 20  # ~30-40 k docs at fixture density
+BLAS_MIN_BYTES = 256 << 10  # ~600 × 64-dim vectors
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df``'s optimized plan, or None when
+    stats are unreadable — the zero-job input to every strategy="auto"
+    gate (same machinery as plan_fits_broadcast)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def resolve_strategy(df: DataFrame, small: str, large: str, min_bytes: int) -> str:
+    """Pick a strategy by estimated input size: ``large`` (the Arrow/numpy
+    fast path, whose fixed Python tax amortizes with volume) at or above
+    ``min_bytes``, else ``small`` (the pure-JVM path).  Unreadable stats →
+    ``small``: deterministic, and the only plans without estimates are
+    exotic ones where guessing big would ship data to Python blindly."""
+    size = plan_size_bytes(df)
+    return large if size is not None and size >= min_bytes else small
+
+
 def plan_fits_broadcast(df: DataFrame) -> bool:
     """True iff Catalyst's size estimate for ``df``'s optimized plan is
     within the session's ``autoBroadcastJoinThreshold`` — the same gate

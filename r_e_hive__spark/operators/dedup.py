@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.functions.text import shingles, tokens
-from r_e_hive__spark.operators import ensure_parallelism, plan_fits_broadcast
+from r_e_hive__spark.operators import (
+    SHINGLE_PANDAS_MIN_BYTES,
+    ensure_parallelism,
+    plan_fits_broadcast,
+    resolve_strategy,
+)
 
 _fits_broadcast = plan_fits_broadcast  # shared gate (operators/__init__.py)
 
@@ -57,14 +62,20 @@ def exact_dedup(
 
 
 def with_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, strategy: str = "expr"
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, strategy: str = "auto"
 ) -> DataFrame:
     """(id, shingle) exploded pairs, distinct per doc.
 
     ``strategy="pandas"`` routes through the single-pass Arrow shingler
     (same crossover economics as ngram_jaccard_pairs — wins from ~50 k
     docs; parity pinned in tests/test_dedup.py), so MinHash signatures
-    inherit the fast path too."""
+    inherit the fast path too.  ``"auto"`` (default) applies the measured
+    crossover by Catalyst size estimate — corpus-scale inputs get the
+    Arrow pass without the caller having to know the A/B."""
+    if strategy == "auto":
+        strategy = resolve_strategy(
+            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        )
     if strategy == "pandas":
         return _exploded_shingles_pandas(df, text_col, id_col, k, ()).select(
             F.col("_id").alias(id_col), "shingle"
@@ -153,7 +164,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: Sequence[str] = (),
     max_df: int | None = None,
-    shingle_strategy: str = "expr",
+    shingle_strategy: str = "auto",
     assume_unique_ids: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with J ≥ threshold.
@@ -194,8 +205,15 @@ def ngram_jaccard_pairs(
     (BASELINE.md): expr wins at 5 k docs (1.89 s vs 2.14 s — Python
     worker startup dominates), pandas wins at 50 k docs (4.73 s vs
     6.12 s) and grows its lead with corpus size; outputs are pinned
-    identical (tests/test_dedup.py), so pick by scale.
+    identical (tests/test_dedup.py), so pick by scale.  ``"auto"``
+    (default) picks by Catalyst's size estimate at the measured
+    crossover, so corpus-scale callers get the fast path without
+    knowing the A/B (round-5 VERDICT item 4).
     """
+    if shingle_strategy == "auto":
+        shingle_strategy = resolve_strategy(
+            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        )
     if shingle_strategy == "pandas":
         # one Arrow pass computes exploded shingles AND carries the per-doc
         # count on every row; sizes reduce out of the same stream with a
@@ -284,7 +302,7 @@ def minhash_signatures(
     id_col: str,
     k: int = 3,
     num_hashes: int = 32,
-    shingle_strategy: str = "expr",
+    shingle_strategy: str = "auto",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed_i).
@@ -585,11 +603,82 @@ def dedup_survivors(
     return df.join(dropped, id_col, "left_anti")
 
 
+def _windowed_hashes_pandas(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """ONE Arrow pass emitting (id, _pos, _h): every ``window``-token
+    sliding window's 64-bit hash — the pandas twin of duplicate_spans'
+    expr stage.  Spans depend on window EQUALITY, not hash identity
+    (BASELINE.md's recorded escape route for the interpreted-HOF
+    transform), so this path may hash differently from xxhash64 as long
+    as equal windows get equal hashes: token strings never contain
+    whitespace, so for a fixed window width the space-joined window
+    string is injective in the token sequence, and hashing tokens once
+    (deterministic SipHash via pd.util.hash_array — fixed default key,
+    never Python's per-process-seeded hash()) then combining windows
+    with a rolling polynomial over uint64 wraparound preserves exactly
+    those equality classes (2⁻⁶⁴-rate collisions, the same accepted
+    trade as xxhash64).  Tokenization is the Java-parity ASCII \\s class
+    with kept empty edge tokens, identical to functions/text.tokens
+    (pinned by the strategy-parity test)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("_pos", IntegerType(), False),
+            StructField("_h", LongType(), False),
+        ]
+    )
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")  # Java \s, NOT Python \s
+    base = np.uint64(1099511628211)  # FNV64 prime; odd -> full-period mix
+    powers = base ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+
+    def gen(batches):
+        old = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
+        try:
+            for pdf in batches:
+                ids, poss, hs = [], [], []
+                for rid, text in pdf[[id_col, text_col]].itertuples(index=False):
+                    toks = ws.split(text or "")
+                    n = len(toks)
+                    if n < window:
+                        continue
+                    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+                    wh = (sliding_window_view(th, window) * powers).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    ids.extend([rid] * len(wh))
+                    poss.extend(range(1, len(wh) + 1))
+                    hs.append(wh.astype(np.int64))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "_pos": np.asarray(poss, dtype=np.int32),
+                        "_h": (
+                            np.concatenate(hs)
+                            if hs
+                            else np.array([], dtype=np.int64)
+                        ),
+                    }
+                )
+        finally:
+            np.seterr(**old)
+
+    return ensure_parallelism(df).mapInPandas(gen, out_schema)
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,
     id_col: str,
     window: int = 20,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Span-level exact-substring duplication (the windowed-hash form of
     Lee et al. 2021's ExactSubstr, arXiv:2107.06499): find maximal token
@@ -614,24 +703,40 @@ def duplicate_spans(
     rate that is the accepted trade everywhere this pipeline runs.
     At 100 TB: two shuffles total (hash count, per-doc island agg),
     both keyed well; no all-pairs anything.
+
+    ``strategy``: the sliding window is ``"expr"``'s interpreted Catalyst
+    HOF (xxhash64 per position — the recorded X20 bottleneck class at
+    sf5) or ``"pandas"``'s single Arrow pass (vectorized token hashing +
+    rolling-polynomial window combine — see _windowed_hashes_pandas);
+    span outputs are pinned identical.  ``"auto"`` (default) picks by
+    the shingler's measured size crossover.
     """
     from pyspark.sql.window import Window as W
 
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(1), n - (window - 1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
-        ),
-    )
-    exploded = (
-        ensure_parallelism(df)
-        .where(n >= window)
-        .select(F.col(id_col), F.explode(wins).alias("w"))
-        .select(id_col, F.col("w.pos").alias("_pos"), F.col("w.h").alias("_h"))
-    )
+    if strategy == "auto":
+        strategy = resolve_strategy(
+            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        )
+    if strategy == "pandas":
+        exploded = _windowed_hashes_pandas(df, text_col, id_col, window)
+    elif strategy == "expr":
+        toks = tokens(F.col(text_col))
+        n = F.size(toks)
+        wins = F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
+            ),
+        )
+        exploded = (
+            ensure_parallelism(df)
+            .where(n >= window)
+            .select(F.col(id_col), F.explode(wins).alias("w"))
+            .select(id_col, F.col("w.pos").alias("_pos"), F.col("w.h").alias("_h"))
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
     dup_h = (
         exploded.groupBy("_h")
         .agg(F.count("*").alias("_c"))

@@ -136,6 +136,7 @@ def percentile_gate(
     group_cols=(),
     strategy: str = "approx",
     accuracy: int = 10000,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Keep the best ``keep_fraction`` of rows by ``score_col`` (higher is
     better), optionally per group — the percentile quality cut every
@@ -148,10 +149,17 @@ def percentile_gate(
     - ``"exact"`` — ``percent_rank`` over (score desc) per group: rows
       ranked strictly; ties at the boundary are kept together (they share
       a percent_rank), so the kept count can exceed the exact fraction by
-      the tie-group size.  One shuffle + full sort PER GROUP — and with
-      empty ``group_cols`` a SINGLE-partition global sort, the same
-      documented degradation as keyless as-of (operators/temporal.py):
-      use it for per-group gates or modest data, never a whole corpus.
+      the tie-group size.  One shuffle + full sort PER GROUP.  The
+      KEYLESS case no longer degrades to a single-partition global sort
+      (round-5 VERDICT item 7): unless ``distributed=False``, it
+      range-partitions on (score desc) — equal scores land in ONE
+      partition by construction, so tie groups never split — ranks
+      within each range partition, and adds the tiny per-partition
+      offset (one row per partition, the weighted_prefix_sum /
+      keyless-as-of two-phase shape); global rank = offset + local rank
+      reproduces percent_rank's tie semantics exactly (parity-pinned).
+      ``distributed=True`` on a grouped gate is invalid (per-group
+      windows already parallelize).
     - ``"approx"`` — the 100 TB shape: per-group score thresholds from
       ``approx_percentile`` (one map-side-combined aggregation producing
       K tiny rows), broadcast back, then a MAP-SIDE ``score >= threshold``
@@ -176,17 +184,66 @@ def percentile_gate(
         # must not survive the no-op sweep point (round-5 code review)
         raise ValueError(f"unknown strategy {strategy!r}")
     gcols = list(group_cols)
+    if distributed and (gcols or strategy != "exact"):
+        raise ValueError(
+            "distributed=True applies only to the keyless exact case "
+            "(per-group windows parallelize; approx is map-side already)"
+        )
     scored = df.where(F.col(score_col).isNotNull())
     if keep_fraction == 1.0:
         return scored
     if strategy == "exact":
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(*gcols).orderBy(F.desc(score_col))
+        if gcols or distributed is False:
+            w = Window.partitionBy(*gcols).orderBy(F.desc(score_col))
+            return (
+                scored.withColumn("_pr", F.percent_rank().over(w))
+                .where(F.col("_pr") <= F.lit(keep_fraction))
+                .drop("_pr")
+            )
+        # keyless distributed exact: range-partition on (score desc) —
+        # the range partitioner puts EQUAL scores in one partition, so a
+        # tie group never straddles a boundary — rank within partitions,
+        # carry tiny per-partition offsets (one row each), and total n
+        # rides on the same frame; percent_rank == (rank-1)/(n-1) with
+        # tie-shared rank, reproduced exactly.  localCheckpoint pins the
+        # sampled range bounds for the two consuming subtrees (the
+        # keyless-as-of discipline, operators/temporal.py).  EXPLICIT
+        # numPartitions: an argless repartitionByRange is AQE-coalesced
+        # to 1 task on small shuffle bytes — the single-partition sort
+        # this path exists to avoid (the recorded round-5 lesson).
+        n_part = scored.sparkSession.sparkContext.defaultParallelism
+        ranged = scored.repartitionByRange(
+            n_part, F.col(score_col).desc()
+        ).localCheckpoint(eager=True)
+        with_pid = ranged.withColumn("_pg_pid", F.spark_partition_id())
+        w_all = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_off = Window.orderBy("_pg_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            with_pid.groupBy("_pg_pid")
+            .agg(F.count("*").alias("_pg_c"))
+            .withColumn(
+                "_pg_off", F.coalesce(F.sum("_pg_c").over(w_off), F.lit(0))
+            )
+            .withColumn("_pg_n", F.sum("_pg_c").over(w_all))
+            .drop("_pg_c")
+        )
+        w_local = Window.partitionBy("_pg_pid").orderBy(F.desc(score_col))
+        rk = F.col("_pg_off") + F.rank().over(w_local)
+        pr = F.when(
+            F.col("_pg_n") > 1,
+            (rk - 1).cast("double") / (F.col("_pg_n") - 1).cast("double"),
+        ).otherwise(F.lit(0.0))
         return (
-            scored.withColumn("_pr", F.percent_rank().over(w))
-            .where(F.col("_pr") <= F.lit(keep_fraction))
-            .drop("_pr")
+            with_pid.join(F.broadcast(offsets), "_pg_pid")
+            .withColumn("_pg_pr", pr)
+            .where(F.col("_pg_pr") <= F.lit(keep_fraction))
+            .drop("_pg_pid", "_pg_off", "_pg_n", "_pg_pr")
         )
     q = F.lit(1.0 - keep_fraction)
     thr_expr = F.approx_percentile(F.col(score_col), q, F.lit(accuracy)).alias(

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from r_e_hive__spark.functions import vector as V
-from r_e_hive__spark.operators import ensure_parallelism
+from r_e_hive__spark.operators import (
+    BLAS_MIN_BYTES,
+    ensure_parallelism,
+    resolve_strategy,
+)
 
 
 def _paired_cosine(exact: bool, a: Column, b: Column) -> Column:
@@ -43,7 +47,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exact_decimal: bool = True,
-    strategy: str = "expr",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
@@ -63,7 +67,20 @@ def brute_force_topk(
     BLAS sums in hardware order and np.round is half-to-even, so a cosine
     landing exactly on a .5e-6 boundary can round differently from the
     expr path's sequential-fold + HALF_UP — a last-ulp event, not a
-    ranking-logic difference."""
+    ranking-logic difference.
+
+    ``strategy="auto"`` (default): the oracle-capable expr path whenever
+    ``exact_decimal`` is requested (numpy cannot honor it), else numpy/
+    expr by Catalyst size estimate at the measured crossover — the BLAS
+    win amortizes its fixed Python tax from a few hundred vectors up
+    (BASELINE.md), so corpus-scale callers get the ~11x path by default
+    (round-5 VERDICT item 4)."""
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if exact_decimal
+            else resolve_strategy(candidates, "expr", "numpy", BLAS_MIN_BYTES)
+        )
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -125,7 +142,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exact_decimal: bool = False,
-    strategy: str = "expr",
+    strategy: str = "auto",
 ) -> DataFrame:
     """IVF-pruned top-k: only candidates in the query's probe buckets are
     scored.  ``queries`` must carry ``bucket_col`` (possibly exploded over
@@ -137,7 +154,15 @@ def ivf_topk(
     queries probing it with one BLAS matmul and emits per-query partial
     top-k (same selection order as the global window) — the bucketed
     sibling of brute_force_topk's scan strategy, pinned rank-identical
-    in tests/test_similarity.py."""
+    in tests/test_similarity.py.  ``"auto"`` (default): expr when
+    ``exact_decimal``, else by candidate size at the measured BLAS
+    crossover (brute_force_topk's gate)."""
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if exact_decimal
+            else resolve_strategy(candidates, "expr", "numpy", BLAS_MIN_BYTES)
+        )
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -572,7 +597,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     cosine_threshold: float = 0.9,
     exact_decimal: bool = False,
-    strategy: str = "expr",
+    strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via clustering — embeddings are assigned to their nearest
@@ -611,6 +636,14 @@ def semantic_dedup(
     per-cluster row_number guard).  Returns the surviving rows with their
     ``_sd_cluster`` id.
     """
+    # auto: expr when exact_decimal (numpy cannot honor it), else by the
+    # measured BLAS crossover on the input size (13.4 s -> 1.9 s at sf1)
+    if strategy == "auto":
+        strategy = (
+            "expr"
+            if exact_decimal
+            else resolve_strategy(df, "expr", "numpy", BLAS_MIN_BYTES)
+        )
     if strategy not in ("expr", "numpy"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "numpy" and exact_decimal:
@@ -1012,7 +1045,7 @@ def quantized_topk(
     k: int = 10,
     shortlist_mult: int = 4,
     rerank: bool = True,
-    strategy: str = "numpy",
+    strategy: str = "auto",
     candidate_codes: DataFrame | None = None,
     exact_decimal: bool = False,
 ) -> DataFrame:
@@ -1043,6 +1076,20 @@ def quantized_topk(
     """
     if shortlist_mult < 1:
         raise ValueError(f"shortlist_mult must be >= 1, got {shortlist_mult}")
+    if strategy == "auto":
+        # expr when exact_decimal (the oracle path); else gate on the frame
+        # the coarse scan actually reads: the persisted int8 index when
+        # supplied, the raw candidates otherwise
+        strategy = (
+            "expr"
+            if exact_decimal
+            else resolve_strategy(
+                candidate_codes if candidate_codes is not None else candidates,
+                "expr",
+                "numpy",
+                BLAS_MIN_BYTES,
+            )
+        )
     if exact_decimal and strategy != "expr":
         raise ValueError("exact_decimal requires strategy='expr'")
     qq = quantize_embeddings(queries, vec_col).select(

@@ -1,0 +1,162 @@
+"""strategy="auto" gates (round-5 VERDICT item 4): every expr/numpy/pandas
+dual-strategy operator defaults to "auto", which applies the measured
+crossovers (BASELINE.md) via Catalyst's size estimate — and auto must be
+pinned EQUAL to whichever explicit strategy it resolves to, in both gate
+directions (thresholds are module globals, monkeypatched to force each)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from r_e_hive__spark.catalog import load_table
+from r_e_hive__spark.operators import dedup as D
+from r_e_hive__spark.operators import plan_size_bytes, resolve_strategy
+from r_e_hive__spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_resolve_strategy_gate_directions(spark, docs):
+    size = plan_size_bytes(docs)
+    assert size is not None and size > 0
+    assert resolve_strategy(docs, "expr", "pandas", size + 1) == "expr"
+    assert resolve_strategy(docs, "expr", "pandas", size) == "pandas"
+    assert resolve_strategy(docs, "expr", "pandas", 1) == "pandas"
+
+
+def test_with_shingles_auto_matches_both(spark, docs, monkeypatch):
+    want_expr = _rows(D.with_shingles(docs, "text", "doc_id", strategy="expr"))
+    want_pd = _rows(D.with_shingles(docs, "text", "doc_id", strategy="pandas"))
+    assert want_expr == want_pd  # the established strategy-parity pin
+    monkeypatch.setattr(D, "SHINGLE_PANDAS_MIN_BYTES", 1 << 60)
+    assert _rows(D.with_shingles(docs, "text", "doc_id")) == want_expr
+    monkeypatch.setattr(D, "SHINGLE_PANDAS_MIN_BYTES", 1)
+    assert _rows(D.with_shingles(docs, "text", "doc_id")) == want_pd
+
+
+def test_jaccard_auto_matches_both(spark, docs, monkeypatch):
+    kw = dict(k=3, threshold=0.3)
+    want = _rows(
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_strategy="expr", **kw)
+    )
+    assert want == _rows(
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_strategy="pandas", **kw)
+    )
+    for thresh in (1 << 60, 1):
+        monkeypatch.setattr(D, "SHINGLE_PANDAS_MIN_BYTES", thresh)
+        assert _rows(D.ngram_jaccard_pairs(docs, "text", "doc_id", **kw)) == want
+
+
+def test_duplicate_spans_auto_matches_both(spark, docs, monkeypatch):
+    """X20 Arrow pass (round-5 VERDICT item 6): the pandas strategy hashes
+    windows differently (token SipHash + rolling polynomial, not xxhash64
+    of the window string) but spans depend on window EQUALITY only — span
+    outputs must be identical, including the within-doc-repetition and
+    empty-edge-token cases the corpus carries."""
+    kw = dict(window=8)
+    want = _rows(D.duplicate_spans(docs, "text", "doc_id", strategy="expr", **kw))
+    got = _rows(D.duplicate_spans(docs, "text", "doc_id", strategy="pandas", **kw))
+    assert want == got and len(want) > 0
+    for thresh, as_ in ((1 << 60, want), (1, got)):
+        monkeypatch.setattr(D, "SHINGLE_PANDAS_MIN_BYTES", thresh)
+        assert _rows(D.duplicate_spans(docs, "text", "doc_id", **kw)) == as_
+
+
+def test_brute_force_auto_respects_exact_decimal(spark, embeddings, monkeypatch):
+    qs = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact_decimal (the default) must resolve to expr even when the size
+    # gate would pick numpy
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    want_exact = _rows(
+        S.brute_force_topk(qs, embeddings, k=5, strategy="expr")
+    )
+    assert _rows(S.brute_force_topk(qs, embeddings, k=5)) == want_exact
+
+
+def test_brute_force_auto_matches_both(spark, embeddings, monkeypatch):
+    qs = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want_expr = _rows(
+        S.brute_force_topk(
+            qs, embeddings, k=5, exact_decimal=False, strategy="expr"
+        )
+    )
+    want_np = _rows(
+        S.brute_force_topk(
+            qs, embeddings, k=5, exact_decimal=False, strategy="numpy"
+        )
+    )
+    assert want_expr == want_np
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1 << 60)
+    assert (
+        _rows(S.brute_force_topk(qs, embeddings, k=5, exact_decimal=False))
+        == want_expr
+    )
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    assert (
+        _rows(S.brute_force_topk(qs, embeddings, k=5, exact_decimal=False))
+        == want_np
+    )
+
+
+def test_quantized_auto_matches_both(spark, embeddings, monkeypatch):
+    qs = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, shortlist_mult=4)
+    want_expr = _rows(
+        S.quantized_topk(qs, embeddings, strategy="expr", **kw)
+    )
+    want_np = _rows(S.quantized_topk(qs, embeddings, strategy="numpy", **kw))
+    assert want_expr == want_np
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1 << 60)
+    assert _rows(S.quantized_topk(qs, embeddings, **kw)) == want_expr
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    assert _rows(S.quantized_topk(qs, embeddings, **kw)) == want_np
+    # exact_decimal forces expr under auto (no "requires expr" error)
+    assert (
+        _rows(S.quantized_topk(qs, embeddings, exact_decimal=True, **kw))
+        == _rows(
+            S.quantized_topk(
+                qs, embeddings, exact_decimal=True, strategy="expr", **kw
+            )
+        )
+    )
+
+
+def test_semantic_dedup_auto_matches_both(spark, embeddings, monkeypatch):
+    cents = S.kmeans_centroids(embeddings, n_clusters=4, sample_limit=256)
+    want_expr = _rows(
+        S.semantic_dedup(
+            embeddings, "vec_id", "embedding", cents, 0.2, strategy="expr"
+        ).select("vec_id")
+    )
+    want_np = _rows(
+        S.semantic_dedup(
+            embeddings, "vec_id", "embedding", cents, 0.2, strategy="numpy"
+        ).select("vec_id")
+    )
+    assert want_expr == want_np
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1 << 60)
+    got = S.semantic_dedup(embeddings, "vec_id", "embedding", cents, 0.2)
+    assert _rows(got.select("vec_id")) == want_expr
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    got = S.semantic_dedup(embeddings, "vec_id", "embedding", cents, 0.2)
+    assert _rows(got.select("vec_id")) == want_np

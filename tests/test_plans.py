@@ -137,9 +137,11 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
 
 
 def test_money_aggregates_accumulate_in_long(spark):
-    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries import RETIRED, load_all
 
-    qs = load_all()
+    # a1_user_balance retired from the declared surface in round 6 — its
+    # fixed-point plan shape stays guarded here via the RETIRED registry
+    qs = {**RETIRED, **load_all()}
     for name in ("q1_pricing_summary", "st2_windows", "a1_user_balance"):
         p = plan(qs[name].spark_fn(spark, SF_SMOKE), "formatted")
         agg_fn_lines = [

@@ -393,6 +393,63 @@ def test_percentile_gate_exact_python_differential(spark):
         assert got == want, frac
 
 
+def test_percentile_gate_keyless_exact_distributed(spark):
+    """Round-5 VERDICT item 7: the keyless exact gate must not degrade to
+    a single-partition global sort.  The default keyless path is the
+    range-partition + offset-carry form; its kept set must be IDENTICAL
+    to the forced single-window form (distributed=False) including tie
+    groups at the boundary, and its plan must show the range exchange on
+    the data (not one global sort partition)."""
+    import random
+
+    from r_e_hive__spark.operators.quality import percentile_gate
+
+    rng = random.Random(41)
+    rows = [(i, rng.random()) for i in range(5000)]
+    rows += [(9000 + j, 0.75) for j in range(25)]  # boundary tie group
+    df = spark.createDataFrame(rows, "id INT, score DOUBLE")
+    for frac in (0.1, 0.25, 0.8):
+        dist = percentile_gate(df, "score", frac, strategy="exact")
+        single = percentile_gate(
+            df, "score", frac, strategy="exact", distributed=False
+        )
+        got = {r["id"] for r in dist.collect()}
+        want = {r["id"] for r in single.collect()}
+        assert got == want, frac
+    # the scale invariant: the rank window is partition-LOCAL (_pg_pid in
+    # its spec) — distributed=False's keyless window has no partition
+    # keys.  (The checkpointed range exchange itself is upstream of the
+    # visible plan; at this row count AQE legitimately coalesces the tiny
+    # byte-proportional shuffle, so partition COUNT is asserted under
+    # coalescing disabled below.)
+    final = percentile_gate(df, "score", 0.25, strategy="exact")
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "rank(" in ln
+    ]
+    assert win_lines and all("_pg_pid" in ln for ln in win_lines), plan
+    conf = spark.conf
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = conf.get(key)
+    try:
+        conf.set(key, "false")
+        np = percentile_gate(
+            df, "score", 0.25, strategy="exact"
+        ).rdd.getNumPartitions()
+        assert np > 1, np
+    finally:
+        conf.set(key, old)
+    # grouped + distributed=True is invalid (per-group windows parallelize)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keyless"):
+        percentile_gate(
+            df.withColumn("g", F.lit("a")), "score", 0.5, ["g"],
+            strategy="exact", distributed=True,
+        )
+
+
 def test_percentile_gate_approx_close_to_exact_and_mapside(spark):
     import random
 

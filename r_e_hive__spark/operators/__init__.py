@@ -49,14 +49,25 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Catalyst returns spark.sql.defaultSizeInBytes (Long.MaxValue by default)
+# for plans it cannot estimate (LogicalRDD — every createDataFrame /
+# RDD-backed frame).  That is a SENTINEL, not an estimate: treating it as
+# real would route tiny in-memory frames to the Python/Arrow path, the
+# exact case the crossover gates exist to avoid (round-6 code review).
+# Real data is orders of magnitude below 2^60 (100 TB ≈ 2^47).
+_STATS_UNKNOWN = 1 << 60
+
+
 def resolve_strategy(df: DataFrame, small: str, large: str, min_bytes: int) -> str:
     """Pick a strategy by estimated input size: ``large`` (the Arrow/numpy
     fast path, whose fixed Python tax amortizes with volume) at or above
-    ``min_bytes``, else ``small`` (the pure-JVM path).  Unreadable stats →
-    ``small``: deterministic, and the only plans without estimates are
-    exotic ones where guessing big would ship data to Python blindly."""
+    ``min_bytes``, else ``small`` (the pure-JVM path).  Unreadable or
+    sentinel stats → ``small``: deterministic, and guessing big would
+    ship data to Python blindly."""
     size = plan_size_bytes(df)
-    return large if size is not None and size >= min_bytes else small
+    if size is None or size >= _STATS_UNKNOWN:
+        return small
+    return large if size >= min_bytes else small
 
 
 def plan_fits_broadcast(df: DataFrame) -> bool:

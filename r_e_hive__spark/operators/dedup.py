@@ -645,7 +645,14 @@ def _windowed_hashes_pandas(
             for pdf in batches:
                 ids, poss, hs = [], [], []
                 for rid, text in pdf[[id_col, text_col]].itertuples(index=False):
-                    toks = ws.split(text or "")
+                    if text is None:
+                        # expr parity: size(split(NULL)) is NULL, so NULL
+                        # texts emit no windows there — `text or ""` would
+                        # instead tokenize to [''] and, at window=1, give
+                        # every NULL doc a corpus-wide duplicate span
+                        # (round-6 code review)
+                        continue
+                    toks = ws.split(text)
                     n = len(toks)
                     if n < window:
                         continue
@@ -713,6 +720,8 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window as W
 
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     if strategy == "auto":
         strategy = resolve_strategy(
             df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
@@ -779,6 +788,7 @@ def incremental_neardup(
     est_threshold: float = 0.5,
     broadcast_new: bool | None = None,
     with_delta: bool = False,
+    assume_legacy_bands_match: bool = False,
 ) -> tuple[DataFrame, ...]:
     """Dedup an INCREMENT (today's crawl batch) against a persisted MinHash
     signature index of everything already accepted — without re-reading or
@@ -890,15 +900,28 @@ def incremental_neardup(
             # A legacy index (no num_bands column) built with FEWER bands
             # than this call passes both in-plan checks yet matches almost
             # nothing — the silent-admit failure the guard exists for
-            # (round-5 ADVICE).  For that layout only, pay one
+            # (round-5 ADVICE).  For that layout only, pay one eager
             # column-pruned max(band_id) agg up front and fail loudly.
-            if "num_bands" not in index_sig.columns:
+            # COST: that agg scans the legacy index's band_id column per
+            # call (the num_bands layout pays nothing — rebuild via
+            # band_signatures to stop paying it); callers who probe a
+            # deliberately FILTERED legacy index (e.g. a band_hash
+            # partition subset, which may lack the last band entirely)
+            # pass assume_legacy_bands_match=True to skip the check they
+            # would otherwise false-positive (round-6 code review).
+            if (
+                "num_bands" not in index_sig.columns
+                and not assume_legacy_bands_match
+            ):
                 mx = index_sig.agg(F.max("band_id").alias("m")).first()["m"]
                 if mx is not None and mx != bands - 1:
                     raise ValueError(
                         "incremental_neardup: legacy banded index has "
                         f"max band_id={mx} but this call uses bands={bands}"
-                        " — rebuild the index or pass the original bands"
+                        " — rebuild the index (band_signatures adds the "
+                        "num_bands column), pass the original bands, or "
+                        "assume_legacy_bands_match=True for a filtered "
+                        "index subset"
                     )
             banded_idx = index_sig.where(
                 F.assert_true(

@@ -39,6 +39,17 @@ def _paired_cosine(exact: bool, a: Column, b: Column) -> Column:
     return V.cosine_exact(a, b) if exact else V.cosine(a, b)
 
 
+def _auto_strategy(exact_decimal: bool, gate_frame: DataFrame) -> str:
+    """Shared strategy="auto" resolution (one implementation so a gate fix
+    lands everywhere — the plan_fits_broadcast discipline): exact_decimal
+    forces the oracle-capable expr path (numpy cannot honor it); otherwise
+    numpy/expr by the measured BLAS crossover on the frame the scan
+    actually reads."""
+    if exact_decimal:
+        return "expr"
+    return resolve_strategy(gate_frame, "expr", "numpy", BLAS_MIN_BYTES)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -76,11 +87,7 @@ def brute_force_topk(
     (BASELINE.md), so corpus-scale callers get the ~11x path by default
     (round-5 VERDICT item 4)."""
     if strategy == "auto":
-        strategy = (
-            "expr"
-            if exact_decimal
-            else resolve_strategy(candidates, "expr", "numpy", BLAS_MIN_BYTES)
-        )
+        strategy = _auto_strategy(exact_decimal, candidates)
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -158,11 +165,7 @@ def ivf_topk(
     ``exact_decimal``, else by candidate size at the measured BLAS
     crossover (brute_force_topk's gate)."""
     if strategy == "auto":
-        strategy = (
-            "expr"
-            if exact_decimal
-            else resolve_strategy(candidates, "expr", "numpy", BLAS_MIN_BYTES)
-        )
+        strategy = _auto_strategy(exact_decimal, candidates)
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -636,14 +639,9 @@ def semantic_dedup(
     per-cluster row_number guard).  Returns the surviving rows with their
     ``_sd_cluster`` id.
     """
-    # auto: expr when exact_decimal (numpy cannot honor it), else by the
-    # measured BLAS crossover on the input size (13.4 s -> 1.9 s at sf1)
+    # auto: the shared gate (13.4 s -> 1.9 s at sf1 for the numpy side)
     if strategy == "auto":
-        strategy = (
-            "expr"
-            if exact_decimal
-            else resolve_strategy(df, "expr", "numpy", BLAS_MIN_BYTES)
-        )
+        strategy = _auto_strategy(exact_decimal, df)
     if strategy not in ("expr", "numpy"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "numpy" and exact_decimal:
@@ -1077,18 +1075,11 @@ def quantized_topk(
     if shortlist_mult < 1:
         raise ValueError(f"shortlist_mult must be >= 1, got {shortlist_mult}")
     if strategy == "auto":
-        # expr when exact_decimal (the oracle path); else gate on the frame
-        # the coarse scan actually reads: the persisted int8 index when
-        # supplied, the raw candidates otherwise
-        strategy = (
-            "expr"
-            if exact_decimal
-            else resolve_strategy(
-                candidate_codes if candidate_codes is not None else candidates,
-                "expr",
-                "numpy",
-                BLAS_MIN_BYTES,
-            )
+        # gate on the frame the coarse scan actually reads: the persisted
+        # int8 index when supplied, the raw candidates otherwise
+        strategy = _auto_strategy(
+            exact_decimal,
+            candidate_codes if candidate_codes is not None else candidates,
         )
     if exact_decimal and strategy != "expr":
         raise ValueError("exact_decimal requires strategy='expr'")

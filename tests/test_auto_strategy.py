@@ -38,6 +38,42 @@ def test_resolve_strategy_gate_directions(spark, docs):
     assert resolve_strategy(docs, "expr", "pandas", 1) == "pandas"
 
 
+def test_resolve_strategy_sentinel_stats_pick_small(spark):
+    """createDataFrame / RDD-backed frames plan as LogicalRDD, whose
+    Catalyst size is the defaultSizeInBytes SENTINEL (Long.MaxValue), not
+    an estimate — the gate must treat it as unknown and keep the JVM path
+    (round-6 code review: a tiny in-memory increment must not pay the
+    Python-worker tax because its 'size' reads as 2^63)."""
+    tiny = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    size = plan_size_bytes(tiny)
+    if size is not None and size < (1 << 60):
+        pytest.skip("this Spark estimates LocalRelation/RDD sizes for real")
+    assert resolve_strategy(tiny, "expr", "pandas", 1) == "expr"
+
+
+def test_duplicate_spans_window1_null_text_parity(spark):
+    """Round-6 code review: at window=1 the pandas path used to tokenize
+    NULL text as [''] and give every NULL doc a corpus-wide duplicate
+    span, while expr drops NULL-text rows.  Both strategies must emit
+    NOTHING for NULL docs at any window."""
+    rows = [
+        (1, "x y x y"),
+        (2, "x q"),
+        (3, None),
+        (4, None),
+        (5, ""),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    for window in (1, 2):
+        e = _rows(D.duplicate_spans(df, "text", "doc_id", window, "expr"))
+        p = _rows(D.duplicate_spans(df, "text", "doc_id", window, "pandas"))
+        assert e == p, (window, e, p)
+        assert all(r[0] not in (3, 4) for r in e)
+    with pytest.raises(ValueError, match="window"):
+        D.duplicate_spans(df, "text", "doc_id", 0)
+
+
 def test_with_shingles_auto_matches_both(spark, docs, monkeypatch):
     want_expr = _rows(D.with_shingles(docs, "text", "doc_id", strategy="expr"))
     want_pd = _rows(D.with_shingles(docs, "text", "doc_id", strategy="pandas"))

@@ -636,6 +636,16 @@ def test_incremental_banded_index_bands_mismatch_raises(spark):
         b2, "text", "id", index_sig=legacy_fewer, bands=4
     )
     assert {r["id"] for r in s4.collect()} == {2}
+    # a deliberately FILTERED legacy index (band_hash partition subset
+    # that happens to lack the last band) would false-positive the eager
+    # max(band_id) check — assume_legacy_bands_match skips it (round-6
+    # code review); decisions on the remaining bands still apply
+    filtered = legacy.where(F.col("band_id") < 7)
+    s5, _ = D.incremental_neardup(
+        b2, "text", "id", index_sig=filtered,
+        assume_legacy_bands_match=True,
+    )
+    assert {r["id"] for r in s5.collect()} == {2}
 
 
 def test_incremental_with_delta_matches_index_growth(spark):

@@ -283,3 +283,23 @@ def bpe_encode(
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as ONE parquet table (rank, left,
+    right) — the amortization layout every other trained model here uses
+    (save_ngram_lm, band_signatures, save_ivf_index): train once on the
+    corpus, encode every later increment from the stored model.  Rank
+    carries the merge ORDER, which is the whole model."""
+    spark.createDataFrame(
+        [(i, left, right) for i, (left, right) in enumerate(merges)],
+        "rank INT, left STRING, right STRING",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of save_bpe: the ordered merge list, rank-sorted."""
+    return [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]

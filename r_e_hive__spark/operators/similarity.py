@@ -437,6 +437,72 @@ def ivf_kmeans_topk(
     )
 
 
+def save_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    exact_decimal: bool = False,
+) -> None:
+    """Materialize the IVF index the docstrings above promise: candidates
+    assigned to their nearest centroid ONCE at ingest and written
+    ``partitionBy(bucket)`` — the layout that turns every probe into a
+    partition-PRUNED scan of n_probe/n_clusters of the data instead of a
+    full read.  One map-only pass over the corpus (assignment is the
+    broadcast-parameters centroid argmax) + one partitioned write."""
+    candidates.withColumn(
+        "_ivf_bucket", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+    ).write.mode("overwrite").partitionBy("_ivf_bucket").parquet(path)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    exact_decimal: bool = False,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Top-k against a persisted ``save_ivf_index`` layout with the probed
+    buckets pushed into the SCAN: the union of every query's n_probe
+    buckets (a parameter-sized list — |queries|·n_probe ints; queries are
+    broadcast-small by the IVF contract) collects to the driver and
+    becomes an ``isin`` PartitionFilter, so only the probed bucket
+    directories are ever read (plan-asserted in tests/test_similarity.py;
+    the X23 persisted-postings IN-list discipline).  At 100 TB with
+    n_probe=2 of 1024 buckets the scan reads ~0.2 % of the index."""
+    spark = queries.sparkSession
+    q_b = queries.select(
+        F.col(query_id),
+        F.col(vec_col),
+        F.explode(
+            probe_centroids(F.col(vec_col), centroids, n_probe, exact_decimal)
+        ).alias("_ivf_bucket"),
+    )
+    probed = sorted(
+        r["_ivf_bucket"]
+        for r in q_b.select("_ivf_bucket").distinct().collect()
+    )
+    cand = spark.read.parquet(index_path).where(
+        F.col("_ivf_bucket").isin(probed)
+    )
+    return ivf_topk(
+        q_b,
+        cand,
+        "_ivf_bucket",
+        query_id,
+        cand_id,
+        vec_col,
+        k=k,
+        exact_decimal=exact_decimal,
+        strategy=strategy,
+    )
+
+
 def hyperplane_bucket(
     vec: Column,
     dim: int = 64,

@@ -161,3 +161,22 @@ def test_real_corpus_token_budget(spark):
         F.sum("n_chars").alias("c"),
     ).head()
     assert agg["p"] <= agg["b"] <= agg["c"]
+
+
+def test_save_load_bpe_roundtrip(spark, classic_df, tmp_path):
+    """Model persistence: train once, store the merge list, encode later
+    increments from the stored model — byte-identical tokens (rank order
+    IS the model, so the round-trip must preserve it exactly)."""
+    merges = B.train_bpe(classic_df, "text", num_merges=5)
+    path = str(tmp_path / "bpe_model")
+    B.save_bpe(spark, merges, path)
+    assert B.load_bpe(spark, path) == merges
+    docs = spark.createDataFrame(
+        [(1, "the lowest newest thing"), (2, None)], "doc_id INT, text STRING"
+    )
+    a = {r["doc_id"]: r["bpe_tokens"] for r in B.bpe_encode(docs, "text", merges).collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in B.bpe_encode(docs, "text", B.load_bpe(spark, path)).collect()}
+    assert a == b
+    # empty model round-trips too (merges exhausted / num_merges=0)
+    B.save_bpe(spark, [], str(tmp_path / "empty"))
+    assert B.load_bpe(spark, str(tmp_path / "empty")) == []

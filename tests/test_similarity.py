@@ -280,3 +280,39 @@ def test_numpy_topk_empty_queries_matches_expr(spark):
         )
         assert out.count() == 0
         assert out.columns == ["query_id", "rank", "vec_id", "cosine"]
+
+
+def test_persisted_ivf_index_partition_pruned_search(spark, clustered, tmp_path):
+    """save_ivf_index + ivf_search: the persisted layout the IVF docstrings
+    promise.  Results must equal the inline ivf_kmeans_topk on the SAME
+    frozen centroids, and the probe must reach the SCAN as a
+    PartitionFilters entry on _ivf_bucket (the X23 pushed-IN-list
+    discipline) — never a full index read."""
+    cents = S.kmeans_centroids(clustered, n_clusters=10, sample_limit=400)
+    path = str(tmp_path / "ivf_index")
+    S.save_ivf_index(clustered, path, cents)
+    queries = clustered.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = S.ivf_search(
+        queries, path, cents, k=5, n_probe=2, strategy="expr"
+    )
+    got = {(r["query_id"], r["rank"], r["vec_id"]) for r in got_df.collect()}
+    want = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in S.ivf_kmeans_topk(
+            queries, clustered, k=5, n_probe=2, centroids=cents
+        ).collect()
+    }
+    assert got == want and len(got) == 10 * 5
+    # partition pruning reached the physical scan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "_ivf_bucket" in pf, pf
+    # and the directory layout is really bucket-partitioned
+    import os
+
+    assert any(d.startswith("_ivf_bucket=") for d in os.listdir(path)), (
+        os.listdir(path)
+    )

@@ -441,3 +441,97 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list — the link-graph quality signal
+    web-corpus curation pipelines attach to documents (Common Crawl's
+    harmonic/centrality rankings are this op's family; public
+    formulation: Page et al. 1999, the power-iteration form every Spark
+    tutorial distributes the same way).
+
+    Returns ``(node, rank)`` over every node appearing as src OR dst;
+    ranks sum to 1.  Semantics (matched exactly by the numpy reference
+    differential in tests/test_graph.py):
+
+    - teleport ``(1-d)/n`` to every node,
+    - dangling nodes (no out-edges) spread their whole rank uniformly —
+      the standard stochastic-matrix completion, without which rank mass
+      leaks and the vector no longer sums to 1,
+    - stop when the L1 delta < ``tol`` or after ``max_iter`` rounds
+      (power iteration converges geometrically at rate ``damping``;
+      fixed-iteration cutoff is the standard practice, not an error).
+
+    Scale shape: per round ONE edges⋈ranks shuffle + one map-side-
+    combined sum per dst; out-degrees computed once and re-joined (they
+    never change); the dangling mass and the convergence delta are
+    1-row aggregates (driver reads parameters, never data).
+    ``localCheckpoint`` on the J8 cadence cuts the iterative lineage.
+    Float caveat: distributed double sums commute to ~1e-12 relative —
+    rank VALUES are reproducible to that tolerance, not bit-exact
+    (same contract as train_kmeans).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    src, dst = F.col(src_col), F.col(dst_col)
+    ed = edges.select(src.alias("_s"), dst.alias("_d")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        ed.select(F.col("_s").alias("node"))
+        .unionByName(ed.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = ed.groupBy("_s").agg(F.count("*").alias("_deg"))
+    # edges pre-joined with the (static) out-degree once, not per round
+    ed_w = ed.join(out_deg, "_s").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for it in range(max_iter):
+        received = (
+            ed_w.join(ranks, ed_w["_s"] == ranks["node"])
+            .select("_d", (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").alias("_recv"))
+        )
+        # dangling mass: rank parked on nodes with no out-edges (1-row agg)
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = teleport + damping * dangling / n
+        nxt = (
+            ranks.join(received, ranks["node"] == received["_d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_recv", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        delta = (
+            nxt.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .first()[0]
+        )
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -157,3 +157,68 @@ def test_null_parent_edges_match_recursive_sql(spark):
             for r in ancestor_closure(df, strategy=strategy).collect()
         }
         assert got == want, strategy
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _np_pagerank(edges, d, n_iter, tol):
+    """Independent numpy reference with the SAME semantics: uniform init,
+    (1-d)/n teleport, dangling mass spread uniformly, L1 tol stop."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        recv = np.zeros(n)
+        for u, v in edges:
+            recv[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dangling = r[deg == 0].sum()
+        nxt = (1 - d) / n + d * (recv + dangling / n)
+        delta = np.abs(nxt - r).sum()
+        r = nxt
+        if delta < tol:
+            break
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import random
+
+    from r_e_hive__spark.operators.graph import pagerank
+
+    rng = random.Random(71)
+    # random digraph with dangling nodes (no out-edges) and a hub
+    edges = list({(rng.randrange(30), rng.randrange(40)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=25, tol=1e-12).collect()
+    }
+    want = _np_pagerank(edges, 0.85, 25, 1e-12)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: mass conserved
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_pagerank_star_and_validation(spark):
+    from r_e_hive__spark.operators.graph import pagerank
+
+    import pytest as _pt
+
+    # star: everyone links to node 0 -> node 0 dominates
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)], "src INT, dst INT"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(df).collect()}
+    assert r[0] == max(r.values()) and r[0] > 0.4
+    leaf = [v for k, v in r.items() if k != 0]
+    assert max(leaf) - min(leaf) < 1e-12  # symmetric leaves tie
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)

@@ -450,7 +450,6 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-9,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank over a directed edge list — the link-graph quality signal
     web-corpus curation pipelines attach to documents (Common Crawl's
@@ -468,22 +467,34 @@ def pagerank(
       leaks and the vector no longer sums to 1,
     - stop when the L1 delta < ``tol`` or after ``max_iter`` rounds
       (power iteration converges geometrically at rate ``damping``;
-      fixed-iteration cutoff is the standard practice, not an error).
+      fixed-iteration cutoff is the standard practice, not an error),
+    - NULL endpoints are dropped up front (a NULL link target is absent
+      evidence, not a node — and routing mass to an unjoinable NULL
+      would silently leak it; round-6 code review),
+    - duplicate (src, dst) rows are PARALLEL edges: a page linking twice
+      passes twice the weight — multigraph semantics, matching a raw
+      link table; pre-``distinct()`` the edges for simple-graph ranks
+      (the numpy differential covers both shapes).
 
     Scale shape: per round ONE edges⋈ranks shuffle + one map-side-
     combined sum per dst; out-degrees computed once and re-joined (they
     never change); the dangling mass and the convergence delta are
-    1-row aggregates (driver reads parameters, never data).
-    ``localCheckpoint`` on the J8 cadence cuts the iterative lineage.
-    Float caveat: distributed double sums commute to ~1e-12 relative —
-    rank VALUES are reproducible to that tolerance, not bit-exact
-    (same contract as train_kmeans).
+    1-row aggregates (driver reads parameters, never data).  Each
+    round's ranks are eagerly localCheckpointed: the two per-round
+    driver actions (dangling mass, delta) fully materialize the frame
+    anyway, so pinning it costs nothing and stops rounds i+1/i+2 from
+    re-executing round i's joins (unlike the lazy single-action J8 loop,
+    where a sparser cadence wins).  Float caveat: distributed double
+    sums commute to ~1e-12 relative — rank VALUES are reproducible to
+    that tolerance, not bit-exact (same contract as train_kmeans).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     src, dst = F.col(src_col), F.col(dst_col)
-    ed = edges.select(src.alias("_s"), dst.alias("_d")).localCheckpoint(
-        eager=True
+    ed = (
+        edges.select(src.alias("_s"), dst.alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .localCheckpoint(eager=True)
     )
     nodes = (
         ed.select(F.col("_s").alias("node"))
@@ -494,8 +505,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = ed.groupBy("_s").agg(F.count("*").alias("_deg"))
-    # edges pre-joined with the (static) out-degree once, not per round
+    # static per-round inputs pinned once: out_deg feeds the dangling
+    # anti-join every round, ed_w the contribution join
+    out_deg = ed.groupBy("_s").agg(F.count("*").alias("_deg")).localCheckpoint(
+        eager=True
+    )
     ed_w = ed.join(out_deg, "_s").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
@@ -523,8 +537,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # pin EVERY round: the dangling/delta driver actions materialize
+        # nxt regardless, and an unpinned frame would re-run this round's
+        # joins inside the next two rounds' plans (round-6 code review)
+        nxt = nxt.localCheckpoint(eager=True)
         delta = (
             nxt.alias("n")
             .join(ranks.alias("o"), "node")

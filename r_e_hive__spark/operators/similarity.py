@@ -482,7 +482,13 @@ def ivf_search(
         F.explode(
             probe_centroids(F.col(vec_col), centroids, n_probe, exact_decimal)
         ).alias("_ivf_bucket"),
-    )
+    # eager pin BEFORE the probe collect: the bucket list and the
+    # ivf_topk join must see the SAME evaluation of the queries frame —
+    # a nondeterministic input (df.sample, rand-derived filter) would
+    # otherwise probe buckets from evaluation A while the join replays
+    # evaluation B, silently scoring pruned-away candidates as absent
+    # (round-6 code review); also saves re-running probe_centroids
+    ).localCheckpoint(eager=True)
     probed = sorted(
         r["_ivf_bucket"]
         for r in q_b.select("_ivf_bucket").distinct().collect()

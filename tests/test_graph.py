@@ -193,18 +193,28 @@ def test_pagerank_matches_numpy_reference(spark):
     from r_e_hive__spark.operators.graph import pagerank
 
     rng = random.Random(71)
-    # random digraph with dangling nodes (no out-edges) and a hub
-    edges = list({(rng.randrange(30), rng.randrange(40)) for _ in range(120)})
+    # random MULTIgraph: duplicate (src,dst) rows are parallel edges with
+    # double weight (documented semantics — the reference iterates the
+    # same duplicated list), plus dangling nodes (no out-edges)
+    edges = [(rng.randrange(30), rng.randrange(40)) for _ in range(120)]
+    edges += edges[:10]  # explicit duplicates
     df = spark.createDataFrame(edges, "src INT, dst INT")
-    got = {
-        r["node"]: r["rank"]
-        for r in pagerank(df, max_iter=25, tol=1e-12).collect()
-    }
+    # NULL endpoints are dropped, never become nodes, never absorb mass
+    withnull = df.unionByName(
+        spark.createDataFrame(
+            [(None, 5), (7, None), (None, None)], "src INT, dst INT"
+        )
+    )
     want = _np_pagerank(edges, 0.85, 25, 1e-12)
-    assert set(got) == set(want)
-    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: mass conserved
-    for k in want:
-        assert abs(got[k] - want[k]) < 1e-9, k
+    for frame in (df, withnull):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(frame, max_iter=25, tol=1e-12).collect()
+        }
+        assert set(got) == set(want)
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
 
 
 def test_pagerank_star_and_validation(spark):

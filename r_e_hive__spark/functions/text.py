@@ -8,6 +8,7 @@ formulation the DuckDB oracle can run.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -112,6 +113,52 @@ def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: sha256 of the normalized text.
     (The rolling-hash variant lives in operators/dedup.py as simhash.)"""
     return F.sha2(normalize(text), 256)
+
+
+def normalize_ccnet(text: Column) -> Column:
+    """CCNet-style aggressive normalization for HASHING (Wenzek et al.
+    2020, public method: dedup keys are computed on lowercased,
+    accent-stripped, digit-bucketed, punctuation-free text so trivially
+    re-rendered copies collide).  Arrow-batched pandas_udf — true Unicode
+    NFKD + casefold need the Unicode tables, which no Catalyst built-in
+    exposes; this is the documented vectorized-UDF exception class, and
+    it belongs on the tiny dedup-key projection, not the hot scan path.
+    Steps (deterministic, engine-independent):
+
+    1. NFKD decompose, drop combining marks (accent strip: é→e),
+    2. casefold (stronger than lower: ß→ss),
+    3. every digit → 0 (CCNet buckets numbers),
+    4. strip punctuation/symbol category chars,
+    5. collapse whitespace runs to one space, trim.
+
+    NULL → NULL.  Compose with ``fingerprint``/``exact_dedup`` by keying
+    on ``normalize_ccnet(text)`` instead of the raw column."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFKD", t)
+            out = []
+            for ch in t:
+                cat = unicodedata.category(ch)
+                if cat.startswith("M"):  # combining marks (accents)
+                    continue
+                if cat.startswith(("P", "S")):  # punctuation, symbols
+                    out.append(" ")
+                elif ch.isdigit():
+                    out.append("0")
+                else:
+                    out.append(ch)
+            return " ".join("".join(out).casefold().split())
+
+        return s.map(one)
+
+    return _norm(text)
 
 
 def shingles(text: Column, k: int = 3) -> Column:

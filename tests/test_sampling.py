@@ -631,3 +631,33 @@ def test_corpus_report_null_text_dup_accounting(spark):
     # en: 2 fingerprintable docs, 1 distinct -> 0.5; the NULL doc ignored
     assert rows[("s", "en")]["dup_fraction"] == pytest.approx(0.5)
     assert rows[("s", "en")]["n_docs"] == 3
+
+
+def test_normalize_ccnet_dedup_key(spark):
+    """CCNet hashing normalization (functions/text.normalize_ccnet):
+    accent strip, casefold (incl. one-to-many like German sharp s),
+    digit bucketing, punctuation removal, whitespace collapse — so
+    trivially re-rendered copies produce ONE dedup key; NULL passes
+    through; composes with exact_dedup."""
+    from r_e_hive__spark.functions.text import normalize_ccnet
+    from r_e_hive__spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "Héllo,   Wörld! 2024"),
+        (2, "hello world 1999"),        # same key: accents/case/digits/punct
+        (3, "HELLO — WORLD…0000"),      # same key again
+        (4, "Straße"),
+        (5, "strasse"),                 # casefold: ß -> ss
+        (6, None),
+        (7, "different entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    keyed = df.withColumn("k", normalize_ccnet(F.col("text")))
+    got = {r["id"]: r["k"] for r in keyed.collect()}
+    assert got[1] == got[2] == got[3] == "hello world 0000"
+    assert got[4] == got[5] == "strasse"
+    assert got[6] is None
+    survivors = {
+        r["id"] for r in exact_dedup(keyed, ["k"], "id").collect()
+    }
+    assert survivors == {1, 4, 6, 7}

@@ -227,7 +227,7 @@ def range_join(
     start_col: str,
     end_col: str,
     by: Sequence[str] = (),
-    bin_width: int = 3600,
+    bin_width: int | str = "auto",
     how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join via fixed-width binning (inclusive bounds).
@@ -246,6 +246,17 @@ def range_join(
     100 TB the equi-join shuffles both sides once on (by…, bin); skew from
     a popular bin is AQE-splittable because the hot key is a real join key
     (compare ``salted_join`` when ``by`` alone is the hot axis).
+
+    ``bin_width`` is purely a PERFORMANCE knob — any width returns the
+    identical result (the residual filter is exact) — but a bad one is
+    the op's classic footgun: too narrow explodes every interval into
+    thousands of bins, too wide funnels unrelated points into shared
+    buckets.  ``"auto"`` (default) sizes bins to the MEDIAN interval
+    length (approx_percentile, one tiny agg on the intervals side): the
+    canonical heuristic — a typical interval then spans ~1-2 bins while
+    a bin co-locates ~O(1) intervals' worth of axis range.  Pass an
+    explicit int to override (e.g. when intervals are wildly mixed-scale
+    and the workload is point-heavy).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
@@ -258,6 +269,17 @@ def range_join(
             return F.unix_timestamp(F.col(c))
         return F.col(c).cast("long")
 
+    if bin_width == "auto":
+        med = intervals.agg(
+            F.approx_percentile(
+                _axis(intervals, end_col) - _axis(intervals, start_col),
+                F.lit(0.5),
+                F.lit(10_000),
+            )
+        ).first()[0]
+        bin_width = max(1, int(med or 0) + 1)
+    elif not isinstance(bin_width, int) or bin_width < 1:
+        raise ValueError(f"bin_width must be 'auto' or a positive int, got {bin_width!r}")
     p = points.withColumn("__bin", F.floor(_axis(points, point_col) / bin_width))
     i = intervals.withColumn(
         "__bin",

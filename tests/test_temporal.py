@@ -290,3 +290,39 @@ def test_range_join_left_null_payload_and_duplicate_intervals(spark):
     assert inner.where(F.col("x") == 500).count() == 0
     unmatched = lj.where(F.col("x") == 500).collect()
     assert len(unmatched) == 1 and unmatched[0]["lo"] is None
+
+
+def test_range_join_auto_bin_width(spark):
+    """bin_width is a pure performance knob: 'auto' (median interval
+    length, the new default) must return the identical rows as every
+    explicit width, on empty-intervals input too (falls back to 1)."""
+    left, right = _frames(spark)
+    iv = right.select(
+        "user_id",
+        F.col("status_ts").alias("start_ts"),
+        (F.col("status_ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        "status_value",
+    )
+    want = _pdf(
+        range_join(
+            left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"],
+            bin_width=7200,
+        )
+    ).sort_values(["event_id", "start_ts"]).reset_index(drop=True)
+    got = _pdf(
+        range_join(left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"])
+    ).sort_values(["event_id", "start_ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # empty intervals: auto falls back without crashing, result empty
+    empty = range_join(
+        left, iv.where(F.lit(False)), "ev_ts", "start_ts", "end_ts",
+        by=["user_id"],
+    )
+    assert empty.count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bin_width"):
+        range_join(
+            left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"],
+            bin_width=0,
+        )

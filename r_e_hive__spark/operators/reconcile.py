@@ -45,7 +45,47 @@ def row_fingerprint(cols: Sequence[str]) -> Column:
     return F.xxhash64(*lanes)
 
 
-def table_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def md5_fingerprint(cols: Sequence[str]) -> Column:
+    """Cross-ENGINE-replayable 60-bit row fingerprint: the first 15 hex
+    chars of md5 over unit-separator-joined, NULL-sentineled string casts
+    — md5 is bit-identical Spark↔DuckDB (the X15 sampling anchor), so a
+    checksum built on it can be verified by a DIFFERENT engine, which is
+    the whole point of a migration certificate (the default xxhash64
+    fingerprint is Spark-only and ~3× cheaper: use it when both sides are
+    Spark).  Same NULL discipline as row_fingerprint via an explicit
+    sentinel (chr(0)+'NULL'+chr(0)) so (NULL,'x') ≠ ('x',NULL).  Caveat:
+    fingerprints STRING RENDERINGS — cast floats to decimal first (double
+    → string formatting differs across engines; exact types render
+    identically).  The DuckDB twin is ``du_md5_fingerprint``."""
+    if not cols:
+        raise ValueError("md5_fingerprint: need at least one column")
+    sent = "\x00NULL\x00"
+    enc = [
+        F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def du_md5_fingerprint(cols: Sequence[str]) -> str:
+    """DuckDB SQL twin of ``md5_fingerprint`` (same join/sentinel/slice)."""
+    enc = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0)||'NULL'||chr(0))"
+        for c in cols
+    )
+    return (
+        "CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        + enc
+        + ")), 1, 15)) AS BIGINT)"
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    fingerprint: Column | None = None,
+) -> DataFrame:
     """One-row multiset certificate: ``(n_rows, xor_fp, sum_fp)``.
 
     - ``xor_fp`` — bit-XOR of row fingerprints: order-insensitive, but
@@ -60,7 +100,7 @@ def table_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     position-significant); pass the same ``cols`` list on both sides.
     """
     use = list(cols) if cols is not None else list(df.columns)
-    fp = row_fingerprint(use)
+    fp = fingerprint if fingerprint is not None else row_fingerprint(use)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.bit_xor(fp), F.lit(0)).alias("xor_fp"),
@@ -82,6 +122,7 @@ def table_diff(
     b: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    fingerprint: Column | None = None,
 ) -> DataFrame:
     """Keyed difference of two snapshots: one row per key whose presence
     or content differs — ``(key_cols..., diff)`` with ``diff`` in
@@ -112,7 +153,10 @@ def table_diff(
     comp = list(compare_cols)
 
     def _cert(df: DataFrame) -> DataFrame:
-        fp = row_fingerprint(comp) if comp else F.lit(0)
+        if fingerprint is not None:
+            fp = fingerprint
+        else:
+            fp = row_fingerprint(comp) if comp else F.lit(0)
         return df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("_n"),
             F.bit_xor(fp).alias("_xor"),

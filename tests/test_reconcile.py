@@ -157,3 +157,71 @@ def test_table_diff_duplicate_keys_multiset_semantics(spark):
     # identical frames with dup keys: empty diff (the fan-out bug would
     # have emitted k=1 'changed' pairs)
     assert X.table_diff(a, a, ["k"]).count() == 0
+
+
+def test_md5_checksum_full_duckdb_differential(spark):
+    """Cross-ENGINE certificate (round 6): per-event_type checksums built
+    on the md5 fingerprint must be reproduced EXACTLY by DuckDB running
+    the twin SQL over the same parquet — the migration story where the
+    verifying engine is not Spark.  Floats enter as decimal casts (double
+    → string renders differently across engines; exact types don't)."""
+    import duckdb
+
+    cols = ["event_id", "event_type", "v"]
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "v", F.col("value").cast("decimal(12,2)")
+    )
+    fp = X.md5_fingerprint(cols)
+    got = {
+        r["event_type"]: (r["n_rows"], r["xor_fp"], str(r["sum_fp"]))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(fp).alias("xor_fp"),
+            F.sum(fp.cast("decimal(38,0)")).alias("sum_fp"),
+        )
+        .collect()
+    }
+    du_fp = X.du_md5_fingerprint(cols)
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2], str(r[3]))
+        for r in con.execute(
+            f"""
+            WITH ev AS (
+              SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v
+              FROM read_parquet('{SF_SMOKE}/events.parquet')
+            )
+            SELECT event_type, COUNT(*),
+                   bit_xor({du_fp}),
+                   CAST(SUM(CAST({du_fp} AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            FROM ev GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) >= 3
+
+
+def test_table_diff_md5_fingerprint_finds_mutations(spark):
+    """table_diff with the cross-engine fingerprint pinpoints exactly the
+    mutated keys (and nothing else) — the keyed-certificate path under
+    the replayable fingerprint mode."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    mutated = ev.withColumn(
+        "v",
+        F.when(F.col("event_id") % 997 == 0, F.col("v") + 1).otherwise(
+            F.col("v")
+        ),
+    )
+    fp = X.md5_fingerprint(["event_type", "v"])
+    diff = X.table_diff(
+        ev, mutated, ["event_id"], ["event_type", "v"], fingerprint=fp
+    )
+    got = {(r["event_id"], r["diff"]) for r in diff.collect()}
+    want_ids = {
+        r["event_id"]
+        for r in ev.where(F.col("event_id") % 997 == 0).collect()
+    }
+    assert got == {(i, "changed") for i in want_ids} and len(got) > 0

@@ -250,3 +250,50 @@ def deterministic_fixed_sample(
         .limit(n)
         .drop(ucol)
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``n`` rows
+    where a row's inclusion probability scales with its weight — the
+    quality-weighted subsample every curation pipeline draws ("keep 1 M
+    documents, preferring high quality_score") once scores exist (X5/X26/
+    X28 outputs plug straight in).
+
+    Efraimidis–Spirakis 2006 (public): assign each row the key
+    ``u^(1/w)`` with ``u`` uniform in (0,1) and take the n LARGEST — the
+    selection distributes exactly as sequential weighted draws without
+    replacement.  ``u`` here is the engine's md5 hash-uniform, so the
+    sample is a pure deterministic expression: reproducible under any
+    partitioning, replayable in DuckDB SQL (same construction as every
+    X15 sampler; ln(u)/w in log space for numeric stability —
+    monotone-equivalent to u^(1/w)).
+
+    Rows with NULL, zero, or negative weight are excluded (they have no
+    sampling mass).  ``key_col`` must be unique (the X15 sampler
+    contract); ties at the cutoff break on the key.  Scale: one
+    TakeOrderedAndProject over a map-side expression — no shuffle beyond
+    the top-n merge.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_uniform(F.col(key_col), salt)
+    # log-space E-S key: ln(u)/w, larger is better (ln(u) < 0); u is never
+    # 0 exactly (md5 uniform hits 0 only on one 32-bit value — guard it)
+    es = F.log(F.greatest(u, F.lit(2.0 ** -32))) / w.cast("double")
+    kcol = "_es"
+    while kcol in df.columns:
+        kcol += "_"
+    return (
+        df.where(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn(kcol, es)
+        .orderBy(F.desc(kcol), key_col)
+        .limit(n)
+        .drop(kcol)
+    )

@@ -661,3 +661,77 @@ def test_normalize_ccnet_dedup_key(spark):
         r["id"] for r in exact_dedup(keyed, ["k"], "id").collect()
     }
     assert survivors == {1, 4, 6, 7}
+
+
+# ------------------------------------------------- weighted sampling (E-S)
+
+
+def test_weighted_sample_matches_duckdb_replay(spark):
+    """The E-S construction is a pure expression over the md5 uniform, so
+    DuckDB replays the exact selected set (same log-space key, same
+    tiebreak) — full cross-engine differential like every X15 sampler."""
+    docs = _docs(spark).withColumn(
+        "w", (F.col("n_chars") % 7 + 1).cast("double")
+    )
+    got = {
+        r.doc_id
+        for r in SA.weighted_sample_n(docs, "doc_id", "w", 200, salt="s").collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH d AS (
+              SELECT doc_id, CAST(n_chars % 7 + 1 AS DOUBLE) AS w,
+                     CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 's')),1,8)) AS BIGINT)
+                     / 4294967296.0 AS u
+              FROM read_parquet('{SF_SMOKE}/documents.parquet')
+            )
+            SELECT doc_id FROM d WHERE w > 0
+            ORDER BY ln(greatest(u, pow(2.0, -32))) / w DESC, doc_id
+            LIMIT 200
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 200
+
+
+def test_weighted_sample_properties(spark):
+    docs = _docs(spark)
+    n_docs = docs.count()
+    # extreme weights dominate: the 10 heavy rows always make the sample
+    heavy = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") < 10, 1e9).otherwise(1e-9),
+    )
+    got = {
+        r.doc_id for r in SA.weighted_sample_n(heavy, "doc_id", "w", 15).collect()
+    }
+    assert set(range(10)) <= got and len(got) == 15
+    # deterministic under repartitioning
+    uni = docs.withColumn("w", F.lit(1.0))
+    a = {r.doc_id for r in SA.weighted_sample_n(uni, "doc_id", "w", 50).collect()}
+    b = {
+        r.doc_id
+        for r in SA.weighted_sample_n(uni.repartition(17), "doc_id", "w", 50).collect()
+    }
+    assert a == b and len(a) == 50
+    # raising one row's weight never evicts it (E-S key monotone in w)
+    some = sorted(a)[0]
+    bumped = uni.withColumn(
+        "w", F.when(F.col("doc_id") == some, 100.0).otherwise(F.col("w"))
+    )
+    c = {r.doc_id for r in SA.weighted_sample_n(bumped, "doc_id", "w", 50).collect()}
+    assert some in c
+    # NULL/zero/negative weights carry no mass
+    mixed = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .when(F.col("doc_id") % 3 == 1, -1.0)
+        .otherwise(1.0),
+    )
+    s = SA.weighted_sample_n(mixed, "doc_id", "w", n_docs)
+    assert {r.doc_id % 3 for r in s.collect()} == {2}
+    with pytest.raises(ValueError):
+        SA.weighted_sample_n(docs.withColumn("w", F.lit(1.0)), "doc_id", "w", 0)

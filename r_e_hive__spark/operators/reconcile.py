@@ -47,35 +47,41 @@ def row_fingerprint(cols: Sequence[str]) -> Column:
 
 def md5_fingerprint(cols: Sequence[str]) -> Column:
     """Cross-ENGINE-replayable 60-bit row fingerprint: the first 15 hex
-    chars of md5 over unit-separator-joined, NULL-sentineled string casts
-    — md5 is bit-identical Spark↔DuckDB (the X15 sampling anchor), so a
+    chars of md5 over per-column md5 LANES — md5 is bit-identical
+    Spark↔DuckDB (the X15 sampling anchor), so a
     checksum built on it can be verified by a DIFFERENT engine, which is
     the whole point of a migration certificate (the default xxhash64
     fingerprint is Spark-only and ~3× cheaper: use it when both sides are
-    Spark).  Same NULL discipline as row_fingerprint via an explicit
-    sentinel (chr(0)+'NULL'+chr(0)) so (NULL,'x') ≠ ('x',NULL).  Caveat:
+    Spark).  Same per-LANE discipline as row_fingerprint: each column is
+    md5-hashed separately (NULL lane = the literal 'N' — no md5 hex is
+    one char, so lanes stay unambiguous) and the fixed-width lanes join
+    before the outer md5.  Hashing lanes first removes the cross-column
+    boundary collisions a raw separator-join has — a value containing
+    the separator would shift content between columns and two different
+    rows could encode identically (round-6 code review; web text
+    contains every control char).  Caveat:
     fingerprints STRING RENDERINGS — cast floats to decimal first (double
     → string formatting differs across engines; exact types render
     identically).  The DuckDB twin is ``du_md5_fingerprint``."""
     if not cols:
         raise ValueError("md5_fingerprint: need at least one column")
-    sent = "\x00NULL\x00"
-    enc = [
-        F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in cols
+    lanes = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols
     ]
     return F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *enc)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat_ws(":", *lanes)), 1, 15), 16, 10
     ).cast("long")
 
 
 def du_md5_fingerprint(cols: Sequence[str]) -> str:
-    """DuckDB SQL twin of ``md5_fingerprint`` (same join/sentinel/slice)."""
+    """DuckDB SQL twin of ``md5_fingerprint`` (same lanes/join/slice)."""
+    if not cols:
+        raise ValueError("du_md5_fingerprint: need at least one column")
     enc = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(0)||'NULL'||chr(0))"
-        for c in cols
+        f"coalesce(md5(CAST({c} AS VARCHAR)), 'N')" for c in cols
     )
     return (
-        "CAST(concat('0x', substr(md5(concat_ws(chr(31), "
+        "CAST(concat('0x', substr(md5(concat_ws(':', "
         + enc
         + ")), 1, 15)) AS BIGINT)"
     )

@@ -274,11 +274,22 @@ def weighted_sample_n(
     X15 sampler; ln(u)/w in log space for numeric stability —
     monotone-equivalent to u^(1/w)).
 
-    Rows with NULL, zero, or negative weight are excluded (they have no
-    sampling mass).  ``key_col`` must be unique (the X15 sampler
+    Rows with NULL, NaN, zero, or negative weight are excluded (they
+    have no sampling mass; NaN must be explicit — NaN > 0 is TRUE in
+    Spark's ordering and ln(u)/NaN sorts FIRST under desc, so without
+    the isnan guard garbage-scored rows would monopolize every sample;
+    round-6 code review, reproduced).  ``key_col`` must be unique (the X15 sampler
     contract); ties at the cutoff break on the key.  Scale: one
     TakeOrderedAndProject over a map-side expression — no shuffle beyond
     the top-n merge.
+
+    Replay caveat (unlike the other X15 samplers, which use only exact
+    arithmetic): the E-S key goes through ``ln``, so cross-engine replay
+    is exact on this platform (pinned by test) but a key pair within
+    1 ulp of the rank-n cutoff could in principle flip across
+    libm/JVM builds — the same last-ulp caveat class as the numpy
+    strategies.  Spark-side determinism (same data ⇒ same sample) is
+    unconditional.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
@@ -290,8 +301,9 @@ def weighted_sample_n(
     kcol = "_es"
     while kcol in df.columns:
         kcol += "_"
+    wd = w.cast("double")
     return (
-        df.where(w.isNotNull() & (w.cast("double") > 0))
+        df.where(w.isNotNull() & ~F.isnan(wd) & (wd > 0))
         .withColumn(kcol, es)
         .orderBy(F.desc(kcol), key_col)
         .limit(n)

@@ -227,7 +227,7 @@ def range_join(
     start_col: str,
     end_col: str,
     by: Sequence[str] = (),
-    bin_width: int | str = "auto",
+    bin_width: int | str = 3600,
     how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join via fixed-width binning (inclusive bounds).
@@ -251,12 +251,17 @@ def range_join(
     identical result (the residual filter is exact) — but a bad one is
     the op's classic footgun: too narrow explodes every interval into
     thousands of bins, too wide funnels unrelated points into shared
-    buckets.  ``"auto"`` (default) sizes bins to the MEDIAN interval
-    length (approx_percentile, one tiny agg on the intervals side): the
-    canonical heuristic — a typical interval then spans ~1-2 bins while
-    a bin co-locates ~O(1) intervals' worth of axis range.  Pass an
-    explicit int to override (e.g. when intervals are wildly mixed-scale
-    and the workload is point-heavy).
+    buckets.  ``bin_width="auto"`` sizes bins from the intervals
+    themselves: the MEDIAN interval length (a typical interval spans
+    ~1-2 bins) floored at max_length/10_000 so one long-tail interval
+    can never explode into more than ~10 k bin rows (an unbounded
+    median-only rule would materialize length/median elements for the
+    outlier — reviewed failure: a 1 s median with a 1-year interval is
+    a 15.7 M-element sequence).  Auto costs ONE eager tiny agg on the
+    intervals side at PLAN TIME (breaks laziness, double-executes an
+    expensive uncached intervals lineage, and cannot run on streaming
+    frames) — which is why it is opt-in, not the default (round-6 code
+    review); the static default stays 3600 (epoch-seconds hour).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
@@ -270,14 +275,15 @@ def range_join(
         return F.col(c).cast("long")
 
     if bin_width == "auto":
-        med = intervals.agg(
+        med, mx = intervals.agg(
             F.approx_percentile(
                 _axis(intervals, end_col) - _axis(intervals, start_col),
                 F.lit(0.5),
                 F.lit(10_000),
-            )
-        ).first()[0]
-        bin_width = max(1, int(med or 0) + 1)
+            ),
+            F.max(_axis(intervals, end_col) - _axis(intervals, start_col)),
+        ).first()
+        bin_width = max(1, int(med or 0) + 1, -(-int(mx or 0) // 10_000))
     elif not isinstance(bin_width, int) or bin_width < 1:
         raise ValueError(f"bin_width must be 'auto' or a positive int, got {bin_width!r}")
     p = points.withColumn("__bin", F.floor(_axis(points, point_col) / bin_width))

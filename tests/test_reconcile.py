@@ -225,3 +225,27 @@ def test_table_diff_md5_fingerprint_finds_mutations(spark):
         for r in ev.where(F.col("event_id") % 997 == 0).collect()
     }
     assert got == {(i, "changed") for i in want_ids} and len(got) > 0
+
+
+def test_md5_fingerprint_no_cross_column_collisions(spark):
+    """Per-lane hashing: values containing the old raw separator must not
+    shift content across column boundaries (round-6 review: ('a\\x1fb','c')
+    vs ('a','b\\x1fc') collided under a raw separator join), and a literal
+    sentinel-looking string must not collide with NULL."""
+    rows = [
+        (1, "a\x1fb", "c"),
+        (2, "a", "b\x1fc"),
+        (3, "a:b", "c"),
+        (4, "a", "b:c"),
+        (5, None, "x"),
+        (6, "x", None),
+        (7, "\x00NULL\x00", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, c1 STRING, c2 STRING")
+    fps = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", X.md5_fingerprint(["c1", "c2"]).alias("fp")
+        ).collect()
+    }
+    assert len(set(fps.values())) == 7, fps  # all distinct

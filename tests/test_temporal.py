@@ -293,9 +293,10 @@ def test_range_join_left_null_payload_and_duplicate_intervals(spark):
 
 
 def test_range_join_auto_bin_width(spark):
-    """bin_width is a pure performance knob: 'auto' (median interval
-    length, the new default) must return the identical rows as every
-    explicit width, on empty-intervals input too (falls back to 1)."""
+    """bin_width is a pure performance knob: opt-in 'auto' (median
+    interval length with a max/10k long-tail floor) must return the
+    identical rows as every explicit width, on empty-intervals input too
+    (falls back to 1)."""
     left, right = _frames(spark)
     iv = right.select(
         "user_id",
@@ -310,15 +311,32 @@ def test_range_join_auto_bin_width(spark):
         )
     ).sort_values(["event_id", "start_ts"]).reset_index(drop=True)
     got = _pdf(
-        range_join(left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"])
+        range_join(
+            left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"],
+            bin_width="auto",
+        )
     ).sort_values(["event_id", "start_ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
     # empty intervals: auto falls back without crashing, result empty
     empty = range_join(
         left, iv.where(F.lit(False)), "ev_ts", "start_ts", "end_ts",
-        by=["user_id"],
+        by=["user_id"], bin_width="auto",
     )
     assert empty.count() == 0
+    # long-tail cap: a 1-second median with one huge interval must not
+    # explode the outlier into millions of bins — auto floors the width
+    # at max_len/10k, identical rows either way
+    tiny = spark.createDataFrame(
+        [(i, 0, 10 * i, 10 * i + 1) for i in range(50)]
+        + [(99, 0, 0, 40_000_000)],
+        "iv_id INT, user_id INT, s LONG, e LONG",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0, 21), (2, 0, 39_999_999)], "event_id INT, user_id INT, t LONG"
+    )
+    out = range_join(pts, tiny, "t", "s", "e", by=["user_id"], bin_width="auto")
+    rows = {(r["event_id"], r["iv_id"]) for r in out.collect()}
+    assert rows == {(1, 2), (1, 99), (2, 99)}
     import pytest as _pt
 
     with _pt.raises(ValueError, match="bin_width"):

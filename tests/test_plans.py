@@ -219,3 +219,38 @@ def test_q5_gate_picks_broadcast_then_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         agg._Q5_GATE_CACHE.pop(key, None)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 declared temporal family: the DRIVER-FACING query paths compile
+# to the scale shapes the operators promise (operator-level pins live in
+# tests/test_temporal.py; these pin the exact declared compositions).
+# ---------------------------------------------------------------------------
+
+
+def test_declared_asof_plan_no_join(spark):
+    from r_e_hive__spark.queries import load_all
+
+    p = plan(load_all()["x10_asof_join"].spark_fn(spark, SF_SMOKE), "simple")
+    # union-tag + window: the as-of itself contributes NO join operator
+    assert "Join" not in p, p
+    assert "Window" in p
+
+
+def test_declared_range_join_plan_equi_not_bnlj(spark):
+    from r_e_hive__spark.queries import load_all
+
+    p = plan(load_all()["x11_range_join"].spark_fn(spark, SF_SMOKE), "simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p) or ("HashJoin" in p), p
+
+
+def test_declared_rollup_merge_partial_aggregation(spark):
+    from r_e_hive__spark.queries import load_all
+
+    p = plan(load_all()["x12_rollup_merge"].spark_fn(spark, SF_SMOKE))
+    # decomposable monoid: every aggregation level has a map-side partial
+    # stage (sums are exact decimal BY DESIGN here — money semantics —
+    # unlike the fixed-point queries guarded above)
+    assert "partial" in p.lower(), p

@@ -174,6 +174,16 @@ def percentile_gate(
     equal-score ties are never split arbitrarily (determinism contract) —
     the kept set is a deterministic function of the data, not of
     partitioning or row order.
+
+    Laziness caveat (round-6 ADVICE): the keyless exact DISTRIBUTED path
+    materializes eagerly at call time — ``repartitionByRange`` samples
+    the input to pick range bounds and the ``localCheckpoint(eager=True)``
+    that pins those bounds for the two consuming subtrees runs a job
+    immediately.  Callers composing the gate into a larger plan that must
+    stay lazy (plan-construction purity, streaming foreachBatch bodies)
+    should pass ``distributed=False`` to keep the single-partition lazy
+    window form; every other path (grouped exact, approx) builds a lazy
+    plan as usual.
     """
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(

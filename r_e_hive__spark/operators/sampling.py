@@ -278,8 +278,13 @@ def weighted_sample_n(
     have no sampling mass; NaN must be explicit — NaN > 0 is TRUE in
     Spark's ordering and ln(u)/NaN sorts FIRST under desc, so without
     the isnan guard garbage-scored rows would monopolize every sample;
-    round-6 code review, reproduced).  ``key_col`` must be unique (the X15 sampler
-    contract); ties at the cutoff break on the key.  Scale: one
+    round-6 code review, reproduced).  NULL keys are excluded too: the
+    md5 uniform of a NULL key is NULL, the E-S key comes out NULL and
+    sorts LAST under desc, so a NULL-key row would otherwise be silently
+    padded into any under-full sample with an arbitrary tiebreak
+    (round-6 ADVICE) — and ``key_col`` must be unique anyway (the X15
+    sampler contract), which NULL cannot satisfy.  Ties at the cutoff
+    break on the key.  Scale: one
     TakeOrderedAndProject over a map-side expression — no shuffle beyond
     the top-n merge.
 
@@ -303,7 +308,12 @@ def weighted_sample_n(
         kcol += "_"
     wd = w.cast("double")
     return (
-        df.where(w.isNotNull() & ~F.isnan(wd) & (wd > 0))
+        df.where(
+            F.col(key_col).isNotNull()
+            & w.isNotNull()
+            & ~F.isnan(wd)
+            & (wd > 0)
+        )
         .withColumn(kcol, es)
         .orderBy(F.desc(kcol), key_col)
         .limit(n)

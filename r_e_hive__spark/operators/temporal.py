@@ -284,7 +284,13 @@ def range_join(
             F.max(_axis(intervals, end_col) - _axis(intervals, start_col)),
         ).first()
         bin_width = max(1, int(med or 0) + 1, -(-int(mx or 0) // 10_000))
-    elif not isinstance(bin_width, int) or bin_width < 1:
+    elif (
+        isinstance(bin_width, bool)  # bool is an int subclass: True would
+        # silently mean bin_width=1 and False would raise with a confusing
+        # message (round-6 ADVICE) — reject both explicitly
+        or not isinstance(bin_width, int)
+        or bin_width < 1
+    ):
         raise ValueError(f"bin_width must be 'auto' or a positive int, got {bin_width!r}")
     p = points.withColumn("__bin", F.floor(_axis(points, point_col) / bin_width))
     i = intervals.withColumn(

@@ -733,5 +733,15 @@ def test_weighted_sample_properties(spark):
     )
     s = SA.weighted_sample_n(mixed, "doc_id", "w", n_docs)
     assert {r.doc_id % 3 for r in s.collect()} == {2}
+    # NULL keys are excluded, never padded in: a NULL key's E-S key is
+    # NULL (sorts last desc), so an under-full sample would otherwise
+    # silently absorb NULL-key rows (round-6 ADVICE).  3 valid rows,
+    # n=10 → exactly the 3 valid rows come back.
+    nullkey = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0), (None, 1.0), (None, 5.0)],
+        "doc_id INT, w DOUBLE",
+    )
+    got_nk = SA.weighted_sample_n(nullkey, "doc_id", "w", 10).collect()
+    assert sorted(r.doc_id for r in got_nk) == [1, 2, 3]
     with pytest.raises(ValueError):
         SA.weighted_sample_n(docs.withColumn("w", F.lit(1.0)), "doc_id", "w", 0)

@@ -344,3 +344,12 @@ def test_range_join_auto_bin_width(spark):
             left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"],
             bin_width=0,
         )
+    # bool is an int subclass: True would silently mean bin_width=1 and
+    # False would raise with a misleading message (round-6 ADVICE) —
+    # both must be rejected up front
+    for bad in (True, False):
+        with _pt.raises(ValueError, match="bin_width"):
+            range_join(
+                left, iv, "ev_ts", "start_ts", "end_ts", by=["user_id"],
+                bin_width=bad,
+            )

@@ -26,12 +26,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries import RETIRED, load_all
     from r_e_hive__spark.session import get_spark
 
     spark = get_spark(app_name="rehive-bench", master=f"local[{cpus}]")
 
-    queries = {name: q for name, q in load_all().items() if q.bench}
+    # bench set = declared ∪ retired with bench=True: driver-surface
+    # rotation (the 50-query CORRECTNESS cap) must not change the bench
+    # series — o3/j8_doubling stay measured after their round-7 retirement
+    queries = {
+        name: q for name, q in {**load_all(), **RETIRED}.items() if q.bench
+    }
 
     # warm the JVM, parquet footers, and the catalog's in-memory table cache
     # once (not timed) — the same steady-state a long-running cluster has.

@@ -177,3 +177,73 @@ def x2_simhash_neardup(spark, sf_dir):
         .orderBy("hamming", "id_a", "id_b")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# X19 — dedup-group closure (declared round 7; VERDICT r6 item 2)
+# ---------------------------------------------------------------------------
+
+# The oracle replays the WHOLE path in SQL: the exact shingle-Jaccard pair
+# join (the same CTE chain the x2 queries replay), then the transitive
+# closure as a recursive min-label reachability — reach(node, lbl) holds
+# every (node, label) where lbl reaches node over the symmetrized edge
+# set; MIN(lbl) per node is exactly connected_components' contract
+# (component = minimum reachable id).  UNION (not ALL) dedups the
+# frontier, so the recursion terminates on the finite pair set.
+_DU_COMPONENTS = (
+    _DU_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), good AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN sizes na ON na.doc_id = p.id_a
+      JOIN sizes nb ON nb.doc_id = p.id_b
+      WHERE ROUND(CAST(p.n_common AS DOUBLE) / (na.n + nb.n - p.n_common), 6) >= 0.5
+    ), sym AS (
+      SELECT id_a AS a, id_b AS b FROM good
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM good
+    ), vnodes AS (
+      SELECT DISTINCT a AS node FROM sym
+    ), reach(node, lbl) AS (
+      SELECT node, node FROM vnodes
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach
+    GROUP BY node ORDER BY node
+    """
+)
+
+
+@query(
+    "x19_dedup_components",
+    _DU_COMPONENTS,
+    survey_rows=("X19", "X2"),
+)
+def x19_dedup_components(spark, sf_dir):
+    """Transitive dedup-group closure over the exact near-dup pair set:
+    3-gram Jaccard pairs (J ≥ 0.5, the x2_ngram_jaccard_topk generator)
+    → connected components (min-label propagation,
+    operators/graph.py:263) → (node, component = min reachable doc_id).
+    This is the hinge between pairwise detection and survivor selection
+    (``node == component`` IS the keep-min survivor rule, transitively
+    closed, so chains a~b~c dedup as ONE group regardless of pair
+    order).  The oracle recomputes pairs AND closure from scratch —
+    recursive-CTE reachability vs the engine's iterative label
+    propagation, a genuine cross-paradigm differential (the J8
+    discipline).  Scale shape: the pair join is the banded/blocked x2
+    machinery; each closure round is one shuffle join + map-side-combined
+    min, rounds = dup-cluster diameter (small for dense dup groups)."""
+    from r_e_hive__spark.operators.graph import connected_components
+
+    (documents,) = T(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        documents, "text", "doc_id", k=3, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select("node", "component").orderBy("node")

@@ -113,11 +113,12 @@ def test_doubling_plan_contains_joins(spark):
 
 
 def test_declared_doubling_query_runs_distributed_path(spark):
-    # the declared query must not silently fall back to the closed form
-    from r_e_hive__spark.queries import load_all
+    # the query must not silently fall back to the closed form (retired
+    # from the driver surface in round 7; the plan pin stays)
+    from r_e_hive__spark.queries import RETIRED, load_all
     from tests.test_plans import plan
 
-    q = load_all()["j8_doubling_closure"]
+    q = {**RETIRED, **load_all()}["j8_doubling_closure"]
     df = q.spark_fn(spark, "/root/testdata/sf0.001")
     assert "Join" in plan(df, "simple")
     assert df.count() > 0

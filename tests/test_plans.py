@@ -79,9 +79,12 @@ def test_semi_anti_joins_stay_joins(spark):
 
 
 def test_topk_avoids_full_sort(spark):
-    from r_e_hive__spark.queries import load_all
+    # o3_topk_orders retired from the driver surface in round 7 (ledger in
+    # queries/__init__.py) — the plan pin stays, reading the merged registry
+    from r_e_hive__spark.queries import RETIRED, load_all
 
-    p = plan(load_all()["o3_topk_orders"].spark_fn(spark, SF_SMOKE), "simple")
+    merged = {**RETIRED, **load_all()}
+    p = plan(merged["o3_topk_orders"].spark_fn(spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in p, p
 
 

@@ -383,9 +383,11 @@ def running_balance_tws(stream: DataFrame) -> DataFrame:
     operations demand it, without a semantics hunt.
 
     Requires the RocksDB state-store provider (Spark's transformWithState
-    implementation is RocksDB-only) and the ``protobuf`` wheel (the
-    driver<->worker state protocol is protobuf-based); the twin test is
-    skip-gated on the latter.  State per key is one long — at 100 TB of
+    implementation is RocksDB-only) and a protobuf runtime (the
+    driver<->worker state protocol is protobuf-based).  In containers
+    without the wheel, streaming/pbshim.py enables an OS-vendored
+    pure-Python runtime (round 7) — the twin test runs it for real here;
+    it only skips when NO runtime exists.  State per key is one long — at 100 TB of
     events the state store scales with #distinct users, not event volume,
     and RocksDB spills to disk.
     """

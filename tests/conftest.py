@@ -15,7 +15,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     from r_e_hive__spark.session import get_spark
+    from r_e_hive__spark.streaming.pbshim import enable_protobuf_shim
 
+    # ST6b enablement: must run BEFORE the JVM starts — it exports the
+    # worker-side sitecustomize hook via PYTHONPATH, which a running JVM
+    # would never see.  No-op when a real protobuf wheel exists; returns
+    # False (and the TWS twin test skips) when no runtime is available.
+    enable_protobuf_shim()
     s = get_spark(app_name="rehive-tests", master="local[8]", shuffle_partitions=8)
     yield s
 

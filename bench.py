@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tools.bench_common import bench_reps, geomean, parse_sf
+from tools.bench_common import LLM_BENCH, bench_reps, geomean, parse_sf
 
 
 def main() -> None:
@@ -34,9 +34,23 @@ def main() -> None:
     # bench set = declared ∪ retired with bench=True: driver-surface
     # rotation (the 50-query CORRECTNESS cap) must not change the bench
     # series — o3/j8_doubling stay measured after their round-7 retirement
-    queries = {
-        name: q for name, q in {**load_all(), **RETIRED}.items() if q.bench
-    }
+    merged = {**load_all(), **RETIRED}
+    # SPARK_GRAFT_BENCH_SETS: 'all' (default) | 'relational' | 'llm' —
+    # scale sweeps can focus one set without changing methodology
+    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
+    queries = (
+        {name: q for name, q in merged.items() if q.bench}
+        if sets in ("all", "relational")
+        else {}
+    )
+    # second headline set (round 7): the LLM-pipeline operators — recorded
+    # as their own geomean so operator-level perf is a tracked number, not
+    # BASELINE.md prose (VERDICT r6 item 4)
+    llm_queries = (
+        {name: merged[name] for name in LLM_BENCH}
+        if sets in ("all", "llm")
+        else {}
+    )
 
     # warm the JVM, parquet footers, and the catalog's in-memory table cache
     # once (not timed) — the same steady-state a long-running cluster has.
@@ -44,27 +58,34 @@ def main() -> None:
 
     for df in register_testdata(spark, sf_dir).values():
         df.count()
-    for name, q in queries.items():
+    for name, q in {**queries, **llm_queries}.items():
         q.spark_fn(spark, sf_dir).limit(1).collect()
 
     reps = bench_reps()
-    timings: dict[str, float] = {}
-    rep_times: dict[str, list[float]] = {}
-    for name, q in queries.items():
-        samples: list[float] = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = q.spark_fn(spark, sf_dir)
-            # noop sink: materializes every output column (count() would let
-            # Catalyst prune the whole projection for per-row queries)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 4))
-        # best-of-N: the steady-state number a warm cluster delivers; the
-        # single-shot numbers on this shared VM carry ±2× scheduler noise.
-        # The full per-rep array ships in the JSON so a reader can separate
-        # VM noise from plan regressions without re-running (VERDICT r3 §7).
-        rep_times[name] = samples
-        timings[name] = min(samples)
+
+    def run_set(qset) -> tuple[dict[str, float], dict[str, list[float]]]:
+        timings: dict[str, float] = {}
+        rep_times: dict[str, list[float]] = {}
+        for name, q in qset.items():
+            samples: list[float] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = q.spark_fn(spark, sf_dir)
+                # noop sink: materializes every output column (count() would
+                # let Catalyst prune the whole projection for per-row queries)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 4))
+            # best-of-N: the steady-state number a warm cluster delivers; the
+            # single-shot numbers on this shared VM carry ±2× scheduler noise.
+            # The full per-rep array ships in the JSON so a reader can
+            # separate VM noise from plan regressions without re-running
+            # (VERDICT r3 §7).
+            rep_times[name] = samples
+            timings[name] = min(samples)
+        return timings, rep_times
+
+    timings, rep_times = run_set(queries)
+    llm_timings, llm_rep_times = run_set(llm_queries)
 
     # Environment calibration: a fixed, data-independent, plan-stable probe
     # (sum over a 200M-row range — pure JVM codegen, no IO, no shuffle read)
@@ -86,6 +107,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": rep_times,
+                "llm_geomean": round(geomean(llm_timings), 4),
+                "llm_queries": llm_timings,
+                "llm_reps": llm_rep_times,
                 "calibration": {"range_sum_200m": calib},
                 "sf": parse_sf(sf_dir),
             }

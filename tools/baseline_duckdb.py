@@ -15,10 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.bench_common import bench_reps, geomean, parse_sf
+from tools.bench_common import LLM_BENCH, bench_reps, geomean, parse_sf
 
 from r_e_hive__spark.oracle.diff import duckdb_connection
-from r_e_hive__spark.queries import load_all
+from r_e_hive__spark.queries import RETIRED, load_all
 
 
 def main() -> None:
@@ -36,22 +36,45 @@ def main() -> None:
             con.execute(f'CREATE TABLE "t_{name}" AS SELECT * FROM "{name}"')
             con.execute(f'DROP VIEW "{name}"')
             con.execute(f'ALTER TABLE "t_{name}" RENAME TO "{name}"')
-    queries = {
-        name: q for name, q in load_all().items() if q.bench and q.oracle is not None
-    }
+    merged = {**load_all(), **RETIRED}
+    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
+    queries = (
+        {
+            name: q
+            for name, q in merged.items()
+            if q.bench and q.oracle is not None
+        }
+        if sets in ("all", "relational")
+        else {}
+    )
+    llm_queries = (
+        {
+            name: merged[name]
+            for name in LLM_BENCH
+            if merged[name].oracle is not None
+        }
+        if sets in ("all", "llm")
+        else {}
+    )
     # warm the OS page cache / parquet footers once
-    for q in queries.values():
+    for q in {**queries, **llm_queries}.values():
         con.execute(q.oracle).fetchall()
     reps = bench_reps()
-    timings: dict[str, float] = {}
-    for name, q in queries.items():
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            con.execute(q.oracle).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        # best-of-N, same methodology as bench.py
-        timings[name] = round(best, 4)
+
+    def run_set(qset) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, q in qset.items():
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(q.oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            # best-of-N, same methodology as bench.py
+            timings[name] = round(best, 4)
+        return timings
+
+    timings = run_set(queries)
+    llm_timings = run_set(llm_queries)
     gmean = geomean(timings)
     print(
         json.dumps(
@@ -60,6 +83,8 @@ def main() -> None:
                 "value": round(gmean, 4),
                 "unit": "sec",
                 "queries": timings,
+                "llm_geomean": round(geomean(llm_timings), 4),
+                "llm_queries": llm_timings,
                 "sf": parse_sf(sf_dir),
             }
         )

@@ -10,6 +10,21 @@ import math
 import os
 
 
+# LLM-pipeline operator headline set (round 7, VERDICT r6 item 4): the
+# second recorded geomean, tracking the operators a training-data pipeline
+# user actually runs — retrieval ranking, semantic dedup, quantized ANN,
+# and chunking — so a regression in e.g. the BLAS top-k moves a tracked
+# number.  Both bench.py and baseline_duckdb.py time THIS list; the
+# relational headline set (bench=True) stays untouched for cross-round
+# comparability.
+LLM_BENCH = (
+    "x23_bm25_topk",
+    "x17_semdedup",
+    "x25_quantized_topk",
+    "x9_chunk_documents",
+)
+
+
 def bench_reps(default: int = 5) -> int:
     return int(os.environ.get("SPARK_GRAFT_BENCH_REPS", str(default)))
 

@@ -70,6 +70,61 @@ def resolve_strategy(df: DataFrame, small: str, large: str, min_bytes: int) -> s
     return large if size >= min_bytes else small
 
 
+# Density normalization for the TEXT gates (round 7, VERDICT r6 item 7).
+# SHINGLE_PANDAS_MIN_BYTES was calibrated at the fixture's density
+# (~300 chars/doc): at that density the byte threshold doubles as a
+# "tens-of-thousands of docs" threshold, and the expr path's per-ROW
+# overheads (split + array allocs + two HOF passes per doc) stay in
+# proportion.  A corpus of the SAME total bytes made of 100× longer
+# documents has 100× fewer rows — the Arrow pass's per-row serialization
+# overhead shrinks to nothing while the interpreted per-TOKEN HOF cost is
+# unchanged, so the Arrow side wins at a LOWER total size.  The gate
+# therefore scales the threshold by (fixture density / measured density),
+# never above the calibrated value and never below the fixed Python-tax
+# floor.
+FIXTURE_TEXT_CHARS = 300.0  # avg chars/doc of the calibration corpus
+ARROW_TAX_FLOOR_BYTES = 256 << 10  # below this the ~0.5 s tax never pays
+DENSITY_SAMPLE_ROWS = 512
+
+
+def resolve_text_strategy(
+    df: DataFrame, text_col: str, small: str, large: str, min_bytes: int
+) -> str:
+    """:func:`resolve_strategy` for text operators, with the crossover
+    density-normalized by a bounded sample of ``text_col`` lengths.
+
+    Zero-job on the common fast paths (size ≥ min_bytes → large;
+    size < the Arrow-tax floor, or unreadable stats → small).  Only in
+    the ambiguous band does it run ONE tiny job (LIMIT
+    ``DENSITY_SAMPLE_ROWS`` → avg(length)) to measure density — callers
+    composing gates into plans that must stay lazy should pass an
+    explicit strategy instead of "auto" (the percentile_gate laziness
+    discipline)."""
+    size = plan_size_bytes(df)
+    if size is None or size >= _STATS_UNKNOWN:
+        return small
+    if size >= min_bytes:
+        return large
+    if size < ARROW_TAX_FLOOR_BYTES:
+        return small
+    try:
+        from pyspark.sql import functions as F
+
+        row = (
+            df.select(F.length(F.col(text_col)).alias("_len"))
+            .limit(DENSITY_SAMPLE_ROWS)
+            .agg(F.avg("_len"))
+            .first()
+        )
+        bpr = float(row[0]) if row is not None and row[0] is not None else None
+    except Exception:
+        bpr = None
+    if not bpr or bpr <= FIXTURE_TEXT_CHARS:
+        return small  # fixture-or-denser corpus: the calibrated gate holds
+    eff = max(ARROW_TAX_FLOOR_BYTES, min_bytes * FIXTURE_TEXT_CHARS / bpr)
+    return large if size >= eff else small
+
+
 def plan_fits_broadcast(df: DataFrame) -> bool:
     """True iff Catalyst's size estimate for ``df``'s optimized plan is
     within the session's ``autoBroadcastJoinThreshold`` — the same gate

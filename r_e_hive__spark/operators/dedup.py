@@ -35,7 +35,7 @@ from r_e_hive__spark.operators import (
     SHINGLE_PANDAS_MIN_BYTES,
     ensure_parallelism,
     plan_fits_broadcast,
-    resolve_strategy,
+    resolve_text_strategy,
 )
 
 _fits_broadcast = plan_fits_broadcast  # shared gate (operators/__init__.py)
@@ -73,8 +73,8 @@ def with_shingles(
     crossover by Catalyst size estimate — corpus-scale inputs get the
     Arrow pass without the caller having to know the A/B."""
     if strategy == "auto":
-        strategy = resolve_strategy(
-            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        strategy = resolve_text_strategy(
+            df, text_col, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
         )
     if strategy == "pandas":
         return _exploded_shingles_pandas(df, text_col, id_col, k, ()).select(
@@ -211,8 +211,8 @@ def ngram_jaccard_pairs(
     knowing the A/B (round-5 VERDICT item 4).
     """
     if shingle_strategy == "auto":
-        shingle_strategy = resolve_strategy(
-            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        shingle_strategy = resolve_text_strategy(
+            df, text_col, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
         )
     if shingle_strategy == "pandas":
         # one Arrow pass computes exploded shingles AND carries the per-doc
@@ -723,8 +723,8 @@ def duplicate_spans(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if strategy == "auto":
-        strategy = resolve_strategy(
-            df, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        strategy = resolve_text_strategy(
+            df, text_col, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
         )
     if strategy == "pandas":
         exploded = _windowed_hashes_pandas(df, text_col, id_col, window)

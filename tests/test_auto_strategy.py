@@ -196,3 +196,66 @@ def test_semantic_dedup_auto_matches_both(spark, embeddings, monkeypatch):
     monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
     got = S.semantic_dedup(embeddings, "vec_id", "embedding", cents, 0.2)
     assert _rows(got.select("vec_id")) == want_np
+
+
+def test_text_gate_density_normalization(spark, tmp_path):
+    """Round-7 (VERDICT r6 item 7): the shingle crossover was calibrated
+    at fixture density (~300 chars/doc); a corpus of LONGER documents
+    reaches the Arrow-wins regime at a smaller total size (fewer rows ⇒
+    the Arrow per-row overhead vanishes while the interpreted per-token
+    HOF cost is unchanged).  resolve_text_strategy must therefore route a
+    long-document corpus UNDER the 4 MB byte threshold to the Arrow path,
+    while a fixture-density corpus of the same total size keeps the JVM
+    path.  Frames go through parquet: in-memory frames plan as LogicalRDD
+    whose size is the sentinel (separately pinned above)."""
+    import random
+
+    from r_e_hive__spark.operators import (
+        ARROW_TAX_FLOOR_BYTES,
+        SHINGLE_PANDAS_MIN_BYTES,
+        plan_size_bytes,
+        resolve_text_strategy,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+
+    def doc(n_chars: int) -> str:
+        toks = []
+        size = 0
+        while size < n_chars:
+            t = rng.choice(vocab)
+            toks.append(t)
+            size += len(t) + 1
+        return " ".join(toks)
+
+    total = 2_000_000  # ~2 MB of text: inside the ambiguous band
+    long_docs = [(i, doc(10_000)) for i in range(total // 10_000)]
+    short_docs = [(i, doc(300)) for i in range(total // 300)]
+
+    paths = {}
+    for name, rows in (("long", long_docs), ("short", short_docs)):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "doc_id INT, text STRING").write.parquet(p)
+        paths[name] = p
+
+    long_df = spark.read.parquet(paths["long"])
+    short_df = spark.read.parquet(paths["short"])
+    for df in (long_df, short_df):
+        size = plan_size_bytes(df)
+        assert size is not None and ARROW_TAX_FLOOR_BYTES <= size < (
+            SHINGLE_PANDAS_MIN_BYTES
+        ), size  # both sit in the ambiguous band — the density decides
+
+    assert (
+        resolve_text_strategy(
+            long_df, "text", "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        )
+        == "pandas"
+    )
+    assert (
+        resolve_text_strategy(
+            short_df, "text", "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
+        )
+        == "expr"
+    )

@@ -39,18 +39,22 @@ def main() -> None:
     # scale sweeps can focus one set without changing methodology
     sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
     queries = (
-        {name: q for name, q in merged.items() if q.bench}
+        {name: q.spark_fn for name, q in merged.items() if q.bench}
         if sets in ("all", "relational")
         else {}
     )
     # second headline set (round 7): the LLM-pipeline operators — recorded
     # as their own geomean so operator-level perf is a tracked number, not
-    # BASELINE.md prose (VERDICT r6 item 4)
-    llm_queries = (
-        {name: merged[name] for name in LLM_BENCH}
-        if sets in ("all", "llm")
-        else {}
-    )
+    # BASELINE.md prose (VERDICT r6 item 4).  Includes the strategy="auto"
+    # fast-path twins of the exact-decimal instrument rows so the BLAS /
+    # Arrow production paths are tracked too (queries/fastpaths.py).
+    if sets in ("all", "llm"):
+        from r_e_hive__spark.queries.fastpaths import FASTPATHS
+
+        llm_queries = {name: merged[name].spark_fn for name in LLM_BENCH}
+        llm_queries.update(FASTPATHS)
+    else:
+        llm_queries = {}
 
     # warm the JVM, parquet footers, and the catalog's in-memory table cache
     # once (not timed) — the same steady-state a long-running cluster has.
@@ -58,19 +62,19 @@ def main() -> None:
 
     for df in register_testdata(spark, sf_dir).values():
         df.count()
-    for name, q in {**queries, **llm_queries}.items():
-        q.spark_fn(spark, sf_dir).limit(1).collect()
+    for name, fn in {**queries, **llm_queries}.items():
+        fn(spark, sf_dir).limit(1).collect()
 
     reps = bench_reps()
 
     def run_set(qset) -> tuple[dict[str, float], dict[str, list[float]]]:
         timings: dict[str, float] = {}
         rep_times: dict[str, list[float]] = {}
-        for name, q in qset.items():
+        for name, fn in qset.items():
             samples: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                df = q.spark_fn(spark, sf_dir)
+                df = fn(spark, sf_dir)
                 # noop sink: materializes every output column (count() would
                 # let Catalyst prune the whole projection for per-row queries)
                 df.write.format("noop").mode("overwrite").save()

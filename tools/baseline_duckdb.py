@@ -47,15 +47,22 @@ def main() -> None:
         if sets in ("all", "relational")
         else {}
     )
-    llm_queries = (
-        {
+    if sets in ("all", "llm"):
+        llm_queries = {
             name: merged[name]
             for name in LLM_BENCH
             if merged[name].oracle is not None
         }
-        if sets in ("all", "llm")
-        else {}
-    )
+        # fast-path twins time the SAME TASK as their exact twin — record
+        # the twin's oracle under the fast name so the two engines' JSONs
+        # align by key (bench_common.LLM_FAST)
+        from tools.bench_common import LLM_FAST
+
+        llm_queries.update(
+            {fast: merged[src] for fast, src in LLM_FAST.items()}
+        )
+    else:
+        llm_queries = {}
     # warm the OS page cache / parquet footers once
     for q in {**queries, **llm_queries}.values():
         con.execute(q.oracle).fetchall()

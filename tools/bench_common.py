@@ -24,6 +24,16 @@ LLM_BENCH = (
     "x9_chunk_documents",
 )
 
+# Fast-path twins (r_e_hive__spark/queries/fastpaths.py): the production
+# strategy="auto" form of the exact-decimal declared instrument rows.
+# Value maps each twin to the declared query whose DuckDB oracle times the
+# same TASK — baseline_duckdb.py records the pair under the twin's name so
+# the Spark/DuckDB JSONs align by key.
+LLM_FAST = {
+    "x17_semdedup_fast": "x17_semdedup",
+    "x25_quantized_topk_fast": "x25_quantized_topk",
+}
+
 
 def bench_reps(default: int = 5) -> int:
     return int(os.environ.get("SPARK_GRAFT_BENCH_REPS", str(default)))

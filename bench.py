@@ -19,7 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tools.bench_common import LLM_BENCH, bench_reps, geomean, parse_sf
+from tools.bench_common import (
+    LLM_BENCH,
+    bench_reps,
+    bench_set_flags,
+    geomean,
+    parse_sf,
+)
 
 
 def main() -> None:
@@ -36,11 +42,12 @@ def main() -> None:
     # series — o3/j8_doubling stay measured after their round-7 retirement
     merged = {**load_all(), **RETIRED}
     # SPARK_GRAFT_BENCH_SETS: 'all' (default) | 'relational' | 'llm' —
-    # scale sweeps can focus one set without changing methodology
-    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
+    # scale sweeps can focus one set without changing methodology;
+    # selection is shared with baseline_duckdb.py (bench_common)
+    time_rel, time_llm = bench_set_flags()
     queries = (
         {name: q.spark_fn for name, q in merged.items() if q.bench}
-        if sets in ("all", "relational")
+        if time_rel
         else {}
     )
     # second headline set (round 7): the LLM-pipeline operators — recorded
@@ -48,7 +55,7 @@ def main() -> None:
     # BASELINE.md prose (VERDICT r6 item 4).  Includes the strategy="auto"
     # fast-path twins of the exact-decimal instrument rows so the BLAS /
     # Arrow production paths are tracked too (queries/fastpaths.py).
-    if sets in ("all", "llm"):
+    if time_llm:
         from r_e_hive__spark.queries.fastpaths import FASTPATHS
 
         llm_queries = {name: merged[name].spark_fn for name in LLM_BENCH}

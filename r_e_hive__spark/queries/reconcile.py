@@ -38,10 +38,14 @@ _CK_ORACLE = f"""
              CAST(CAST(SUM(CAST({_DU_FP} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_fp
       FROM ev GROUP BY event_type
     ), tot AS (
+      -- COALESCE mirrors table_checksum's empty-table certificate
+      -- (0, 0, '0'): without it a zero-row table yields NULL aggregates
+      -- here while the Spark side coalesces (round-7 code review; the
+      -- per-type branch needs none — a group always has >= 1 row)
       SELECT '__ALL__' AS scope,
              COUNT(*) AS n_rows,
-             bit_xor({_DU_FP}) AS xor_fp,
-             CAST(CAST(SUM(CAST({_DU_FP} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_fp
+             COALESCE(bit_xor({_DU_FP}), 0) AS xor_fp,
+             CAST(COALESCE(CAST(SUM(CAST({_DU_FP} AS DECIMAL(38,0))) AS DECIMAL(38,0)), 0) AS VARCHAR) AS sum_fp
       FROM ev
     )
     SELECT scope, n_rows, xor_fp, sum_fp FROM per

@@ -10,81 +10,75 @@ one minor release, so the generated module's
 ``ValidateProtobufRuntimeVersion`` call rejects it — while the wire
 format and the descriptor/builder APIs the state protocol actually uses
 are identical (verified: full serialize/parse round-trips of the
-StateMessage types).  This shim makes the vendored runtime importable
-and relaxes ONLY that version gate, in both the driver process and the
-Python workers:
+StateMessage types).  The shim core lives in
+``_pbshim_site/_pbshim_common.py`` (shared verbatim with the worker-side
+sitecustomize hook; see its docstring for the meta-path-finder design
+that guarantees no installed package is ever shadowed):
 
-- driver side: :func:`enable_protobuf_shim` appends the vendor path to
-  ``sys.path`` (at the END — nothing else may be shadowed) and no-ops
-  the validator, then proves the protocol imports;
+- driver side: :func:`enable_protobuf_shim` installs the finder /
+  relaxes the gate HERE, then proves the protocol imports;
 - worker side: workers are fresh interpreters, so the patch must run at
   interpreter startup, before ``pyspark.worker``'s module-level imports.
-  The standard hook for that is ``sitecustomize``: the shim prepends
-  ``_pbshim_site/`` (which holds a defensive sitecustomize.py) to the
-  ``PYTHONPATH`` the not-yet-started JVM will hand its workers.  This
-  must therefore run BEFORE the SparkSession/JVM is created (conftest
-  does; a JVM that is already running keeps its environment).
+  The standard hook is ``sitecustomize``: when — and only when — this
+  environment needs the shim (vendored runtime, or a real wheel OLDER
+  than the gencode), the ``_pbshim_site/`` dir is prepended to the
+  ``PYTHONPATH`` the not-yet-started JVM will hand its workers, and the
+  resolved vendor path is pinned in ``REHIVE_PB_VENDOR`` so driver and
+  workers can never pick different trees.  This must therefore run
+  BEFORE the SparkSession/JVM is created (conftest does; a JVM that is
+  already running keeps its environment).
 
-If a real ``protobuf`` wheel is installed, everything here is a no-op —
-the wheel wins and no patching happens.  If neither the wheel nor the
-vendor path exists, :func:`enable_protobuf_shim` returns False and the
-ST6b test skips exactly as before.
+If a modern ``protobuf`` wheel is installed, everything here is a no-op.
+If no runtime exists at all, :func:`enable_protobuf_shim` returns False
+and the ST6b test skips exactly as before.
 """
 
 from __future__ import annotations
 
 import importlib
+import importlib.util
 import os
-import sys
 
-# Pure-Python protobuf runtimes vendored by OS-level SDK installs, newest
-# first.  Override / extend with REHIVE_PB_VENDOR (a single path).
-VENDOR_PATHS = (
-    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+_SITE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_pbshim_site"
 )
 
-_SITE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pbshim_site")
+
+def _load_common():
+    """Load the shared shim core by file path (workers import the same
+    file by name off the PYTHONPATH hook — one implementation)."""
+    import sys
+
+    mod = sys.modules.get("_pbshim_common")
+    if mod is not None:
+        return mod
+    spec = importlib.util.spec_from_file_location(
+        "_pbshim_common", os.path.join(_SITE_DIR, "_pbshim_common.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_pbshim_common"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def _vendor_path() -> str | None:
-    env = os.environ.get("REHIVE_PB_VENDOR")
-    cands = (env,) if env else VENDOR_PATHS
-    for c in cands:
-        if c and os.path.isdir(os.path.join(c, "google", "protobuf")):
-            return c
-    return None
-
-
-def _relax_validator() -> None:
-    """No-op the gencode/runtime version gate (the ONLY patch applied)."""
-    rv = importlib.import_module("google.protobuf.runtime_version")
-    rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
-
-
-def _runtime_ok() -> bool:
-    """True iff a REAL protobuf runtime imports.  A bare ``import
-    google.protobuf`` is NOT the test: Spark workers have
-    ``spark-core_*.jar`` on sys.path, and the jar's bundled
-    ``google/protobuf/*.proto`` resources satisfy that import as an
-    EMPTY namespace package (PEP 420) — importing an actual module
-    (``descriptor``) is what proves a runtime exists."""
+def _gencode_imports() -> bool:
     try:
-        importlib.import_module("google.protobuf.descriptor")
+        importlib.import_module(
+            "pyspark.sql.streaming.proto.StateMessage_pb2"
+        )
         return True
     except Exception:
         return False
 
 
-def _purge_namespace_google() -> None:
-    """Drop phantom ``google`` / ``google.*`` namespace modules from
-    sys.modules so the NEXT import re-scans sys.path and finds the
-    vendor's regular packages (a regular package always beats namespace
-    portions, but a namespace module already cached in sys.modules is
-    never re-resolved)."""
-    for name in [n for n in sys.modules if n == "google" or n.startswith("google.")]:
-        mod = sys.modules[name]
-        if getattr(mod, "__file__", None) is None:  # namespace, not real
-            del sys.modules[name]
+def _install_worker_hook(vendor: str | None) -> None:
+    if vendor:
+        os.environ["REHIVE_PB_VENDOR"] = vendor
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _SITE_DIR not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [_SITE_DIR] + [p for p in parts if p]
+        )
 
 
 def enable_protobuf_shim() -> bool:
@@ -92,40 +86,30 @@ def enable_protobuf_shim() -> bool:
 
     Returns True when ``pyspark.sql.streaming.proto`` imports (real wheel
     or shimmed vendor runtime); False when no runtime is available.
-    Idempotent; mutates ``os.environ['PYTHONPATH']`` only when the shim
-    is actually needed, so a later-started JVM passes the worker-side
-    sitecustomize hook through to its Python workers.
-    """
-    if not _runtime_ok():
-        vend = _vendor_path()
-        if vend is None:
-            return False
-        if vend not in sys.path:
-            sys.path.append(vend)  # END: never shadow installed packages
-        _purge_namespace_google()
-        if not _runtime_ok():
-            return False
-        try:
-            _relax_validator()
-        except Exception:
-            return False
-        # worker-side hook: sitecustomize runs at every fresh interpreter
-        # start (daemon and non-daemon worker launch paths both qualify)
-        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
-        if _SITE_DIR not in parts:
-            os.environ["PYTHONPATH"] = os.pathsep.join(
-                [_SITE_DIR] + [p for p in parts if p]
-            )
+    Idempotent; mutates ``os.environ`` (PYTHONPATH hook + pinned vendor)
+    only when the shim is actually needed."""
+    common = _load_common()
+    ok, vendor_used = common.ensure_protobuf(relax=False)
+    if not ok:
+        return False
 
-    try:
-        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+    if _gencode_imports():
+        if vendor_used is None:
+            return True  # modern real wheel: nothing to shim anywhere
+        # vendored runtime happened to satisfy the gate (same version):
+        # workers still need the finder — install the hook
+        _install_worker_hook(vendor_used)
         return True
+
+    # runtime importable but the gencode's version gate rejects it —
+    # vendored 6.32 vs gencode 6.33, or a real-but-stale wheel (round-7
+    # code review): relax here AND ship the hook so every fresh worker
+    # interpreter relaxes too before pyspark.worker's imports
+    try:
+        common.relax_validator()
     except Exception:
-        # a real-but-older wheel trips the version gate only at gencode
-        # import — same mismatch class; relax and retry once
-        try:
-            _relax_validator()
-            importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
-            return True
-        except Exception:
-            return False
+        return False
+    if not _gencode_imports():
+        return False
+    _install_worker_hook(vendor_used)
+    return True

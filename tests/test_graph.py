@@ -118,7 +118,8 @@ def test_declared_doubling_query_runs_distributed_path(spark):
     from r_e_hive__spark.queries import RETIRED, load_all
     from tests.test_plans import plan
 
-    q = {**RETIRED, **load_all()}["j8_doubling_closure"]
+    # load_all() first — it populates RETIRED (round-7 code review)
+    q = {**load_all(), **RETIRED}["j8_doubling_closure"]
     df = q.spark_fn(spark, "/root/testdata/sf0.001")
     assert "Join" in plan(df, "simple")
     assert df.count() > 0

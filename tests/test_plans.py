@@ -83,7 +83,11 @@ def test_topk_avoids_full_sort(spark):
     # queries/__init__.py) — the plan pin stays, reading the merged registry
     from r_e_hive__spark.queries import RETIRED, load_all
 
-    merged = {**RETIRED, **load_all()}
+    # load_all() FIRST: dict displays evaluate left-to-right, and RETIRED
+    # is only populated by the module imports load_all() triggers — the
+    # reversed order reads an empty RETIRED in a fresh process (round-7
+    # code review, reproduced)
+    merged = {**load_all(), **RETIRED}
     p = plan(merged["o3_topk_orders"].spark_fn(spark, SF_SMOKE), "simple")
     assert "TakeOrderedAndProject" in p, p
 

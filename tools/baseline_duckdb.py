@@ -15,7 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.bench_common import LLM_BENCH, bench_reps, geomean, parse_sf
+from tools.bench_common import (
+    LLM_BENCH,
+    bench_reps,
+    bench_set_flags,
+    geomean,
+    parse_sf,
+)
 
 from r_e_hive__spark.oracle.diff import duckdb_connection
 from r_e_hive__spark.queries import RETIRED, load_all
@@ -37,22 +43,24 @@ def main() -> None:
             con.execute(f'DROP VIEW "{name}"')
             con.execute(f'ALTER TABLE "t_{name}" RENAME TO "{name}"')
     merged = {**load_all(), **RETIRED}
-    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
+    time_rel, time_llm = bench_set_flags()
     queries = (
         {
             name: q
             for name, q in merged.items()
             if q.bench and q.oracle is not None
         }
-        if sets in ("all", "relational")
+        if time_rel
         else {}
     )
-    if sets in ("all", "llm"):
-        llm_queries = {
-            name: merged[name]
-            for name in LLM_BENCH
-            if merged[name].oracle is not None
-        }
+    if time_llm:
+        # every LLM_BENCH entry MUST carry an oracle: silently skipping an
+        # oracle-less one here while bench.py still times it would
+        # desynchronize the paired geomeans (round-7 code review)
+        missing = [n for n in LLM_BENCH if merged[n].oracle is None]
+        if missing:
+            raise ValueError(f"LLM bench entries without oracles: {missing}")
+        llm_queries = {name: merged[name] for name in LLM_BENCH}
         # fast-path twins time the SAME TASK as their exact twin — record
         # the twin's oracle under the fast name so the two engines' JSONs
         # align by key (bench_common.LLM_FAST)

@@ -35,6 +35,19 @@ LLM_FAST = {
 }
 
 
+def bench_set_flags() -> tuple[bool, bool]:
+    """(time_relational, time_llm) from SPARK_GRAFT_BENCH_SETS — the ONE
+    implementation both harnesses consult (the geomean/clamp rule above
+    applies to set selection too: a typo that silently times nothing and
+    records 0.0 is worse than an error)."""
+    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")
+    if sets not in ("all", "relational", "llm"):
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_SETS must be all|relational|llm, got {sets!r}"
+        )
+    return sets != "llm", sets != "relational"
+
+
 def bench_reps(default: int = 5) -> int:
     return int(os.environ.get("SPARK_GRAFT_BENCH_REPS", str(default)))
 

@@ -112,7 +112,10 @@ def _measured_text_density(df: DataFrame, text_col: str) -> float | None:
         bpr = float(row[0]) if row is not None and row[0] is not None else None
     except Exception:
         bpr = None
-    if key is not None:
+    # cache only SUCCESSFUL measurements: a transient job failure must
+    # not pin the fallback strategy for the whole session (round-7 code
+    # review) — the next resolution simply re-measures
+    if key is not None and bpr is not None:
         _density_cache[key] = bpr
     return bpr
 

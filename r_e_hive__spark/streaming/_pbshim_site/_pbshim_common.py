@@ -117,13 +117,29 @@ def ensure_protobuf(relax: bool = False) -> tuple[bool, str | None]:
     if not ok:
         vend = vendor_path()
         if vend is not None:
+            # retire finders serving a DIFFERENT tree (a corrected
+            # REHIVE_PB_VENDOR must take effect on retry) and never leave
+            # a finder behind for a tree that failed to import — a stale
+            # finder would keep serving the broken tree while `used`
+            # reports the new path, desynchronizing the REHIVE_PB_VENDOR
+            # pin from reality (round-7 code review)
+            sys.meta_path = [
+                f
+                for f in sys.meta_path
+                if not (isinstance(f, PbVendorFinder) and f.vend != vend)
+            ]
+            mine = None
             if not any(
                 isinstance(f, PbVendorFinder) for f in sys.meta_path
             ):
-                sys.meta_path.append(PbVendorFinder(vend))
+                mine = PbVendorFinder(vend)
+                sys.meta_path.append(mine)
             _purge_phantom_google()
             ok = runtime_ok()
-            used = vend if ok else None
+            if ok:
+                used = vend
+            elif mine is not None:
+                sys.meta_path.remove(mine)
     if ok and relax:
         try:
             relax_validator()

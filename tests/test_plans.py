@@ -148,7 +148,8 @@ def test_money_aggregates_accumulate_in_long(spark):
 
     # a1_user_balance retired from the declared surface in round 6 — its
     # fixed-point plan shape stays guarded here via the RETIRED registry
-    qs = {**RETIRED, **load_all()}
+    # (load_all() first: it populates RETIRED — round-7 code review)
+    qs = {**load_all(), **RETIRED}
     for name in ("q1_pricing_summary", "st2_windows", "a1_user_balance"):
         p = plan(qs[name].spark_fn(spark, SF_SMOKE), "formatted")
         agg_fn_lines = [

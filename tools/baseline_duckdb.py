@@ -44,15 +44,20 @@ def main() -> None:
             con.execute(f'ALTER TABLE "t_{name}" RENAME TO "{name}"')
     merged = {**load_all(), **RETIRED}
     time_rel, time_llm = bench_set_flags()
-    queries = (
-        {
-            name: q
-            for name, q in merged.items()
-            if q.bench and q.oracle is not None
-        }
-        if time_rel
-        else {}
-    )
+    if time_rel:
+        # same rule as the LLM set below: a bench=True query without an
+        # oracle would be timed by bench.py but silently missing here,
+        # desynchronizing the paired geomeans — fail loudly instead
+        bench_no_oracle = [
+            n for n, q in merged.items() if q.bench and q.oracle is None
+        ]
+        if bench_no_oracle:
+            raise ValueError(
+                f"bench queries without oracles: {bench_no_oracle}"
+            )
+        queries = {name: q for name, q in merged.items() if q.bench}
+    else:
+        queries = {}
     if time_llm:
         # every LLM_BENCH entry MUST carry an oracle: silently skipping an
         # oracle-less one here while bench.py still times it would

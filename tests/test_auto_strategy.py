@@ -259,3 +259,39 @@ def test_text_gate_density_normalization(spark, tmp_path):
         )
         == "expr"
     )
+
+
+def test_fastpath_twins_match_declared(spark):
+    """Bench-only fast-path twins (queries/fastpaths.py) must emit
+    IDENTICAL rows to their exact declared twins — they are alternate
+    strategies over the same task, so any drift is a strategy-parity bug
+    the bench would then mis-attribute to performance.  Also pins the
+    FASTPATHS/LLM_FAST registries aligned (a twin timed by bench.py but
+    missing from the DuckDB pairing map would desynchronize the JSONs)."""
+    from tools.bench_common import LLM_FAST
+
+    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries.fastpaths import FASTPATHS
+
+    assert set(FASTPATHS) == set(LLM_FAST)
+
+    def close(a, b):
+        # float columns may differ by ONE step of the 6-dp terminal
+        # rounding: the exact twins compute in exact decimal, the fast
+        # twins in float64 (the precise trade exact_decimal documents) —
+        # a value sitting on a .5e-6 boundary rounds apart (observed:
+        # x25 score 0.334456 vs 0.334457 at sf0.001)
+        if isinstance(a, float) and isinstance(b, float):
+            return abs(a - b) <= 1.5e-6
+        return a == b
+
+    reg = load_all()
+    for fast_name, fn in FASTPATHS.items():
+        exact = reg[LLM_FAST[fast_name]]
+        got = _rows(fn(spark, SF_SMOKE))
+        want = _rows(exact.spark_fn(spark, SF_SMOKE))
+        assert len(got) == len(want) and len(got) > 0, fast_name
+        for g, w in zip(got, want):
+            assert len(g) == len(w) and all(
+                close(x, y) for x, y in zip(g, w)
+            ), (fast_name, g, w)

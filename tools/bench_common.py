@@ -32,6 +32,7 @@ LLM_BENCH = (
 LLM_FAST = {
     "x17_semdedup_fast": "x17_semdedup",
     "x25_quantized_topk_fast": "x25_quantized_topk",
+    "x23_bm25_topk_fast": "x23_bm25_topk",
 }
 
 

@@ -110,12 +110,15 @@ def _measured_text_density(df: DataFrame, text_col: str) -> float | None:
 
         row = df.agg(F.avg(F.length(F.col(text_col)))).first()
         bpr = float(row[0]) if row is not None and row[0] is not None else None
+        measured = True  # the job ran; a NULL avg is a DETERMINISTIC
+        # answer (all-NULL/empty text) and caches like any other — only
+        # a job FAILURE must stay uncached so a transient error doesn't
+        # pin the fallback strategy for the session (round-7 reviews:
+        # first pass caught the pinning, second pass the re-run-per-call
+        # regression for deterministic-None frames)
     except Exception:
-        bpr = None
-    # cache only SUCCESSFUL measurements: a transient job failure must
-    # not pin the fallback strategy for the whole session (round-7 code
-    # review) — the next resolution simply re-measures
-    if key is not None and bpr is not None:
+        bpr, measured = None, False
+    if key is not None and measured:
         _density_cache[key] = bpr
     return bpr
 

@@ -76,21 +76,23 @@ def x23_bm25_topk_fast(spark, sf_dir):
     sum → TakeOrderedAndProject, never an index rebuild.  At 100 TB the
     index lives as term-partitioned parquet and the IN-list
     partition-prunes it; the in-memory cache plays that role here."""
-    from r_e_hive__spark.operators.ranking import (
-        bm25_search,
-        corpus_stats,
-        term_postings,
-    )
-    from r_e_hive__spark.queries.text import (
-        _BM25_B,
-        _BM25_K1,
-        _BM25_QUERY,
-        _BM25_TOPK,
-    )
+    from r_e_hive__spark.operators.ranking import corpus_stats, term_postings
+    from r_e_hive__spark.queries.text import bm25_declared_topk
 
     (documents,) = T(spark, sf_dir, "documents")
     sc = spark.sparkContext
-    key = ((sc.applicationId, sc.startTime), sf_dir)
+    ctx = (sc.applicationId, sc.startTime)
+    key = (ctx, sf_dir)
+    # evict entries from other sessions: (applicationId, startTime) never
+    # repeats, so stale keys are unreachable forever and would pin
+    # DataFrames bound to dead JVMs (round-7 second review)
+    for k in [k for k in _BM25_INDEX_CACHE if k[0] != ctx]:
+        old_p, old_s = _BM25_INDEX_CACHE.pop(k)
+        for d in (old_p, old_s):
+            try:
+                d.unpersist()
+            except Exception:
+                pass
     idx = _BM25_INDEX_CACHE.get(key)
     if idx is None:
         p = term_postings(documents.select("doc_id", "text"), "text", "doc_id").cache()
@@ -98,22 +100,9 @@ def x23_bm25_topk_fast(spark, sf_dir):
         p.count(), s.count()  # materialize the index once, like a build job
         _BM25_INDEX_CACHE[key] = idx = (p, s)
     p, s = idx
-    scored = bm25_search(
-        documents.select("doc_id", "text"),
-        "text",
-        "doc_id",
-        _BM25_QUERY,
-        k1=_BM25_K1,
-        b=_BM25_B,
-        top_k=10**6,
-        postings=p,
-        stats=s,
-    )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
-    )
+    # the scoring tail is the declared query's own helper — the
+    # determinism contract (rounding, tie-break, top-k) has ONE home
+    return bm25_declared_topk(documents, postings=p, stats=s)
 
 
 FASTPATHS = {

@@ -289,9 +289,17 @@ def x23_bm25_topk(spark, sf_dir):
     idf, and normalization identical; scores rounded to 6 dp on BOTH
     sides before the ORDER/LIMIT so last-ulp libm differences can't flip
     the ranking hash (the x3 cosine discipline)."""
+    (documents,) = T(spark, sf_dir, "documents")
+    return bm25_declared_topk(documents)
+
+
+def bm25_declared_topk(documents, postings=None, stats=None):
+    """The declared X23 scoring tail, shared with the bench-only
+    persisted-index fast twin (queries/fastpaths.py) so the determinism
+    contract — 6-dp rounding, (score desc, doc_id asc) tie-break,
+    _BM25_TOPK — has exactly one definition (round-7 code review)."""
     from r_e_hive__spark.operators.ranking import bm25_search
 
-    (documents,) = T(spark, sf_dir, "documents")
     # top_k large enough to cover every matching doc, then the
     # deterministic rounded re-rank picks the declared 25
     scored = bm25_search(
@@ -302,6 +310,8 @@ def x23_bm25_topk(spark, sf_dir):
         k1=_BM25_K1,
         b=_BM25_B,
         top_k=10**6,
+        postings=postings,
+        stats=stats,
     )
     return (
         scored.select("doc_id", F.round("score", 6).alias("score"))

@@ -85,10 +85,20 @@ def relax_validator() -> None:
     rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
 
 
-def _purge_phantom_google() -> None:
+def _purge_phantom_google(vendor_trees: tuple[str, ...] = ()) -> None:
+    """Evict ``google`` / ``google.protobuf*`` modules that are phantom
+    namespaces (no ``__file__`` — the spark-core jar artifact) or were
+    loaded from one of ``vendor_trees`` (a vendor being retired: a
+    cached parent whose ``__path__`` points into the old tree would keep
+    resolving submodules there ahead of any new finder — round-7 second
+    review).  Modules from a real wheel (site-packages) are never
+    touched."""
     for name in list(sys.modules):
         if name == "google" or name.startswith("google.protobuf"):
-            if getattr(sys.modules[name], "__file__", None) is None:
+            f = getattr(sys.modules[name], "__file__", None)
+            if f is None or any(
+                f.startswith(v + os.sep) for v in vendor_trees
+            ):
                 del sys.modules[name]
 
 
@@ -118,28 +128,40 @@ def ensure_protobuf(relax: bool = False) -> tuple[bool, str | None]:
         vend = vendor_path()
         if vend is not None:
             # retire finders serving a DIFFERENT tree (a corrected
-            # REHIVE_PB_VENDOR must take effect on retry) and never leave
-            # a finder behind for a tree that failed to import — a stale
-            # finder would keep serving the broken tree while `used`
-            # reports the new path, desynchronizing the REHIVE_PB_VENDOR
-            # pin from reality (round-7 code review)
+            # REHIVE_PB_VENDOR must take effect on retry), evict any
+            # modules cached from retired trees (a cached parent's
+            # __path__ would keep resolving submodules from the old tree
+            # ahead of the new finder), and never leave ANY finder
+            # behind for a tree that failed to import — a stale finder
+            # would keep serving the broken tree while `used` reports
+            # the new path (round-7 reviews, both passes)
+            retired = tuple(
+                f.vend
+                for f in sys.meta_path
+                if isinstance(f, PbVendorFinder) and f.vend != vend
+            )
             sys.meta_path = [
                 f
                 for f in sys.meta_path
                 if not (isinstance(f, PbVendorFinder) and f.vend != vend)
             ]
-            mine = None
             if not any(
                 isinstance(f, PbVendorFinder) for f in sys.meta_path
             ):
-                mine = PbVendorFinder(vend)
-                sys.meta_path.append(mine)
-            _purge_phantom_google()
+                sys.meta_path.append(PbVendorFinder(vend))
+            _purge_phantom_google(retired)
             ok = runtime_ok()
             if ok:
                 used = vend
-            elif mine is not None:
-                sys.meta_path.remove(mine)
+            else:
+                # strip every finder for vend — pre-existing ones too:
+                # the tree just failed to import
+                sys.meta_path = [
+                    f
+                    for f in sys.meta_path
+                    if not isinstance(f, PbVendorFinder)
+                ]
+                _purge_phantom_google((vend,))
     if ok and relax:
         try:
             relax_validator()

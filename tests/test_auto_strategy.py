@@ -280,7 +280,12 @@ def test_fastpath_twins_match_declared(spark):
         # rounding: the exact twins compute in exact decimal, the fast
         # twins in float64 (the precise trade exact_decimal documents) —
         # a value sitting on a .5e-6 boundary rounds apart (observed:
-        # x25 score 0.334456 vs 0.334457 at sf0.001)
+        # x25 score 0.334456 vs 0.334457 at sf0.001).  Caveat: the
+        # tolerance covers VALUES; if a future fixture regeneration puts
+        # two candidates within one rounding step of each other, their
+        # rank/top-k PAIRING can legitimately flip between twins and the
+        # positional compare below would need re-pinning (it cannot
+        # flake today — inputs and both plans are deterministic).
         if isinstance(a, float) and isinstance(b, float):
             return abs(a - b) <= 1.5e-6
         return a == b

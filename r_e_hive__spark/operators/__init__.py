@@ -103,8 +103,16 @@ def _measured_text_density(df: DataFrame, text_col: str) -> float | None:
         key = ((sc.applicationId, sc.startTime), df.semanticHash(), text_col)
     except Exception:
         key = None
-    if key is not None and key in _density_cache:
-        return _density_cache[key]
+    if key is not None:
+        # evict entries from other sessions: (applicationId, startTime)
+        # never repeats, so stale keys are unreachable forever and the dict
+        # grows unboundedly in a long-lived multi-session process — same
+        # hygiene as fastpaths._BM25_INDEX_CACHE (round-7 ADVICE)
+        ctx = key[0]
+        for k in [k for k in _density_cache if k[0] != ctx]:
+            _density_cache.pop(k, None)
+        if key in _density_cache:
+            return _density_cache[key]
     try:
         from pyspark.sql import functions as F
 

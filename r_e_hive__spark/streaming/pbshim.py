@@ -81,6 +81,29 @@ def _install_worker_hook(vendor: str | None) -> None:
         )
 
 
+def descope_worker_hook() -> None:
+    """Remove the ``_pbshim_site`` entry from the process-global
+    ``PYTHONPATH`` once the JVM has started.
+
+    The hook only has to be present in the environment at JVM launch:
+    py4j's JVM child captures ``os.environ`` then, and Spark's Python
+    workers inherit the *JVM's* env — so the sitecustomize keeps reaching
+    every worker of the live session while unrelated child processes
+    spawned afterwards (subprocess, multiprocessing) stop importing it
+    (round-7 ADVICE: the process-global mutation shadowed any
+    environment-provided sitecustomize well beyond the workers it
+    targets).  Call after ``SparkSession`` creation; a later
+    :func:`enable_protobuf_shim` before a NEW JVM re-installs the hook.
+    ``REHIVE_PB_VENDOR`` is left pinned — it is shim-private and the
+    driver-side finder still consults it."""
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    kept = [p for p in parts if p != _SITE_DIR]
+    if kept:
+        os.environ["PYTHONPATH"] = os.pathsep.join(kept)
+    elif "PYTHONPATH" in os.environ:
+        del os.environ["PYTHONPATH"]
+
+
 def enable_protobuf_shim() -> bool:
     """Make the transformWithState protobuf protocol importable.
 

@@ -15,7 +15,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     from r_e_hive__spark.session import get_spark
-    from r_e_hive__spark.streaming.pbshim import enable_protobuf_shim
+    from r_e_hive__spark.streaming.pbshim import (
+        descope_worker_hook,
+        enable_protobuf_shim,
+    )
 
     # ST6b enablement: must run BEFORE the JVM starts — it exports the
     # worker-side sitecustomize hook via PYTHONPATH, which a running JVM
@@ -23,6 +26,9 @@ def spark():
     # False (and the TWS twin test skips) when no runtime is available.
     enable_protobuf_shim()
     s = get_spark(app_name="rehive-tests", master="local[8]", shuffle_partitions=8)
+    # the JVM captured the hooked env at launch; restore the process-global
+    # PYTHONPATH so other child processes don't import the shim (r7 ADVICE)
+    descope_worker_hook()
     yield s
 
 

@@ -2,12 +2,18 @@
 """Benchmark harness: runs the headline declared queries at the driver's
 scale factor and prints ONE JSON line.
 
-  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    (default 32)
+  SPARK_GRAFT_SF_DIR        (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          (default 32)
+  SPARK_GRAFT_BENCH_SETS    all|relational|llm (default all)
+  SPARK_GRAFT_BENCH_REPS    reps per query (default 5)
+  SPARK_GRAFT_BENCH_ONLY    comma-separated name filter (default: no filter)
+  SPARK_GRAFT_BENCH_FENCE   1 (default): System.gc() fence between queries
+  SPARK_GRAFT_BENCH_ISOLATE 1: subprocess-per-query (fresh JVM each) — the
+                            uncontaminated mode for scale sweeps
 
-Metric: wall-clock seconds per query (result fully materialized via count()
-+ collect of the bounded output), plus the geometric mean.  Compare against
-the DuckDB oracle timings recorded in BASELINE.md.
+Metric: wall-clock seconds per query (result fully materialized via a noop
+sink), plus the geometric mean.  Compare against the DuckDB oracle timings
+recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -21,29 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tools.bench_common import (
     LLM_BENCH,
+    LLM_BENCH_SF_CAP,
+    LLM_FAST,
+    bench_only,
     bench_reps,
     bench_set_flags,
+    capped_sf_dir,
     geomean,
     parse_sf,
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+def _select_queries(sf_dir: str):
+    """(relational, llm, pinned_sf) query maps after set/name selection.
 
+    pinned_sf maps query name -> (sf, dir) for queries whose bench scale is
+    capped below the sweep's (bench_common.LLM_BENCH_SF_CAP)."""
     from r_e_hive__spark.queries import RETIRED, load_all
-    from r_e_hive__spark.session import get_spark
-
-    spark = get_spark(app_name="rehive-bench", master=f"local[{cpus}]")
 
     # bench set = declared ∪ retired with bench=True: driver-surface
     # rotation (the 50-query CORRECTNESS cap) must not change the bench
     # series — o3/j8_doubling stay measured after their round-7 retirement
     merged = {**load_all(), **RETIRED}
-    # SPARK_GRAFT_BENCH_SETS: 'all' (default) | 'relational' | 'llm' —
-    # scale sweeps can focus one set without changing methodology;
-    # selection is shared with baseline_duckdb.py (bench_common)
     time_rel, time_llm = bench_set_flags()
     queries = (
         {name: q.spark_fn for name, q in merged.items() if q.bench}
@@ -62,26 +67,66 @@ def main() -> None:
         llm_queries.update(FASTPATHS)
     else:
         llm_queries = {}
+    only = bench_only()
+    if only is not None:
+        queries = {n: f for n, f in queries.items() if n in only}
+        llm_queries = {n: f for n, f in llm_queries.items() if n in only}
+    pinned: dict[str, tuple[float, str]] = {}
+    for name, cap in LLM_BENCH_SF_CAP.items():
+        if name in llm_queries or name in queries:
+            capped = capped_sf_dir(sf_dir, cap)
+            if capped is not None:
+                pinned[name] = (cap, capped)
+    return queries, llm_queries, pinned
+
+
+def _run_inline(sf_dir: str, cpus: str) -> dict:
+    from r_e_hive__spark.session import get_spark
+
+    spark = get_spark(app_name="rehive-bench", master=f"local[{cpus}]")
+    queries, llm_queries, pinned = _select_queries(sf_dir)
+
+    def q_dir(name: str) -> str:
+        return pinned[name][1] if name in pinned else sf_dir
 
     # warm the JVM, parquet footers, and the catalog's in-memory table cache
     # once (not timed) — the same steady-state a long-running cluster has.
     from r_e_hive__spark.catalog import register_testdata
 
-    for df in register_testdata(spark, sf_dir).values():
-        df.count()
+    if queries or llm_queries:
+        for df in register_testdata(spark, sf_dir).values():
+            df.count()
     for name, fn in {**queries, **llm_queries}.items():
-        fn(spark, sf_dir).limit(1).collect()
+        fn(spark, q_dir(name)).limit(1).collect()
 
     reps = bench_reps()
+    fence_on = os.environ.get("SPARK_GRAFT_BENCH_FENCE", "1") != "0"
+
+    def fence() -> None:
+        """Between-queries hygiene: a JVM System.gc() drives the
+        ContextCleaner, releasing the finished queries' shuffle files and
+        broadcast blocks so a late-ordered query isn't measured under GBs
+        of accumulated session state (measured at sf20 as a 3× effect on
+        q5 — VERDICT r7 item 4).  The catalog's pinned table cache is NOT
+        cleared: warm small-table scans are the steady-state methodology
+        both engines share."""
+        if not fence_on:
+            return
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     def run_set(qset) -> tuple[dict[str, float], dict[str, list[float]]]:
         timings: dict[str, float] = {}
         rep_times: dict[str, list[float]] = {}
         for name, fn in qset.items():
+            fence()
+            d = q_dir(name)
             samples: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
+                df = fn(spark, d)
                 # noop sink: materializes every output column (count() would
                 # let Catalyst prune the whole projection for per-row queries)
                 df.write.format("noop").mode("overwrite").save()
@@ -109,19 +154,92 @@ def main() -> None:
         spark.range(200_000_000).selectExpr("sum(id)").collect()
         calib.append(round(time.perf_counter() - t0, 4))
 
-    gmean = geomean(timings)
+    return {
+        "queries": timings,
+        "reps": rep_times,
+        "llm_queries": llm_timings,
+        "llm_reps": llm_rep_times,
+        "calibration": {"range_sum_200m": calib},
+        "pinned_sf": {n: sf for n, (sf, _d) in pinned.items()},
+    }
+
+
+def _run_isolated(sf_dir: str) -> dict:
+    """Subprocess-per-query: each benched query gets a fresh JVM — zero
+    cross-query contamination (shuffle files, GC pressure, cache state).
+    The per-query warmup inside each child preserves the warm best-of-N
+    methodology; only the *session* is cold per query.  This is the mode
+    for scale sweeps where accumulated state was measured to distort
+    late-ordered queries (VERDICT r7 item 4)."""
+    import subprocess
+
+    queries, llm_queries, pinned = _select_queries(sf_dir)
+    merged: dict = {
+        "queries": {},
+        "reps": {},
+        "llm_queries": {},
+        "llm_reps": {},
+        "calibration": {},
+        "pinned_sf": {n: sf for n, (sf, _d) in pinned.items()},
+    }
+    # calibration-only child first (filter matching nothing — see
+    # bench_common.bench_only), then one child per query
+    plans = [("__calibration__", None)]
+    plans += [(n, "queries") for n in queries]
+    plans += [(n, "llm_queries") for n in llm_queries]
+    for name, kind in plans:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env["SPARK_GRAFT_BENCH_ISOLATE"] = "0"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        sub = json.loads(out.strip().splitlines()[-1])
+        if kind is None:
+            merged["calibration"] = sub["calibration"]
+        else:
+            rkind = "reps" if kind == "queries" else "llm_reps"
+            merged[kind][name] = (sub.get(kind) or {}).get(name)
+            merged[rkind][name] = (sub.get(rkind) or {}).get(name)
+    return merged
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "0") != "0"
+
+    res = _run_isolated(sf_dir) if isolate else _run_inline(sf_dir, cpus)
+
+    time_rel, time_llm = bench_set_flags()
+    # a set that was not timed is null, never a real-looking 0.0 — a series
+    # consumer must be able to tell "skipped" from "measured" (r7 ADVICE)
     print(
         json.dumps(
             {
                 "metric": "declared-query wall-clock (geomean)",
-                "value": round(gmean, 4),
+                "value": round(geomean(res["queries"]), 4) if time_rel else None,
                 "unit": "sec",
-                "queries": timings,
-                "reps": rep_times,
-                "llm_geomean": round(geomean(llm_timings), 4),
-                "llm_queries": llm_timings,
-                "llm_reps": llm_rep_times,
-                "calibration": {"range_sum_200m": calib},
+                "queries": res["queries"] if time_rel else None,
+                "reps": res["reps"] if time_rel else None,
+                "llm_geomean": (
+                    round(geomean(res["llm_queries"]), 4) if time_llm else None
+                ),
+                "llm_queries": res["llm_queries"] if time_llm else None,
+                "llm_reps": res["llm_reps"] if time_llm else None,
+                # fast-path twins are tagged so downstream ratio computations
+                # can flag them: their DuckDB pairing re-times the exact
+                # twin's full oracle, which includes an index rebuild the
+                # Spark side amortizes (r7 ADVICE)
+                "llm_fast_twins": sorted(LLM_FAST),
+                # queries timed at a capped scale (name -> sf actually timed)
+                "pinned_sf": res["pinned_sf"],
+                "isolated": isolate,
+                "calibration": res["calibration"],
                 "sf": parse_sf(sf_dir),
             }
         )

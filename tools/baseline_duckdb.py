@@ -3,7 +3,10 @@
 
 Runs each bench query's oracle SQL on DuckDB over the same parquet tables
 bench.py uses, prints one JSON line with per-query seconds + geomean.
-This is the BASELINE.md reference point (SURVEY.md §6).
+This is the BASELINE.md reference point (SURVEY.md §6).  Set selection,
+name filter, per-query sf caps, and null-for-skipped-set semantics are
+shared with bench.py via tools/bench_common so the paired JSONs stay
+comparable key-for-key.
 """
 
 from __future__ import annotations
@@ -17,8 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.bench_common import (
     LLM_BENCH,
+    LLM_BENCH_SF_CAP,
+    LLM_FAST,
+    bench_only,
     bench_reps,
     bench_set_flags,
+    capped_sf_dir,
     geomean,
     parse_sf,
 )
@@ -27,8 +34,7 @@ from r_e_hive__spark.oracle.diff import duckdb_connection
 from r_e_hive__spark.queries import RETIRED, load_all
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _warm_connection(sf_dir: str):
     con = duckdb_connection(sf_dir)
     # Methodology parity with bench.py (which pins small tables in Spark's
     # in-memory columnar cache): materialize each parquet view as a native
@@ -42,6 +48,12 @@ def main() -> None:
             con.execute(f'CREATE TABLE "t_{name}" AS SELECT * FROM "{name}"')
             con.execute(f'DROP VIEW "{name}"')
             con.execute(f'ALTER TABLE "t_{name}" RENAME TO "{name}"')
+    return con
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = _warm_connection(sf_dir)
     merged = {**load_all(), **RETIRED}
     time_rel, time_llm = bench_set_flags()
     if time_rel:
@@ -68,26 +80,48 @@ def main() -> None:
         llm_queries = {name: merged[name] for name in LLM_BENCH}
         # fast-path twins time the SAME TASK as their exact twin — record
         # the twin's oracle under the fast name so the two engines' JSONs
-        # align by key (bench_common.LLM_FAST)
-        from tools.bench_common import LLM_FAST
-
+        # align by key (bench_common.LLM_FAST); they're tagged in the
+        # output because this pairing re-times the full oracle (index
+        # rebuild included) that the Spark twin amortizes (r7 ADVICE)
         llm_queries.update(
             {fast: merged[src] for fast, src in LLM_FAST.items()}
         )
     else:
         llm_queries = {}
+    only = bench_only()
+    if only is not None:
+        queries = {n: q for n, q in queries.items() if n in only}
+        llm_queries = {n: q for n, q in llm_queries.items() if n in only}
+
+    # per-query sf caps (bench_common.LLM_BENCH_SF_CAP): the exact-decimal
+    # instrument rows are timed at their capped scale on BOTH sides so the
+    # paired ratio stays scale-matched; capped queries get their own warm
+    # connection over the capped dir
+    pinned: dict[str, float] = {}
+    cons: dict[str, object] = {}
+    for name, cap in LLM_BENCH_SF_CAP.items():
+        if name in queries or name in llm_queries:
+            capped = capped_sf_dir(sf_dir, cap)
+            if capped is not None:
+                pinned[name] = cap
+                cons[name] = _warm_connection(capped)
+
+    def con_for(name: str):
+        return cons.get(name, con)
+
     # warm the OS page cache / parquet footers once
-    for q in {**queries, **llm_queries}.values():
-        con.execute(q.oracle).fetchall()
+    for name, q in {**queries, **llm_queries}.items():
+        con_for(name).execute(q.oracle).fetchall()
     reps = bench_reps()
 
     def run_set(qset) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name, q in qset.items():
+            c = con_for(name)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                con.execute(q.oracle).fetchall()
+                c.execute(q.oracle).fetchall()
                 best = min(best, time.perf_counter() - t0)
             # best-of-N, same methodology as bench.py
             timings[name] = round(best, 4)
@@ -95,16 +129,19 @@ def main() -> None:
 
     timings = run_set(queries)
     llm_timings = run_set(llm_queries)
-    gmean = geomean(timings)
     print(
         json.dumps(
             {
                 "metric": "duckdb-oracle wall-clock (geomean)",
-                "value": round(gmean, 4),
+                "value": round(geomean(timings), 4) if time_rel else None,
                 "unit": "sec",
-                "queries": timings,
-                "llm_geomean": round(geomean(llm_timings), 4),
-                "llm_queries": llm_timings,
+                "queries": timings if time_rel else None,
+                "llm_geomean": (
+                    round(geomean(llm_timings), 4) if time_llm else None
+                ),
+                "llm_queries": llm_timings if time_llm else None,
+                "llm_fast_twins": sorted(LLM_FAST),
+                "pinned_sf": pinned,
                 "sf": parse_sf(sf_dir),
             }
         )

@@ -35,6 +35,43 @@ LLM_FAST = {
     "x23_bm25_topk_fast": "x23_bm25_topk",
 }
 
+# Per-query scale cap for the bench harnesses (round-8, VERDICT r7 item 7).
+# x17_semdedup is the exact-decimal *instrument* row: correct by contract
+# but interpreted-arithmetic, ~290 s/rep at sf1 (220× its own production
+# twin) — at sf≥1 it dominates an llm sweep without measuring anything the
+# sf0.1 number doesn't.  Cap it: when the sweep's sf exceeds the cap, BOTH
+# harnesses time the query at the capped scale instead and record the pin
+# in the JSON's "pinned_sf" map so a reader never mistakes it for an
+# at-scale number.  The production path (x17_semdedup_fast) stays uncapped
+# and carries the sf≥1 signal.  The correctness gate (sf0.01) is untouched.
+LLM_BENCH_SF_CAP = {"x17_semdedup": 0.1}
+
+
+def capped_sf_dir(sf_dir: str, cap: float) -> str | None:
+    """Directory to time a capped query at, or None when no cap applies.
+
+    Prefers the sibling ``sf{cap}`` of the sweep dir (same generator
+    lineage), falling back to the driver's /root/testdata tree."""
+    sf = parse_sf(sf_dir)
+    if not isinstance(sf, float) or sf <= cap:
+        return None
+    sib = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"sf{cap}")
+    if os.path.isdir(sib):
+        return sib
+    fallback = f"/root/testdata/sf{cap}"
+    return fallback if os.path.isdir(fallback) else None
+
+
+def bench_only() -> set[str] | None:
+    """Optional query-name filter (SPARK_GRAFT_BENCH_ONLY=a,b) applied by
+    both harnesses AFTER set selection — a plain intersection, so a name
+    matching nothing times nothing (the isolate driver uses that to run a
+    calibration-only child).  None = no filter."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if raw is None:
+        return None
+    return {n.strip() for n in raw.split(",") if n.strip()}
+
 
 def bench_set_flags() -> tuple[bool, bool]:
     """(time_relational, time_llm) from SPARK_GRAFT_BENCH_SETS — the ONE

@@ -303,19 +303,43 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 32,
     shingle_strategy: str = "auto",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i).
+    hash(shingle, seed_i).
 
     Computed as one explode + groupBy with ``min`` aggregates — map-side
-    partial aggregation means the shuffle carries only num_hashes longs per
-    doc regardless of doc length.  xxhash64 is Spark-native (codegen'd),
-    deterministic across runs/partitionings."""
+    partial aggregation means the shuffle carries only num_hashes values per
+    doc regardless of doc length.
+
+    ``hash_fn``:
+
+    - ``"xxhash64"`` (default, production): Spark-native (codegen'd),
+      deterministic across runs/partitionings; signature is array<long>.
+    - ``"md5"`` (cross-engine): sig[i] = min over shingles of the hex
+      string ``md5(concat(i, ':', shingle))`` — md5 is bit-identical in
+      every engine and hex strings order identically under binary
+      collation, so the WHOLE decision pipeline built on these signatures
+      (banding, est_jaccard, incremental dedup) is replayable
+      value-for-value in DuckDB (the X15/X24 md5 anchor trick; VERDICT r7
+      item 2).  The ``i:`` prefix is unambiguous: seeds contain no ':',
+      so no (seed, shingle) pair collides with another's concatenation.
+      Signature is array<string> (32 hex chars/slot — 4× the xxhash64
+      footprint; the cross-engine mode is a correctness instrument, not
+      the production layout)."""
     sh = with_shingles(df, text_col, id_col, k, strategy=shingle_strategy)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
@@ -789,6 +813,7 @@ def incremental_neardup(
     broadcast_new: bool | None = None,
     with_delta: bool = False,
     assume_legacy_bands_match: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, ...]:
     """Dedup an INCREMENT (today's crawl batch) against a persisted MinHash
     signature index of everything already accepted — without re-reading or
@@ -852,6 +877,22 @@ def incremental_neardup(
     ~8·num_hashes bytes/doc (2.5 TB per 10 B docs at the default 32) and
     is the ONLY thing history contributes to the join.
     """
+    # An index built under one hash_fn probed under another would compare
+    # long minhashes against md5 hex strings: the est_jaccard equality test
+    # would be silently false everywhere (implicit cast) and every history
+    # near-dup admitted — the same failure class as the banding-parameter
+    # guards below.  Element types are knowable at plan time; fail loudly.
+    if index_sig is not None:
+        from pyspark.sql.types import LongType, StringType
+
+        want = StringType() if hash_fn == "md5" else LongType()
+        el = index_sig.schema["signature"].dataType.elementType
+        if el != want:
+            raise ValueError(
+                f"incremental_neardup: index signature element type {el} "
+                f"does not match hash_fn={hash_fn!r} — was the index built "
+                "with a different hash_fn?"
+            )
     # sig_new feeds FOUR consumers (both sides of the new-new self-join,
     # the history probe, and the survivor index) and the returned index is
     # fed back batch after batch — without an eager materialization every
@@ -859,7 +900,7 @@ def incremental_neardup(
     # would grow superlinearly (round-5 code review).  localCheckpoint is
     # O(this batch) and bounds the index's lineage at one leaf per batch.
     sig_new = minhash_signatures(
-        new_df, text_col, id_col, k, num_hashes
+        new_df, text_col, id_col, k, num_hashes, hash_fn=hash_fn
     ).localCheckpoint()
     banded_new = band_signatures(sig_new, id_col, num_hashes, bands)
 

@@ -153,6 +153,18 @@ RETIRED: dict[str, Query] = {}
 #   j8_doubling_closure      -> j8_ancestor_closure (same closure, same
 #       oracle) + rehive_redemption_ledger (J8); the forced-distributed
 #       doubling path keeps its differential in pytest and its bench row
+#
+# Round-8 rotation (VERDICT r7 items 2/3: driver-pin the X22 incremental
+# cross-snapshot dedup — full md5-minhash decision-pipeline replay — and
+# the X20 ExactSubstr span dedup — window-string replay, hash-free):
+#
+#   p3_filter_conjunction    -> s1_scan_region + s2_point_lookup +
+#       p6_null_json_events (P-family), and the conjunction+inequality
+#       shape rides in every TPC-H pin (q1/q3/q5 filters, j56's guard);
+#       oracle lives on in test_retired_queries.py
+#   f4_cast_defaults_expr    -> f_scalar_suite (F1-F17 sweep incl. the
+#       same decimal cast chains) + f7_f12_orders_scalars; oracle lives
+#       on in test_retired_queries.py
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -220,6 +220,211 @@ _DU_COMPONENTS = (
 )
 
 
+# ---------------------------------------------------------------------------
+# X20 — ExactSubstr span dedup (declared round 8; VERDICT r7 item 3)
+# ---------------------------------------------------------------------------
+
+# Spans depend only on window EQUALITY (BASELINE.md: hash choice is free),
+# so the oracle needs no hash at all — it groups on the window STRING
+# itself.  The Spark side's xxhash64 (or the Arrow pass's rolling
+# polynomial) can only diverge from this via a 2⁻⁶⁴-rate collision, the
+# same determinism trade every x2 differential already accepts.
+_X20_WINDOW = 15
+_X20_SPANS = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - {_X20_WINDOW - 1}),
+             i -> struct_pack(pos := i, w := array_to_string(t[i:i+{_X20_WINDOW - 1}], ' ')))) AS s
+      FROM toks WHERE len(t) >= {_X20_WINDOW}
+    ), w2 AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM wins
+    ), dup AS (
+      SELECT w FROM w2 GROUP BY w HAVING COUNT(*) > 1
+    ), dw AS (
+      SELECT doc_id, pos FROM w2 WHERE w IN (SELECT w FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_X20_WINDOW}
+                  THEN 1 ELSE 0 END AS gap
+      FROM dw
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_X20_WINDOW - 1} AS BIGINT) AS span_end,
+           COUNT(*) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+"""
+
+
+@query(
+    "x20_duplicate_spans",
+    _X20_SPANS,
+    survey_rows=("X20",),
+)
+def x20_duplicate_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2021 ExactSubstr,
+    windowed-hash form): maximal token spans whose every 15-token window
+    occurs at >1 (doc, position) in the corpus, merged gaps-and-islands
+    (operators/dedup.py duplicate_spans — two keyed shuffles, no
+    all-pairs).  The oracle replays window extraction, the >1-occurrence
+    rule, and the island merge from scratch on the window STRINGS —
+    spans are a pure function of window equality, so the engine's
+    xxhash64/rolling-hash choice is invisible to the result (the most
+    cited pretraining-dedup operator, upgraded from Python-reference
+    pytest pin to cross-engine driver differential)."""
+    from r_e_hive__spark.operators.dedup import duplicate_spans
+
+    (documents,) = T(spark, sf_dir, "documents")
+    spans = duplicate_spans(documents, "text", "doc_id", window=_X20_WINDOW)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# X22 — incremental cross-snapshot near-dup (declared round 8; VERDICT r7
+# item 2)
+# ---------------------------------------------------------------------------
+
+# Full value replay of the incremental-dedup DECISION PIPELINE under the
+# md5 cross-engine minhash mode (operators/dedup.minhash_signatures
+# hash_fn="md5" — md5 hex strings order and compare identically in both
+# engines, the X15/X24 anchor trick): per-slot min-md5 signatures →
+# 8-band × 4-row banding (band equality on the actual slice values —
+# band_hash is an engine-side join key for the same equivalence classes)
+# → est_jaccard ≥ 0.5 (slot-match fraction k/32, exact in binary floats)
+# → per-batch connected components (recursive-CTE min-label reachability,
+# the x19 pattern) with the operator's pinned group semantics: history
+# wins, keep-min within pure-new components, no tombstones (dropped docs
+# never enter the index, so only survivor-vs-new edges exist in batch 2).
+_X22_INCREMENTAL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        ELSE [array_to_string(t, ' ')] END)) AS shingle
+      FROM toks
+    ), seeds AS (
+      SELECT unnest(generate_series(0, 31)) AS slot
+    ), mh AS (
+      SELECT s.doc_id, sd.slot,
+             MIN(md5(CAST(sd.slot AS VARCHAR) || ':' || s.shingle)) AS h
+      FROM sh s CROSS JOIN seeds sd
+      GROUP BY s.doc_id, sd.slot
+    ), bandkey AS (
+      SELECT doc_id, slot // 4 AS band_id,
+             string_agg(h, ',' ORDER BY slot) AS band_key
+      FROM mh GROUP BY doc_id, slot // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkey a JOIN bandkey b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), good AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.id_a
+      JOIN mh y ON y.doc_id = c.id_b AND y.slot = x.slot
+      GROUP BY c.id_a, c.id_b
+      HAVING SUM(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 32.0 >= 0.5
+    ), b1 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+    ), p1 AS (
+      SELECT g.id_a, g.id_b FROM good g
+      JOIN b1 x ON x.doc_id = g.id_a
+      JOIN b1 y ON y.doc_id = g.id_b
+    ), sym1 AS (
+      SELECT id_a AS a, id_b AS b FROM p1
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM p1
+    ), reach1(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym1) v(a)
+      UNION
+      SELECT s.b, r.lbl FROM reach1 r JOIN sym1 s ON s.a = r.node
+    ), comp1 AS (
+      SELECT node, MIN(lbl) AS component FROM reach1 GROUP BY node
+    ), surv1 AS (
+      SELECT d.doc_id FROM b1 d
+      LEFT JOIN comp1 c ON c.node = d.doc_id
+      WHERE c.node IS NULL OR c.component = d.doc_id
+    ), p2 AS (
+      SELECT g.id_a, g.id_b FROM good g
+      WHERE (g.id_a IN (SELECT doc_id FROM b2) OR g.id_a IN (SELECT doc_id FROM surv1))
+        AND (g.id_b IN (SELECT doc_id FROM b2) OR g.id_b IN (SELECT doc_id FROM surv1))
+        AND NOT (g.id_a IN (SELECT doc_id FROM surv1) AND g.id_b IN (SELECT doc_id FROM surv1))
+    ), sym2 AS (
+      SELECT id_a AS a, id_b AS b FROM p2
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM p2
+    ), reach2(node, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym2) v(a)
+      UNION
+      SELECT s.b, r.lbl FROM reach2 r JOIN sym2 s ON s.a = r.node
+    ), comp2 AS (
+      SELECT node, MIN(lbl) AS component FROM reach2 GROUP BY node
+    ), histcomp AS (
+      SELECT DISTINCT c.component FROM comp2 c JOIN surv1 h ON h.doc_id = c.node
+    ), surv2 AS (
+      SELECT d.doc_id FROM b2 d
+      LEFT JOIN comp2 c ON c.node = d.doc_id
+      WHERE c.node IS NULL
+         OR (c.component = d.doc_id
+             AND c.component NOT IN (SELECT component FROM histcomp))
+    )
+    SELECT doc_id, 1 AS batch FROM surv1
+    UNION ALL
+    SELECT doc_id, 2 AS batch FROM surv2
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "x22_incremental_neardup",
+    _X22_INCREMENTAL,
+    survey_rows=("X22", "X2", "X19"),
+)
+def x22_incremental_neardup(spark, sf_dir):
+    """Incremental cross-snapshot near-dup: batch 1 (even doc_ids) dedups
+    against nothing and seeds the signature index; batch 2 (odd doc_ids)
+    probes that index in its persisted BANDED layout (band_signatures —
+    the production partition-pruned form, zero per-increment hashing of
+    history) with the md5 cross-engine minhash mode.  Output = survivors
+    of both batches.  Pins the whole per-increment decision pipeline —
+    signatures, banding, est-Jaccard verification, history-wins /
+    keep-min / no-tombstone closure (operators/dedup.py
+    incremental_neardup docstring) — against a from-scratch DuckDB
+    replay.  Scale shape: the increment broadcasts, the index is probed
+    map-side; the index store is ~signature bytes/doc, never text."""
+    from r_e_hive__spark.operators.dedup import band_signatures, incremental_neardup
+
+    (documents,) = T(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1, idx1 = incremental_neardup(b1, "text", "doc_id", hash_fn="md5")
+    banded_idx = band_signatures(idx1, "doc_id", 32, 8)
+    s2, _ = incremental_neardup(
+        b2, "text", "doc_id", index_sig=banded_idx, hash_fn="md5"
+    )
+    return (
+        s1.select("doc_id", F.lit(1).alias("batch"))
+        .unionByName(s2.select("doc_id", F.lit(2).alias("batch")))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "x19_dedup_components",
     _DU_COMPONENTS,

@@ -97,7 +97,7 @@ def s7_json_egress(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "f4_cast_defaults_expr",
     """
     SELECT l_orderkey, l_linenumber,
@@ -116,7 +116,11 @@ def f4_cast_defaults_expr(spark, sf_dir):
     render-complete-deploy.js:216), rate×100 display (F14, :1069), literal
     defaults on insert (F16, :38/:51/:60), and the raw-SQL escape hatch (F17,
     the sql`` fragments :228/:287) via selectExpr — the engine keeps the same
-    declarative-builder + raw-SQL dual surface as the reference."""
+    declarative-builder + raw-SQL dual surface as the reference.  RETIRED
+    round 8 (50-cap rotation for x20/x22): F-family stays driver-pinned
+    twice over by f_scalar_suite (F1-F17 sweep incl. decimal casts) and
+    f7_f12_orders_scalars; this oracle keeps running in
+    tests/test_retired_queries.py."""
     (lineitem,) = T(spark, sf_dir, "lineitem")
     return (
         lineitem.where(F.col("l_orderkey") % 50 == 0)

@@ -75,7 +75,7 @@ def s2_point_lookup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "p3_filter_conjunction",
     """
     SELECT c_custkey, c_name, c_nationkey
@@ -87,7 +87,11 @@ def s2_point_lookup(spark, sf_dir):
 )
 def p3_filter_conjunction(spark, sf_dir):
     """and(eq(...), lt(...)) conjunction (render-complete-deploy.js:465) plus
-    the self-guard inequality shape (:472, :493)."""
+    the self-guard inequality shape (:472, :493).  RETIRED round 8 (50-cap
+    rotation for x20/x22): the conjunction + inequality predicate shape
+    rides in every TPC-H pin (q1/q3/q5 filters, j56's anti-join guard) and
+    P1/P4/P6 stay driver-pinned by s1/s2/p6; this oracle keeps running in
+    tests/test_retired_queries.py."""
     (customer,) = T(spark, sf_dir, "customer")
     return (
         customer.where(

@@ -364,6 +364,56 @@ def test_incremental_matches_batch_when_ids_monotone(spark):
     assert {r["id"] for r in idx2.select("id").collect()} == {1, 2, 12}
 
 
+def test_incremental_md5_mode_semantics_and_duckdb_minhash_parity(spark):
+    """hash_fn="md5" (the cross-engine mode behind the x22 driver pin):
+    same group semantics as the production xxhash64 mode on the fixture
+    chain (history-wins + keep-min), AND the per-slot min-md5 signature is
+    bit-identical to DuckDB computing min(md5(slot || ':' || shingle)) —
+    the anchor that makes the whole decision pipeline replayable."""
+    import duckdb
+
+    batch1 = _inc_corpus(spark, [(1, DOC_A), (2, DOC_B)])
+    batch2 = _inc_corpus(spark, [(11, DOC_A2), (12, DOC_C), (13, DOC_C)])
+    s1, idx1 = D.incremental_neardup(batch1, "text", "id", hash_fn="md5")
+    s2, idx2 = D.incremental_neardup(
+        batch2, "text", "id", index_sig=idx1, hash_fn="md5"
+    )
+    got = {r["id"] for r in s1.collect()} | {r["id"] for r in s2.collect()}
+    assert got == {1, 2, 12}
+    # signature parity vs DuckDB, slot by slot
+    sig = {r["id"]: r["signature"] for r in idx2.collect()}
+    con = duckdb.connect()
+    for doc_id, text in [(1, DOC_A), (2, DOC_B), (12, DOC_C)]:
+        for slot in (0, 7, 31):
+            want = con.execute(
+                """
+                SELECT MIN(md5(CAST(? AS VARCHAR) || ':' || shingle)) FROM (
+                  SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                  FROM (SELECT string_split_regex(?, '\\s+') AS t)
+                )
+                """,
+                [slot, text],
+            ).fetchone()[0]
+            assert sig[doc_id][slot] == want, (doc_id, slot)
+    con.close()
+
+
+def test_incremental_rejects_index_with_mismatched_hash_fn(spark):
+    """An index persisted under one hash_fn probed under another would
+    silently compare longs to hex strings (est always false → every
+    history near-dup admitted) — must fail loudly at call time."""
+    b1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx_xx = D.incremental_neardup(b1, "text", "id")
+    _, idx_md5 = D.incremental_neardup(b1, "text", "id", hash_fn="md5")
+    b2 = _inc_corpus(spark, [(2, DOC_B)])
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.incremental_neardup(b2, "text", "id", index_sig=idx_xx, hash_fn="md5")
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.incremental_neardup(b2, "text", "id", index_sig=idx_md5)
+
+
 def test_incremental_history_wins_even_with_lower_new_id(spark):
     """A new doc with a LOWER id than its historical near-dup is still
     dropped — accepted corpus is immutable."""

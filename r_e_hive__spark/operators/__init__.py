@@ -107,7 +107,7 @@ def _measured_text_density(df: DataFrame, text_col: str) -> float | None:
         # evict entries from other sessions: (applicationId, startTime)
         # never repeats, so stale keys are unreachable forever and the dict
         # grows unboundedly in a long-lived multi-session process — same
-        # hygiene as fastpaths._BM25_INDEX_CACHE (round-7 ADVICE)
+        # hygiene as fastpaths._BM25_DISK_INDEX (round-7 ADVICE)
         ctx = key[0]
         for k in [k for k in _density_cache if k[0] != ctx]:
             _density_cache.pop(k, None)

@@ -215,6 +215,106 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
 
 
+def term_bucket(term, n_buckets: int):
+    """Deterministic, engine-portable term → bucket column: the first 8
+    hex chars of md5 as an integer, mod ``n_buckets``.  md5 (not
+    xxhash64) so the SAME bucket is computable driver-side in pure Python
+    (:func:`term_bucket_py`, no Spark job to route a query) and in any
+    other engine reading the index layout — the cross-engine anchor
+    discipline (X15/X24)."""
+    return F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket` (same md5-prefix math over
+    UTF-8 bytes) — routes query terms to index partitions without a job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def save_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index the docstrings above promise, ON
+    DISK: ``term_postings`` written ``partitionBy(term_bucket)`` (a
+    bounded md5 bucket of the term — partitioning by raw ``term`` would
+    create |vocab| directories), plus the build-time ``corpus_stats``
+    one-row frame carrying ``n_buckets`` as layout metadata, under::
+
+        path/postings/term_bucket=<b>/...
+        path/stats/
+
+    This is the index-once/search-many artifact (the save_ivf_index /
+    save_bpe discipline): a search reads ONLY its query terms' bucket
+    partitions (:func:`bm25_search_indexed` pushes the bucket list as a
+    PartitionFilter) and never re-aggregates corpus constants.  At 100 TB
+    the postings build is the one expensive pass; every later query is a
+    pruned scan of ~|query terms|/n_buckets of the index."""
+    p = term_postings(df, text_col, id_col)
+    p.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("term_bucket").parquet(f"{path}/postings")
+    corpus_stats(p, id_col).withColumn(
+        "n_buckets", F.lit(n_buckets)
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_postings(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """(postings, stats, n_buckets) from a :func:`save_postings` layout.
+    ``stats`` is returned WITHOUT the metadata column so it drops straight
+    into ``bm25_search(stats=...)``; n_buckets is read from the one-row
+    stats frame (a driver-scale read)."""
+    stats_full = spark.read.parquet(f"{path}/stats")
+    row = stats_full.first()
+    if row is None or "n_buckets" not in stats_full.columns:
+        raise ValueError(f"load_postings: {path}/stats is not a postings layout")
+    postings = spark.read.parquet(f"{path}/postings")
+    return postings, stats_full.drop("n_buckets"), int(row["n_buckets"])
+
+
+def bm25_search_indexed(
+    spark,
+    index_path: str,
+    query: str | Sequence[str],
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """BM25 top-k against a persisted :func:`save_postings` layout with
+    the query's term buckets pushed into the SCAN as a PartitionFilter
+    (``term_bucket.isin`` over a driver-computed md5 bucket list — no job
+    runs to route the query; plan-asserted in tests/test_ranking.py).
+
+    Returns ``(results, pruned_postings, stats)`` — the postings/stats
+    frames are handed back so a caller issuing several searches (or the
+    declared scoring tail) reuses the pruned scan."""
+    terms = tokenize_py(query) if isinstance(query, str) else [t.lower() for t in query]
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("bm25_search_indexed: query has no tokens")
+    postings, stats, n_buckets = load_postings(spark, index_path)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    pruned = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+    res = bm25_search(
+        None,  # never touched: postings+stats supplied
+        "_unused",
+        id_col,
+        terms,
+        k1=k1,
+        b=b,
+        top_k=top_k,
+        postings=pruned,
+        stats=stats,
+    )
+    return res, pruned, stats
+
+
 def rrf_fuse(
     rankings: Sequence[DataFrame],
     id_col: str,

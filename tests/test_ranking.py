@@ -370,3 +370,47 @@ def test_bm25_term_filter_pushes_into_parquet_scan(spark, documents, tmp_path):
         "DataFilters" in l and "IN (" in l.replace("In (", "IN (")
         for l in scan_lines
     ), scan_lines
+
+
+def test_save_postings_roundtrip_and_indexed_search_parity(
+    spark, documents, tmp_path
+):
+    """save_postings -> bm25_search_indexed must equal the inline
+    bm25_search on the same corpus/query, the probed bucket list must
+    reach the scan as a PartitionFilter (only the query terms' bucket
+    directories are read), and the driver-side bucket router must agree
+    with the Spark column it twins."""
+    docs = documents.select("doc_id", "text")
+    path = str(tmp_path / "bm25_index")
+    R.save_postings(docs, "text", "doc_id", path, n_buckets=16)
+    q = "the data model"
+    res, pruned, stats = R.bm25_search_indexed(
+        spark, path, q, "doc_id", top_k=15
+    )
+    inline = R.bm25_search(docs, "text", "doc_id", q, top_k=15)
+    assert [r.asDict() for r in res.collect()] == [
+        r.asDict() for r in inline.collect()
+    ]
+    # bucket pruning is a PARTITION filter, not a post-scan one
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "term_bucket" in pf, pf
+    # driver-side router == Spark column (the md5-prefix anchor)
+    terms = R.tokenize_py(q)
+    got = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "t STRING")
+        .select("t", R.term_bucket(F.col("t"), 16).alias("b"))
+        .collect()
+    }
+    assert got == {t: R.term_bucket_py(t, 16) for t in terms}
+
+
+def test_load_postings_rejects_non_index_layout(spark, tmp_path):
+    bad = str(tmp_path / "not_an_index")
+    spark.range(3).select(
+        F.col("id"), F.lit(1.0).alias("n_docs")
+    ).write.parquet(f"{bad}/stats")
+    with pytest.raises(Exception, match="postings layout|PATH_NOT_FOUND"):
+        R.load_postings(spark, bad)

@@ -103,13 +103,16 @@ def _run_inline(sf_dir: str, cpus: str) -> dict:
     fence_on = os.environ.get("SPARK_GRAFT_BENCH_FENCE", "1") != "0"
 
     def fence() -> None:
-        """Between-queries hygiene: a JVM System.gc() drives the
-        ContextCleaner, releasing the finished queries' shuffle files and
-        broadcast blocks so a late-ordered query isn't measured under GBs
-        of accumulated session state (measured at sf20 as a 3× effect on
-        q5 — VERDICT r7 item 4).  The catalog's pinned table cache is NOT
-        cleared: warm small-table scans are the steady-state methodology
-        both engines share."""
+        """Between-reps hygiene (untimed): a JVM System.gc() drives the
+        ContextCleaner, releasing the finished run's shuffle files and
+        broadcast blocks.  Without it the dead references accumulate and
+        heavy queries degrade REP OVER REP — measured at sf20: q5 runs
+        11→26→52 s across 3 reps unfenced (even in a fresh session; the
+        JVM logs GCLocker allocation stalls) vs a stable 6.8–8.5 s
+        fenced, and late-ordered queries inherit the pressure (the 3×
+        q5 effect VERDICT r7 item 4 flagged).  The catalog's pinned
+        table cache is NOT cleared: warm small-table scans are the
+        steady-state methodology both engines share."""
         if not fence_on:
             return
         try:
@@ -121,10 +124,10 @@ def _run_inline(sf_dir: str, cpus: str) -> dict:
         timings: dict[str, float] = {}
         rep_times: dict[str, list[float]] = {}
         for name, fn in qset.items():
-            fence()
             d = q_dir(name)
             samples: list[float] = []
             for _ in range(reps):
+                fence()
                 t0 = time.perf_counter()
                 df = fn(spark, d)
                 # noop sink: materializes every output column (count() would

@@ -46,52 +46,65 @@ def st2_windows(spark, sf_dir):
     slide) window aggregations in one declared suite (driver 50-query
     budget).
 
-    Batch formulation is FUSED: each event emits its 1 tumbling + 2 sliding
-    window assignments (window start = epoch-aligned arithmetic, identical
-    to ``F.window``'s bucketing and DuckDB time_bucket — bucket boundaries
-    are whole seconds, so second-truncated ``unix_timestamp`` buckets
-    sub-second events identically) and ONE groupBy aggregates all three
-    granularities in a single scan + single shuffle — the grouping-sets
-    shape a multi-rollup takes at 100 TB, and ~35% faster than two
-    independent aggs + union at sf1 (measured; the union form costs two
-    jobs and an extra sort barrier).  The canonical ``F.window`` groupBys
-    still run unchanged under readStream + watermark
-    (tests/test_streaming.py asserts batch-equivalence per kind)."""
+    Batch formulation is TWO-STAGE (round 8, VERDICT r7 item 6): events
+    aggregate ONCE at the 5-minute base-bucket × event_type grain — the
+    only shuffle proportional to |events|, with NO row multiplication —
+    then the tiny base frame expands 3× (its tumbling 10-minute parent
+    bucket keeps event_type; each sliding window covering the bucket —
+    starts b and b−300 — folds event_type to "(all)") and a second,
+    bucket-count-sized groupBy re-sums.  Long-unit partial sums re-sum
+    associatively, so the result is bit-identical to the previous
+    explode-then-aggregate form (asserted at sf20; 1.04 s vs 1.38 s —
+    the old form shuffled 3× the event rows).  Window starts are
+    epoch-aligned arithmetic, identical to ``F.window``'s bucketing and
+    DuckDB time_bucket — bucket boundaries are whole seconds, so
+    second-truncated ``unix_timestamp`` buckets sub-second events
+    identically.  Fixed-point money: values convert to integer cents
+    once before any aggregation (fixedpoint A/B at sf20: decimal
+    accumulators cost 1.91 s on the same query).  The canonical
+    ``F.window`` groupBys still run unchanged under readStream +
+    watermark (tests/test_streaming.py asserts batch-equivalence per
+    kind)."""
     (events,) = T(spark, sf_dir, "events")
     u = F.unix_timestamp("ts")
-    tumb = F.timestamp_seconds(F.floor(u / 600) * 600)
-    s0 = F.timestamp_seconds(F.floor(u / 300) * 300)
-    s1 = F.timestamp_seconds(F.floor(u / 300) * 300 - 300)
-    assigned = events.select(
+    base = (
+        events.select(
+            (F.floor(u / 300) * 300).alias("_b"),
+            "event_type",
+            fp.unscaled_fast("value").alias("_u"),
+        )
+        .groupBy("_b", "event_type")
+        .agg(F.count("*").alias("_n"), F.sum("_u").alias("_su"))
+    )
+    expanded = base.select(
         F.explode(
             F.array(
                 F.struct(
                     F.lit("tumbling").alias("kind"),
-                    tumb.alias("window_start"),
+                    F.timestamp_seconds(
+                        F.floor(F.col("_b") / 600) * 600
+                    ).alias("window_start"),
                     F.col("event_type").alias("event_type"),
                 ),
                 F.struct(
                     F.lit("sliding").alias("kind"),
-                    s0.alias("window_start"),
+                    F.timestamp_seconds(F.col("_b")).alias("window_start"),
                     F.lit("(all)").alias("event_type"),
                 ),
                 F.struct(
                     F.lit("sliding").alias("kind"),
-                    s1.alias("window_start"),
+                    F.timestamp_seconds(F.col("_b") - 300).alias("window_start"),
                     F.lit("(all)").alias("event_type"),
                 ),
             )
         ).alias("g"),
-        # fixed-point money: convert to integer cents ONCE, before the
-        # 3-way explode; sums accumulate in codegen and the per-window
-        # total converts back to exact decimal (bit-identical to the
-        # decimal oracle; see functions/fixedpoint.py)
-        fp.unscaled_fast("value").alias("value_units"),
+        "_n",
+        "_su",
     )
-    val = fp.money_of_units(F.sum("value_units"), 2)
+    val = fp.money_of_units(F.sum("_su"), 2)
     return (
-        assigned.groupBy("g.kind", "g.window_start", "g.event_type")
-        .agg(F.count("*").alias("n_events"), val.alias("sum_value"))
+        expanded.groupBy("g.kind", "g.window_start", "g.event_type")
+        .agg(F.sum("_n").alias("n_events"), val.alias("sum_value"))
         .orderBy("kind", "window_start", "event_type")
     )
 

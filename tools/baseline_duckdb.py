@@ -80,9 +80,12 @@ def main() -> None:
         llm_queries = {name: merged[name] for name in LLM_BENCH}
         # fast-path twins time the SAME TASK as their exact twin — record
         # the twin's oracle under the fast name so the two engines' JSONs
-        # align by key (bench_common.LLM_FAST); they're tagged in the
-        # output because this pairing re-times the full oracle (index
-        # rebuild included) that the Spark twin amortizes (r7 ADVICE)
+        # align by key (bench_common.LLM_FAST).  x23's twin searches a
+        # PREBUILT index on the Spark side, so its DuckDB pair searches a
+        # prebuilt (untimed CREATE TABLE) postings index too — the r7
+        # ADVICE asymmetry, closed; x17/x25 twins run the identical task
+        # end-to-end on both sides (arithmetic mode is the only delta)
+        # and stay paired to the full oracle, tagged via llm_fast_twins.
         llm_queries.update(
             {fast: merged[src] for fast, src in LLM_FAST.items()}
         )
@@ -109,19 +112,37 @@ def main() -> None:
     def con_for(name: str):
         return cons.get(name, con)
 
+    # search-only oracles for twins whose Spark side searches a prebuilt
+    # index: the prep SQL runs ONCE per connection (the untimed build, in
+    # the warm phase) and the timed statement is the search tail
+    search_only: dict[str, str] = {}
+    if "x23_bm25_topk_fast" in llm_queries:
+        from r_e_hive__spark.queries.text import (
+            X23_FAST_DUCKDB_PREP,
+            x23_fast_duckdb_search,
+        )
+
+        for prep in X23_FAST_DUCKDB_PREP:
+            con_for("x23_bm25_topk_fast").execute(prep)
+        search_only["x23_bm25_topk_fast"] = x23_fast_duckdb_search()
+
+    def sql_for(name: str, q) -> str:
+        return search_only.get(name, q.oracle)
+
     # warm the OS page cache / parquet footers once
     for name, q in {**queries, **llm_queries}.items():
-        con_for(name).execute(q.oracle).fetchall()
+        con_for(name).execute(sql_for(name, q)).fetchall()
     reps = bench_reps()
 
     def run_set(qset) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name, q in qset.items():
             c = con_for(name)
+            sql = sql_for(name, q)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                c.execute(q.oracle).fetchall()
+                c.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
             # best-of-N, same methodology as bench.py
             timings[name] = round(best, 4)

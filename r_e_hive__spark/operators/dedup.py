@@ -814,6 +814,7 @@ def incremental_neardup(
     with_delta: bool = False,
     assume_legacy_bands_match: bool = False,
     hash_fn: str = "xxhash64",
+    new_sig: DataFrame | None = None,
 ) -> tuple[DataFrame, ...]:
     """Dedup an INCREMENT (today's crawl batch) against a persisted MinHash
     signature index of everything already accepted — without re-reading or
@@ -899,9 +900,19 @@ def incremental_neardup(
     # action on batch N would re-run all N batches' shingling and the plan
     # would grow superlinearly (round-5 code review).  localCheckpoint is
     # O(this batch) and bounds the index's lineage at one leaf per batch.
-    sig_new = minhash_signatures(
-        new_df, text_col, id_col, k, num_hashes, hash_fn=hash_fn
-    ).localCheckpoint()
+    # ``new_sig`` lets a caller that already computed the increment's
+    # signatures (the persisted-index probe, which needs them to build
+    # its band-bucket partition filter BEFORE reading the store) hand
+    # them in instead of shingling the increment twice — it must be the
+    # ALREADY-MATERIALIZED output of minhash_signatures with identical
+    # (k, num_hashes, hash_fn).
+    sig_new = (
+        new_sig
+        if new_sig is not None
+        else minhash_signatures(
+            new_df, text_col, id_col, k, num_hashes, hash_fn=hash_fn
+        ).localCheckpoint()
+    )
     banded_new = band_signatures(sig_new, id_col, num_hashes, bands)
 
     # new-vs-new candidate pairs, est-verified (same construction as
@@ -1060,3 +1071,139 @@ def incremental_neardup(
     if with_delta:
         return survivors, updated_index, delta
     return survivors, updated_index
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash signature store (round 8): the on-disk artifact the
+# incremental_neardup docstring promises — "persist the index via
+# band_signatures partitioned/bucketed by band_hash and the probe prunes
+# to matching buckets" — as a real save/load/probe triple (the
+# save_ivf_index / save_postings / save_bpe discipline).
+# ---------------------------------------------------------------------------
+
+
+def save_band_index(
+    index_sig: DataFrame,
+    id_col: str,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 64,
+) -> None:
+    """Write a signature index (compact or banded layout) as the
+    partition-prunable on-disk store::
+
+        path/signatures/band_bucket=<pmod(band_hash, n_buckets)>/...
+        path/meta/   (one row: k, num_hashes, bands, hash_fn, n_buckets)
+
+    ``band_bucket`` bounds the partition count (partitioning by raw
+    band_hash would create one directory per distinct hash); the meta
+    frame makes the store self-describing so a probe can NEVER run under
+    mismatched minhash parameters — :func:`incremental_neardup_indexed`
+    reads its shingling/hashing configuration from the store, and the
+    in-plan guards (signature length, num_bands, hash_fn element type)
+    still back it up.  Size: ~8·num_hashes bytes/doc/band-row — the ONLY
+    thing history contributes to every future increment."""
+    banded = (
+        index_sig
+        if "band_hash" in index_sig.columns
+        else band_signatures(index_sig, id_col, num_hashes, bands)
+    )
+    banded.withColumn(
+        "band_bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("band_bucket").parquet(
+        f"{path}/signatures"
+    )
+    spark = index_sig.sparkSession
+    spark.createDataFrame(
+        [(k, num_hashes, bands, hash_fn, n_buckets)],
+        "k INT, num_hashes INT, bands INT, hash_fn STRING, n_buckets INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_band_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(full banded index frame, meta dict) from a save_band_index store.
+    The frame drops the bucket column so it feeds straight into
+    ``incremental_neardup(index_sig=...)``."""
+    meta_df = spark.read.parquet(f"{path}/meta")
+    row = meta_df.first()
+    if row is None or "n_buckets" not in meta_df.columns:
+        raise ValueError(f"load_band_index: {path}/meta is not a band-index store")
+    idx = spark.read.parquet(f"{path}/signatures").drop("band_bucket")
+    return idx, row.asDict()
+
+
+def incremental_neardup_indexed(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    est_threshold: float = 0.5,
+    broadcast_new: bool | None = None,
+    update_index: bool = True,
+) -> DataFrame:
+    """Dedup an increment against a PERSISTED :func:`save_band_index`
+    store, reading only the band-bucket partitions the increment can
+    match, then (by default) append the survivors' delta to the store.
+
+    The probe: the increment's signatures are computed ONCE
+    (localCheckpoint), its band hashes map to bucket ids, and the
+    distinct bucket list (≤ increment_bands × rows, collected at
+    driver scale — the increment is broadcast-small by the incremental
+    contract) becomes an ``isin`` PartitionFilter on the signatures
+    scan — the ivf_search / bm25_search_indexed discipline.  Pruning is
+    LOSSLESS for the decision: candidate pairs require band_hash
+    equality, bucket is a pure function of band_hash, and unmatched
+    history rows are edge-free so they can never anchor a component.
+
+    Shingling/hashing parameters come from the store's meta (they are
+    index properties, not call options — a parameter drift between
+    build and probe is the silent-admit failure class the in-plan
+    guards exist for).  ``update_index=True`` appends the delta in the
+    store's layout (single-writer contract; concurrent writers need the
+    streaming twin's fence — streaming/jobs.stream_incremental_neardup).
+    Returns the survivors frame."""
+    spark = new_df.sparkSession
+    _idx_full, meta = load_band_index(spark, path)
+    k, num_hashes, bands = meta["k"], meta["num_hashes"], meta["bands"]
+    hash_fn, n_buckets = meta["hash_fn"], meta["n_buckets"]
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, k, num_hashes, hash_fn=hash_fn
+    ).localCheckpoint()
+    banded_new = band_signatures(sig_new, id_col, num_hashes, bands)
+    buckets = sorted(
+        r["b"]
+        for r in banded_new.select(
+            F.pmod(F.col("band_hash"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = (
+        spark.read.parquet(f"{path}/signatures")
+        .where(F.col("band_bucket").isin(buckets))
+        .drop("band_bucket")
+    )
+    survivors, _updated, delta = incremental_neardup(
+        new_df,
+        text_col,
+        id_col,
+        index_sig=pruned,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        est_threshold=est_threshold,
+        broadcast_new=broadcast_new,
+        with_delta=True,
+        hash_fn=hash_fn,
+        new_sig=sig_new,
+    )
+    if update_index:
+        delta.withColumn(
+            "band_bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets))
+        ).write.mode("append").partitionBy("band_bucket").parquet(
+            f"{path}/signatures"
+        )
+    return survivors

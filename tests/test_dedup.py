@@ -720,3 +720,61 @@ def test_incremental_with_delta_matches_index_growth(spark):
     assert {r["id"] for r in d2.select("id").distinct().collect()} == {12}
     # updated index == old index + delta, row-for-row
     assert idx2.count() == banded1.count() + d2.count()
+
+
+def test_band_index_store_roundtrip_multi_increment(spark, tmp_path):
+    """save_band_index → incremental_neardup_indexed over 3 increments
+    must make the SAME decisions as the in-memory banded-index flow, and
+    the delta append must leave the store equal to the in-memory updated
+    index after every increment."""
+    store = str(tmp_path / "band_store")
+    batches = [
+        [(1, DOC_A), (2, DOC_B)],
+        [(11, DOC_A2), (12, DOC_C), (13, DOC_C)],
+        [(21, DOC_C), (22, DOC_B), (23, DOC_A)],
+    ]
+    # seed the store from batch 1's in-memory run
+    b1 = _inc_corpus(spark, batches[0])
+    s_mem, idx_mem = D.incremental_neardup(b1, "text", "id")
+    idx_mem = D.band_signatures(idx_mem, "id", 32, 8)
+    D.save_band_index(idx_mem, "id", store)
+    surv_all = {r["id"] for r in s_mem.collect()}
+    for rows in batches[1:]:
+        df = _inc_corpus(spark, rows)
+        s_mem, idx_mem = D.incremental_neardup(
+            df, "text", "id", index_sig=idx_mem
+        )
+        s_idx = D.incremental_neardup_indexed(df, "text", "id", store)
+        mem_ids = {r["id"] for r in s_mem.collect()}
+        assert {r["id"] for r in s_idx.collect()} == mem_ids
+        surv_all |= mem_ids
+        # store contents == in-memory index after the delta append
+        loaded, meta = D.load_band_index(spark, store)
+        assert meta["n_buckets"] == 64 and meta["hash_fn"] == "xxhash64"
+        assert {r["id"] for r in loaded.select("id").distinct().collect()} == {
+            r["id"] for r in idx_mem.select("id").distinct().collect()
+        }
+    # final survivor set: history-wins chain semantics preserved
+    assert {r["id"] for r in loaded.select("id").distinct().collect()} == surv_all
+
+
+def test_band_index_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The store layout must let a probe's bucket IN-list reach the scan
+    as a PartitionFilter (only matching band_bucket directories read)."""
+    store = str(tmp_path / "band_store_plan")
+    b1 = _inc_corpus(spark, [(1, DOC_A), (2, DOC_B)])
+    _, idx = D.incremental_neardup(b1, "text", "id")
+    D.save_band_index(idx, "id", store, n_buckets=16)
+    pruned = spark.read.parquet(f"{store}/signatures").where(
+        F.col("band_bucket").isin([0, 3, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "band_bucket" in plan.split("PartitionFilters")[1][:300], plan
+
+
+def test_load_band_index_rejects_non_store(spark, tmp_path):
+    bad = str(tmp_path / "not_a_store")
+    spark.range(1).write.parquet(f"{bad}/meta")
+    with pytest.raises(Exception, match="band-index store|PATH_NOT_FOUND"):
+        D.load_band_index(spark, bad)

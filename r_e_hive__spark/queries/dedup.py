@@ -306,17 +306,20 @@ def x20_duplicate_spans(spark, sf_dir):
 # the x19 pattern) with the operator's pinned group semantics: history
 # wins, keep-min within pure-new components, no tombstones (dropped docs
 # never enter the index, so only survivor-vs-new edges exist in batch 2).
+# The multiply-referenced CTEs are MATERIALIZED: DuckDB otherwise
+# re-inlines the whole shingle→minhash pipeline per reference and the
+# join tree OOMs at sf1 (measured: 89 GB RSS kill vs 29 s materialized).
 _X22_INCREMENTAL = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
         THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
         ELSE [array_to_string(t, ' ')] END)) AS shingle
       FROM toks
     ), seeds AS (
       SELECT unnest(generate_series(0, 31)) AS slot
-    ), mh AS (
+    ), mh AS MATERIALIZED (
       SELECT s.doc_id, sd.slot,
              MIN(md5(CAST(sd.slot AS VARCHAR) || ':' || s.shingle)) AS h
       FROM sh s CROSS JOIN seeds sd
@@ -330,7 +333,7 @@ _X22_INCREMENTAL = """
       FROM bandkey a JOIN bandkey b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    ), good AS (
+    ), good AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cand c
       JOIN mh x ON x.doc_id = c.id_a
@@ -355,7 +358,7 @@ _X22_INCREMENTAL = """
       SELECT s.b, r.lbl FROM reach1 r JOIN sym1 s ON s.a = r.node
     ), comp1 AS (
       SELECT node, MIN(lbl) AS component FROM reach1 GROUP BY node
-    ), surv1 AS (
+    ), surv1 AS MATERIALIZED (
       SELECT d.doc_id FROM b1 d
       LEFT JOIN comp1 c ON c.node = d.doc_id
       WHERE c.node IS NULL OR c.component = d.doc_id

@@ -1106,6 +1106,19 @@ def save_band_index(
     in-plan guards (signature length, num_bands, hash_fn element type)
     still back it up.  Size: ~8·num_hashes bytes/doc/band-row — the ONLY
     thing history contributes to every future increment."""
+    # meta is trusted at probe time, so a wrong hash_fn here would persist
+    # a lie the probe then acts on (wrong-hash signatures → zero est
+    # matches → every history near-dup admitted).  The element type is the
+    # ground truth — validate against it at save time.
+    from pyspark.sql.types import LongType, StringType
+
+    want = StringType() if hash_fn == "md5" else LongType()
+    el = index_sig.schema["signature"].dataType.elementType
+    if el != want:
+        raise ValueError(
+            f"save_band_index: signature element type {el} does not match "
+            f"hash_fn={hash_fn!r} — pass the hash_fn the index was built with"
+        )
     banded = (
         index_sig
         if "band_hash" in index_sig.columns

@@ -778,3 +778,16 @@ def test_load_band_index_rejects_non_store(spark, tmp_path):
     spark.range(1).write.parquet(f"{bad}/meta")
     with pytest.raises(Exception, match="band-index store|PATH_NOT_FOUND"):
         D.load_band_index(spark, bad)
+
+
+def test_save_band_index_validates_hash_fn_against_signatures(spark, tmp_path):
+    """Meta is trusted at probe time — a wrong hash_fn at save time would
+    persist a lie the probe acts on.  The element type is ground truth."""
+    b1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx_md5 = D.incremental_neardup(b1, "text", "id", hash_fn="md5")
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.save_band_index(idx_md5, "id", str(tmp_path / "s1"))  # default xxhash64
+    # correct declaration roundtrips
+    D.save_band_index(idx_md5, "id", str(tmp_path / "s2"), hash_fn="md5")
+    _, meta = D.load_band_index(spark, str(tmp_path / "s2"))
+    assert meta["hash_fn"] == "md5"

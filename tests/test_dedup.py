@@ -791,3 +791,25 @@ def test_save_band_index_validates_hash_fn_against_signatures(spark, tmp_path):
     D.save_band_index(idx_md5, "id", str(tmp_path / "s2"), hash_fn="md5")
     _, meta = D.load_band_index(spark, str(tmp_path / "s2"))
     assert meta["hash_fn"] == "md5"
+
+
+def test_band_index_store_md5_mode_probe(spark, tmp_path):
+    """A store saved in md5 mode must drive its probes in md5 mode via
+    meta (hash_fn is an index property, not a call option): history-wins
+    decisions replay across the persisted boundary."""
+    store = str(tmp_path / "md5_store")
+    b1 = _inc_corpus(spark, [(100, DOC_A), (2, DOC_B)])
+    s1, idx = D.incremental_neardup(b1, "text", "id", hash_fn="md5")
+    D.save_band_index(idx, "id", store, hash_fn="md5")
+    # 5 ~ DOC_A (history-wins despite lower id); 12 is novel
+    s2 = D.incremental_neardup_indexed(
+        _inc_corpus(spark, [(5, DOC_A2), (12, DOC_C)]), "text", "id", store
+    )
+    assert {r["id"] for r in s2.collect()} == {12}
+    loaded, meta = D.load_band_index(spark, store)
+    assert meta["hash_fn"] == "md5"
+    assert {r["id"] for r in loaded.select("id").distinct().collect()} == {
+        100,
+        2,
+        12,
+    }

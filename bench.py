@@ -199,9 +199,23 @@ def _run_isolated(sf_dir: str) -> dict:
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        sub = json.loads(out.strip().splitlines()[-1])
+            check=False,
+        )
+        # a failing child (OOM'd JVM is the realistic case at scale) must
+        # not abort the sweep and discard every completed result: record
+        # null for that query and surface the child's stderr (round-8
+        # review; geomeans skip nulls)
+        if out.returncode != 0 or not out.stdout.strip():
+            sys.stderr.write(
+                f"[isolate] child for {name!r} failed rc={out.returncode}; "
+                f"stderr tail:\n{out.stderr[-2000:]}\n"
+            )
+            if kind is not None:
+                rkind = "reps" if kind == "queries" else "llm_reps"
+                merged[kind][name] = None
+                merged[rkind][name] = None
+            continue
+        sub = json.loads(out.stdout.strip().splitlines()[-1])
         if kind is None:
             merged["calibration"] = sub["calibration"]
         else:
@@ -219,19 +233,27 @@ def main() -> None:
     res = _run_isolated(sf_dir) if isolate else _run_inline(sf_dir, cpus)
 
     time_rel, time_llm = bench_set_flags()
-    # a set that was not timed is null, never a real-looking 0.0 — a series
-    # consumer must be able to tell "skipped" from "measured" (r7 ADVICE)
+
+    def gmean_or_null(timings: dict | None, enabled: bool):
+        """null for a skipped set AND for an enabled set that timed
+        nothing (SPARK_GRAFT_BENCH_ONLY matching nothing, or every
+        isolate child failing) — never a real-looking 0.0 (r7 ADVICE +
+        r8 review); failed isolate entries carry null values and are
+        excluded from the mean."""
+        if not enabled:
+            return None
+        timed = {k: v for k, v in (timings or {}).items() if v is not None}
+        return round(geomean(timed), 4) if timed else None
+
     print(
         json.dumps(
             {
                 "metric": "declared-query wall-clock (geomean)",
-                "value": round(geomean(res["queries"]), 4) if time_rel else None,
+                "value": gmean_or_null(res["queries"], time_rel),
                 "unit": "sec",
                 "queries": res["queries"] if time_rel else None,
                 "reps": res["reps"] if time_rel else None,
-                "llm_geomean": (
-                    round(geomean(res["llm_queries"]), 4) if time_llm else None
-                ),
+                "llm_geomean": gmean_or_null(res["llm_queries"], time_llm),
                 "llm_queries": res["llm_queries"] if time_llm else None,
                 "llm_reps": res["llm_reps"] if time_llm else None,
                 # fast-path twins are tagged so downstream ratio computations

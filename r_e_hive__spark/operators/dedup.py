@@ -341,8 +341,18 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = sh.groupBy(id_col).agg(*aggs)
+    # k and hash_fn leave no trace in the signature VALUES (num_hashes is
+    # the array length, bands rides band_signatures' num_bands column) —
+    # carry them as column metadata, which Spark persists through parquet
+    # round-trips, so save_band_index / incremental_neardup can verify the
+    # one parameter drift that would otherwise be silent (round-8 review:
+    # a k mismatch between build and probe zeroes est_jaccard and admits
+    # every history near-dup with no guard firing).
     return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+        id_col,
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias(
+            "signature", metadata={"minhash_k": k, "minhash_hash_fn": hash_fn}
+        ),
     )
 
 
@@ -894,6 +904,16 @@ def incremental_neardup(
                 f"does not match hash_fn={hash_fn!r} — was the index built "
                 "with a different hash_fn?"
             )
+        # k leaves no trace in the signature values; when the index still
+        # carries minhash_signatures' column metadata (preserved through
+        # parquet/localCheckpoint/select), verify it — a k drift zeroes
+        # est_jaccard and silently admits every history near-dup
+        md = index_sig.schema["signature"].metadata or {}
+        if "minhash_k" in md and int(md["minhash_k"]) != k:
+            raise ValueError(
+                f"incremental_neardup: index was built with shingle k="
+                f"{md['minhash_k']} but this call uses k={k}"
+            )
     # sig_new feeds FOUR consumers (both sides of the new-new self-join,
     # the history probe, and the survivor index) and the returned index is
     # fed back batch after batch — without an eager materialization every
@@ -1102,14 +1122,19 @@ def save_band_index(
     band_hash would create one directory per distinct hash); the meta
     frame makes the store self-describing so a probe can NEVER run under
     mismatched minhash parameters — :func:`incremental_neardup_indexed`
-    reads its shingling/hashing configuration from the store, and the
-    in-plan guards (signature length, num_bands, hash_fn element type)
-    still back it up.  Size: ~8·num_hashes bytes/doc/band-row — the ONLY
-    thing history contributes to every future increment."""
-    # meta is trusted at probe time, so a wrong hash_fn here would persist
-    # a lie the probe then acts on (wrong-hash signatures → zero est
-    # matches → every history near-dup admitted).  The element type is the
-    # ground truth — validate against it at save time.
+    reads its shingling/hashing configuration from the store, and every
+    parameter is verified against the frame being saved: hash_fn by the
+    signature element type, num_hashes by the in-plan length guard,
+    bands by the num_bands column, and k/hash_fn by the column metadata
+    minhash_signatures stamps (preserved through parquet) — so a
+    caller-supplied parameter that disagrees with how the signatures
+    were actually built fails here, not as a silent-admit at probe time.
+    Size: ~8·num_hashes bytes/doc/band-row — the ONLY thing history
+    contributes to every future increment."""
+    # meta is trusted at probe time, so a wrong parameter here would
+    # persist a lie the probe then acts on (wrong-hash/k signatures →
+    # zero est matches → every history near-dup admitted).  Validate
+    # against the frame's ground truth: element type + column metadata.
     from pyspark.sql.types import LongType, StringType
 
     want = StringType() if hash_fn == "md5" else LongType()
@@ -1118,6 +1143,13 @@ def save_band_index(
         raise ValueError(
             f"save_band_index: signature element type {el} does not match "
             f"hash_fn={hash_fn!r} — pass the hash_fn the index was built with"
+        )
+    md = index_sig.schema["signature"].metadata or {}
+    if "minhash_k" in md and int(md["minhash_k"]) != k:
+        raise ValueError(
+            f"save_band_index: signatures were built with shingle k="
+            f"{md['minhash_k']} but k={k} was passed — meta would lie to "
+            "every future probe"
         )
     banded = (
         index_sig
@@ -1136,16 +1168,25 @@ def save_band_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def load_band_index(spark, path: str) -> tuple[DataFrame, dict]:
-    """(full banded index frame, meta dict) from a save_band_index store.
-    The frame drops the bucket column so it feeds straight into
-    ``incremental_neardup(index_sig=...)``."""
+def _load_store_meta(spark, path: str) -> dict:
+    """The one-row meta dict of a save_band_index store — a driver-scale
+    read that does NOT list the signatures directory (a probe only needs
+    meta + its own bucket partitions; listing/schema-inferring the whole
+    multi-TB store per increment would be pure waste — round-8 review)."""
     meta_df = spark.read.parquet(f"{path}/meta")
     row = meta_df.first()
     if row is None or "n_buckets" not in meta_df.columns:
         raise ValueError(f"load_band_index: {path}/meta is not a band-index store")
+    return row.asDict()
+
+
+def load_band_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(full banded index frame, meta dict) from a save_band_index store.
+    The frame drops the bucket column so it feeds straight into
+    ``incremental_neardup(index_sig=...)``."""
+    meta = _load_store_meta(spark, path)
     idx = spark.read.parquet(f"{path}/signatures").drop("band_bucket")
-    return idx, row.asDict()
+    return idx, meta
 
 
 def incremental_neardup_indexed(
@@ -1179,7 +1220,7 @@ def incremental_neardup_indexed(
     streaming twin's fence — streaming/jobs.stream_incremental_neardup).
     Returns the survivors frame."""
     spark = new_df.sparkSession
-    _idx_full, meta = load_band_index(spark, path)
+    meta = _load_store_meta(spark, path)
     k, num_hashes, bands = meta["k"], meta["num_hashes"], meta["bands"]
     hash_fn, n_buckets = meta["hash_fn"], meta["n_buckets"]
     sig_new = minhash_signatures(

@@ -259,7 +259,12 @@ def save_postings(
     p.withColumn("term_bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
         "overwrite"
     ).partitionBy("term_bucket").parquet(f"{path}/postings")
-    corpus_stats(p, id_col).withColumn(
+    # stats from the JUST-WRITTEN index (a 2-column pruned read), not from
+    # the lazy term_postings plan — that would re-run the whole
+    # tokenize+explode+groupBy corpus pass a second time (round-8 review:
+    # "the one expensive pass" must actually be one)
+    written = df.sparkSession.read.parquet(f"{path}/postings")
+    corpus_stats(written, id_col).withColumn(
         "n_buckets", F.lit(n_buckets)
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -275,6 +280,20 @@ def load_postings(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
         raise ValueError(f"load_postings: {path}/stats is not a postings layout")
     postings = spark.read.parquet(f"{path}/postings")
     return postings, stats_full.drop("n_buckets"), int(row["n_buckets"])
+
+
+def load_pruned_postings(
+    spark, index_path: str, terms: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(bucket-pruned postings, stats) for a term list against a
+    :func:`save_postings` layout — the ONE implementation of the routing
+    contract (driver-side md5 bucket list pushed as a PartitionFilter),
+    shared by :func:`bm25_search_indexed` and the bench fast twin so the
+    two can never desync (round-8 review)."""
+    postings, stats, n_buckets = load_postings(spark, index_path)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    pruned = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+    return pruned, stats
 
 
 def bm25_search_indexed(
@@ -298,9 +317,7 @@ def bm25_search_indexed(
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search_indexed: query has no tokens")
-    postings, stats, n_buckets = load_postings(spark, index_path)
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
-    pruned = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+    pruned, stats = load_pruned_postings(spark, index_path, terms)
     res = bm25_search(
         None,  # never touched: postings+stats supplied
         "_unused",

@@ -109,18 +109,14 @@ def x23_bm25_topk_fast(spark, sf_dir):
     search is a driver-computed md5 bucket list pushed as a
     PartitionFilter → pushed-down term filter → tiny df-count agg →
     per-doc sum → TakeOrderedAndProject, never an index rebuild."""
-    from r_e_hive__spark.operators.ranking import (
-        load_postings,
-        term_bucket_py,
-        tokenize_py,
-    )
+    from r_e_hive__spark.operators.ranking import load_pruned_postings, tokenize_py
     from r_e_hive__spark.queries.text import _BM25_QUERY, bm25_declared_topk
 
     path = _bm25_disk_index(spark, sf_dir)
-    postings, stats, n_buckets = load_postings(spark, path)
     terms = sorted(set(tokenize_py(_BM25_QUERY)))
-    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
-    pruned = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+    # the routing/prune contract has ONE home (operators/ranking.py) —
+    # shared with bm25_search_indexed so twin and library cannot desync
+    pruned, stats = load_pruned_postings(spark, path, terms)
     (documents,) = T(spark, sf_dir, "documents")
     # the scoring tail is the declared query's own helper — the
     # determinism contract (rounding, tie-break, top-k) has ONE home

@@ -813,3 +813,23 @@ def test_band_index_store_md5_mode_probe(spark, tmp_path):
         2,
         12,
     }
+
+
+def test_incremental_rejects_index_with_mismatched_k(spark, tmp_path):
+    """k leaves no trace in signature VALUES — the column metadata stamped
+    by minhash_signatures (preserved through localCheckpoint AND parquet)
+    must catch a build-vs-probe shingle-k drift, which would otherwise
+    zero est_jaccard and admit every history near-dup (round-8 review)."""
+    b1 = _inc_corpus(spark, [(1, DOC_A)])
+    _, idx5 = D.incremental_neardup(b1, "text", "id", k=5)
+    with pytest.raises(ValueError, match="shingle k"):
+        D.incremental_neardup(b1, "text", "id", index_sig=idx5, k=3)
+    # save-time: meta would lie to every future probe
+    with pytest.raises(ValueError, match="shingle k"):
+        D.save_band_index(idx5, "id", str(tmp_path / "s"))  # default k=3
+    # correct k round-trips and the metadata survives parquet
+    store = str(tmp_path / "s5")
+    D.save_band_index(idx5, "id", store, k=5)
+    loaded, meta = D.load_band_index(spark, store)
+    assert meta["k"] == 5
+    assert loaded.schema["signature"].metadata["minhash_k"] == 5

@@ -150,16 +150,20 @@ def main() -> None:
 
     timings = run_set(queries)
     llm_timings = run_set(llm_queries)
+
+    def gmean_or_null(t: dict, enabled: bool):
+        # null for skipped sets AND for an enabled set that timed nothing
+        # (a name filter matching nothing) — never a real-looking 0.0
+        return round(geomean(t), 4) if enabled and t else None
+
     print(
         json.dumps(
             {
                 "metric": "duckdb-oracle wall-clock (geomean)",
-                "value": round(geomean(timings), 4) if time_rel else None,
+                "value": gmean_or_null(timings, time_rel),
                 "unit": "sec",
                 "queries": timings if time_rel else None,
-                "llm_geomean": (
-                    round(geomean(llm_timings), 4) if time_llm else None
-                ),
+                "llm_geomean": gmean_or_null(llm_timings, time_llm),
                 "llm_queries": llm_timings if time_llm else None,
                 "llm_fast_twins": sorted(LLM_FAST),
                 "pinned_sf": pinned,

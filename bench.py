@@ -29,6 +29,7 @@ from tools.bench_common import (
     LLM_BENCH,
     LLM_BENCH_SF_CAP,
     LLM_FAST,
+    LLM_FAST_SYMMETRIC,
     bench_only,
     bench_reps,
     bench_set_flags,
@@ -205,7 +206,13 @@ def _run_isolated(sf_dir: str) -> dict:
         # not abort the sweep and discard every completed result: record
         # null for that query and surface the child's stderr (round-8
         # review; geomeans skip nulls)
-        if out.returncode != 0 or not out.stdout.strip():
+        sub = None
+        if out.returncode == 0 and out.stdout.strip():
+            try:
+                sub = json.loads(out.stdout.strip().splitlines()[-1])
+            except ValueError:
+                sub = None  # zero-rc child with a non-JSON tail line
+        if sub is None:
             sys.stderr.write(
                 f"[isolate] child for {name!r} failed rc={out.returncode}; "
                 f"stderr tail:\n{out.stderr[-2000:]}\n"
@@ -215,7 +222,6 @@ def _run_isolated(sf_dir: str) -> dict:
                 merged[kind][name] = None
                 merged[rkind][name] = None
             continue
-        sub = json.loads(out.stdout.strip().splitlines()[-1])
         if kind is None:
             merged["calibration"] = sub["calibration"]
         else:
@@ -256,11 +262,22 @@ def main() -> None:
                 "llm_geomean": gmean_or_null(res["llm_queries"], time_llm),
                 "llm_queries": res["llm_queries"] if time_llm else None,
                 "llm_reps": res["llm_reps"] if time_llm else None,
-                # fast-path twins are tagged so downstream ratio computations
-                # can flag them: their DuckDB pairing re-times the exact
-                # twin's full oracle, which includes an index rebuild the
-                # Spark side amortizes (r7 ADVICE)
+                # fast-path twins tagged for ratio readers; the symmetric
+                # subset (both engines search a prebuilt index — x23 since
+                # round 8) is listed separately so the asymmetric
+                # exact-oracle pairings (x17/x25) can be flagged alone
                 "llm_fast_twins": sorted(LLM_FAST),
+                "llm_fast_symmetric": sorted(LLM_FAST_SYMMETRIC),
+                # isolate-mode children that failed (their entries are
+                # null and EXCLUDED from the geomeans above — a paired
+                # DuckDB geomean must exclude the same names to stay
+                # comparable)
+                "failed": sorted(
+                    n
+                    for d in (res["queries"], res["llm_queries"])
+                    for n, v in (d or {}).items()
+                    if v is None
+                ),
                 # queries timed at a capped scale (name -> sf actually timed)
                 "pinned_sf": res["pinned_sf"],
                 "isolated": isolate,

@@ -1151,11 +1151,31 @@ def save_band_index(
             f"{md['minhash_k']} but k={k} was passed — meta would lie to "
             "every future probe"
         )
-    banded = (
-        index_sig
-        if "band_hash" in index_sig.columns
-        else band_signatures(index_sig, id_col, num_hashes, bands)
-    )
+    if "band_hash" in index_sig.columns:
+        # already-banded input: the band_signatures guards never ran on
+        # THIS call, so verify the frame against the meta being written —
+        # a legacy frame (no num_bands) can't be verified: reject it
+        # (rebuild via band_signatures) rather than persist an uncheckable
+        # claim (round-8 second review: the passthrough branch let meta
+        # lie despite the docstring)
+        if "num_bands" not in index_sig.columns:
+            raise ValueError(
+                "save_band_index: banded input lacks the num_bands column "
+                "— rebuild it with band_signatures so banding parameters "
+                "are verifiable before they are persisted as meta"
+            )
+        # in-plan, evaluated for EVERY row during the write job below
+        # (no extra action): signature length and banding must match meta
+        banded = index_sig.where(
+            F.assert_true(
+                (F.size("signature") == num_hashes)
+                & (F.col("num_bands") == F.lit(bands)),
+                f"save_band_index: frame disagrees with meta being written "
+                f"(num_hashes={num_hashes}, bands={bands})",
+            ).isNull()
+        )
+    else:
+        banded = band_signatures(index_sig, id_col, num_hashes, bands)
     banded.withColumn(
         "band_bucket", F.pmod(F.col("band_hash"), F.lit(n_buckets))
     ).write.mode("overwrite").partitionBy("band_bucket").parquet(
@@ -1197,10 +1217,11 @@ def incremental_neardup_indexed(
     est_threshold: float = 0.5,
     broadcast_new: bool | None = None,
     update_index: bool = True,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Dedup an increment against a PERSISTED :func:`save_band_index`
     store, reading only the band-bucket partitions the increment can
     match, then (by default) append the survivors' delta to the store.
+    Returns ``(survivors, delta)``.
 
     The probe: the increment's signatures are computed ONCE
     (localCheckpoint), its band hashes map to bucket ids, and the
@@ -1215,10 +1236,20 @@ def incremental_neardup_indexed(
     Shingling/hashing parameters come from the store's meta (they are
     index properties, not call options — a parameter drift between
     build and probe is the silent-admit failure class the in-plan
-    guards exist for).  ``update_index=True`` appends the delta in the
-    store's layout (single-writer contract; concurrent writers need the
-    streaming twin's fence — streaming/jobs.stream_incremental_neardup).
-    Returns the survivors frame."""
+    guards exist for).
+
+    Durability ordering (round-8 second review): ``update_index=True``
+    appends the delta BEFORE the caller has persisted the survivors —
+    if the caller's survivors write then fails and the increment is
+    retried, the retry probes a store already containing this batch's
+    signatures and every retried doc is dropped as a near-dup of its
+    own phantom entry (in the index, never in the corpus).  A pipeline
+    that persists survivors must therefore pass ``update_index=False``,
+    write survivors FIRST, and append the returned ``delta`` (in the
+    store layout, ``withColumn('band_bucket', pmod(band_hash,
+    n_buckets))``) afterwards — the order the streaming twin enforces
+    behind its replay fence (streaming/jobs.stream_incremental_neardup).
+    Single-writer contract either way."""
     spark = new_df.sparkSession
     meta = _load_store_meta(spark, path)
     k, num_hashes, bands = meta["k"], meta["num_hashes"], meta["bands"]
@@ -1253,6 +1284,12 @@ def incremental_neardup_indexed(
         with_delta=True,
         hash_fn=hash_fn,
         new_sig=sig_new,
+        # the store's save guard guarantees num_bands is present (the
+        # real parameter check); the legacy max(band_id) fallback is
+        # UNSOUND on a partition-filtered subset — a small probe's
+        # buckets may simply lack the last band (the exact false
+        # positive the flag exists for, round-8 second review)
+        assume_legacy_bands_match=True,
     )
     if update_index:
         delta.withColumn(
@@ -1260,4 +1297,4 @@ def incremental_neardup_indexed(
         ).write.mode("append").partitionBy("band_bucket").parquet(
             f"{path}/signatures"
         )
-    return survivors
+    return survivors, delta

@@ -744,7 +744,7 @@ def test_band_index_store_roundtrip_multi_increment(spark, tmp_path):
         s_mem, idx_mem = D.incremental_neardup(
             df, "text", "id", index_sig=idx_mem
         )
-        s_idx = D.incremental_neardup_indexed(df, "text", "id", store)
+        s_idx, _delta = D.incremental_neardup_indexed(df, "text", "id", store)
         mem_ids = {r["id"] for r in s_mem.collect()}
         assert {r["id"] for r in s_idx.collect()} == mem_ids
         surv_all |= mem_ids
@@ -802,7 +802,7 @@ def test_band_index_store_md5_mode_probe(spark, tmp_path):
     s1, idx = D.incremental_neardup(b1, "text", "id", hash_fn="md5")
     D.save_band_index(idx, "id", store, hash_fn="md5")
     # 5 ~ DOC_A (history-wins despite lower id); 12 is novel
-    s2 = D.incremental_neardup_indexed(
+    s2, _ = D.incremental_neardup_indexed(
         _inc_corpus(spark, [(5, DOC_A2), (12, DOC_C)]), "text", "id", store
     )
     assert {r["id"] for r in s2.collect()} == {12}
@@ -833,3 +833,31 @@ def test_incremental_rejects_index_with_mismatched_k(spark, tmp_path):
     loaded, meta = D.load_band_index(spark, store)
     assert meta["k"] == 5
     assert loaded.schema["signature"].metadata["minhash_k"] == 5
+
+
+def test_band_index_update_false_manual_safe_order_append(spark, tmp_path):
+    """update_index=False must leave the store untouched; appending the
+    returned delta manually (the survivors-first safe order the docstring
+    prescribes) must yield the same store state as update_index=True."""
+    store = str(tmp_path / "manual_store")
+    b1 = _inc_corpus(spark, [(1, DOC_A), (2, DOC_B)])
+    _, idx = D.incremental_neardup(b1, "text", "id")
+    D.save_band_index(idx, "id", store)
+    b2 = _inc_corpus(spark, [(11, DOC_A2), (12, DOC_C)])
+    surv, delta = D.incremental_neardup_indexed(
+        b2, "text", "id", store, update_index=False
+    )
+    # store untouched until the caller appends
+    loaded, meta = D.load_band_index(spark, store)
+    assert {r["id"] for r in loaded.select("id").distinct().collect()} == {1, 2}
+    # caller persists survivors FIRST (simulated), then appends the delta
+    assert {r["id"] for r in surv.collect()} == {12}
+    delta.withColumn(
+        "band_bucket", F.pmod(F.col("band_hash"), F.lit(meta["n_buckets"]))
+    ).write.mode("append").partitionBy("band_bucket").parquet(
+        f"{store}/signatures"
+    )
+    loaded2, _ = D.load_band_index(spark, store)
+    assert {r["id"] for r in loaded2.select("id").distinct().collect()} == {
+        1, 2, 12,
+    }

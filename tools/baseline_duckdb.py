@@ -22,6 +22,7 @@ from tools.bench_common import (
     LLM_BENCH,
     LLM_BENCH_SF_CAP,
     LLM_FAST,
+    LLM_FAST_SYMMETRIC,
     bench_only,
     bench_reps,
     bench_set_flags,
@@ -166,6 +167,7 @@ def main() -> None:
                 "llm_geomean": gmean_or_null(llm_timings, time_llm),
                 "llm_queries": llm_timings if time_llm else None,
                 "llm_fast_twins": sorted(LLM_FAST),
+                "llm_fast_symmetric": sorted(LLM_FAST_SYMMETRIC),
                 "pinned_sf": pinned,
                 "sf": parse_sf(sf_dir),
             }

@@ -35,6 +35,16 @@ LLM_FAST = {
     "x23_bm25_topk_fast": "x23_bm25_topk",
 }
 
+# Fast twins whose DuckDB pairing is SYMMETRIC: both engines search a
+# prebuilt index, so the timed work matches (x23 since round 8 — the
+# DuckDB side runs a search-only tail over untimed CREATE TABLE prep).
+# The remaining twins (x17/x25) run the identical end-to-end task on both
+# sides — arithmetic mode is the only delta — but the Spark side is the
+# production float path while the oracle is the exact-decimal replay, so
+# consumers may still want to flag them.  Shipped in both JSONs so a
+# ratio reader can distinguish the two classes without this file.
+LLM_FAST_SYMMETRIC = ("x23_bm25_topk_fast",)
+
 # Per-query scale cap for the bench harnesses (round-8, VERDICT r7 item 7).
 # x17_semdedup is the exact-decimal *instrument* row: correct by contract
 # but interpreted-arithmetic, ~290 s/rep at sf1 (220× its own production

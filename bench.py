@@ -34,7 +34,7 @@ from tools.bench_common import (
     bench_reps,
     bench_set_flags,
     capped_sf_dir,
-    geomean,
+    geomean_or_null,
     parse_sf,
 )
 
@@ -221,6 +221,11 @@ def _run_isolated(sf_dir: str) -> dict:
                 rkind = "reps" if kind == "queries" else "llm_reps"
                 merged[kind][name] = None
                 merged[rkind][name] = None
+            else:
+                # a failed calibration child must be machine-readable too
+                # (null + a 'failed' entry), not an innocuous empty dict —
+                # the probe is the cross-round normalizer (round-8 review)
+                merged["calibration"] = None
             continue
         if kind is None:
             merged["calibration"] = sub["calibration"]
@@ -240,26 +245,15 @@ def main() -> None:
 
     time_rel, time_llm = bench_set_flags()
 
-    def gmean_or_null(timings: dict | None, enabled: bool):
-        """null for a skipped set AND for an enabled set that timed
-        nothing (SPARK_GRAFT_BENCH_ONLY matching nothing, or every
-        isolate child failing) — never a real-looking 0.0 (r7 ADVICE +
-        r8 review); failed isolate entries carry null values and are
-        excluded from the mean."""
-        if not enabled:
-            return None
-        timed = {k: v for k, v in (timings or {}).items() if v is not None}
-        return round(geomean(timed), 4) if timed else None
-
     print(
         json.dumps(
             {
                 "metric": "declared-query wall-clock (geomean)",
-                "value": gmean_or_null(res["queries"], time_rel),
+                "value": geomean_or_null(res["queries"], time_rel),
                 "unit": "sec",
                 "queries": res["queries"] if time_rel else None,
                 "reps": res["reps"] if time_rel else None,
-                "llm_geomean": gmean_or_null(res["llm_queries"], time_llm),
+                "llm_geomean": geomean_or_null(res["llm_queries"], time_llm),
                 "llm_queries": res["llm_queries"] if time_llm else None,
                 "llm_reps": res["llm_reps"] if time_llm else None,
                 # fast-path twins tagged for ratio readers; the symmetric
@@ -277,6 +271,11 @@ def main() -> None:
                     for d in (res["queries"], res["llm_queries"])
                     for n, v in (d or {}).items()
                     if v is None
+                )
+                + (
+                    ["__calibration__"]
+                    if res["calibration"] is None
+                    else []
                 ),
                 # queries timed at a capped scale (name -> sf actually timed)
                 "pinned_sf": res["pinned_sf"],

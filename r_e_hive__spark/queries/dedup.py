@@ -54,7 +54,7 @@ def x1_exact_dedup(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "x2_ngram_jaccard_topk",
     _DU_SHINGLES
     + """
@@ -78,7 +78,13 @@ def x1_exact_dedup(spark, sf_dir):
 def x2_ngram_jaccard_topk(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (J ≥ 0.5), top-100 by similarity:
     shingle-explode → equi-join on shingle → pair aggregation.  The exact
-    baseline the probabilistic variants are measured against."""
+    baseline the probabilistic variants are measured against.  RETIRED
+    round 8 second wave (50-cap rotation for x32_fuzzy_join): the SAME
+    ngram_jaccard_pairs generator stays driver-pinned end-to-end inside
+    x19_dedup_components, X2 keeps four other driver pins
+    (x2_minhash_lsh_neardup, x22_incremental_neardup, x17_semdedup,
+    pipeline_corpus_curation), and this query keeps its oracle in
+    test_retired_queries.py plus its bench headline row (bench=True)."""
     (documents,) = T(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(documents, "text", "doc_id", k=3, threshold=0.5)
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(100)
@@ -455,3 +461,44 @@ def x19_dedup_components(spark, sf_dir):
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select("node", "component").orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# X32 — edit-distance fuzzy join (declared round 8 second wave; VERDICT r7
+# "What's missing" item 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x32_fuzzy_join",
+    """
+    SELECT a.p_partkey AS id_l, b.p_partkey AS id_r,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY id_l, id_r
+    """,
+    survey_rows=("X32",),
+)
+def x32_fuzzy_join(spark, sf_dir):
+    """Edit-distance fuzzy self-join (entity resolution): every part-name
+    pair within Levenshtein distance 1 — operators/fuzzy.fuzzy_pairs, the
+    q-gram count-lemma + rare-token prefix-filter blocking (ED-Join
+    family) whose candidate generation is an equi-join on (gram, occ)
+    tokens, NEVER a cross join; a length-banded equi-join covers the
+    below-gram-floor short strings, and candidates verify with Spark's
+    banded early-exit ``levenshtein(l, r, d)``.  The blocking is provably
+    lossless, so the DuckDB oracle can be the thing the operator refuses
+    to run — the naive all-pairs Levenshtein join — and equality is exact
+    (the tests/test_fuzzy.py differential, upgraded to a cross-engine
+    driver pin).  Scale shape: the prefix index carries ≤ d·q+1 rare
+    tokens per string, so posting lists stay skew-free and the pair space
+    is O(candidates), not O(n²)."""
+    from r_e_hive__spark.operators.fuzzy import fuzzy_pairs
+
+    (part,) = T(spark, sf_dir, "part")
+    return (
+        fuzzy_pairs(part, "p_partkey", "p_name", max_dist=1)
+        .select("id_l", "id_r", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_l", "id_r")
+    )

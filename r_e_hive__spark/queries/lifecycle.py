@@ -189,3 +189,81 @@ def st4_late_data(spark, sf_dir):
         FROM marked GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X14 — copy-on-write delete + compaction (declared round 8 second wave;
+# VERDICT r7 "What's missing" item 3)
+# ---------------------------------------------------------------------------
+
+_X14_LO, _X14_HI = 3000, 4499
+
+
+@query(
+    "x14_cow_delete",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderkey BETWEEN {_X14_LO} AND {_X14_HI}
+               AND o_orderstatus = 'F')
+    ORDER BY o_orderkey
+    """,
+    survey_rows=("X14",),
+)
+def x14_cow_delete(spark, sf_dir):
+    """Copy-on-write DELETE + compaction, end to end on real files: copy
+    ``orders`` into a range-clustered 8-file parquet table (clustering is
+    what makes the footer-pruned touch set small — layout and targeted
+    deletes compose), ``delete_where`` the GDPR-shaped slice
+    (o_orderkey ∈ [3000, 4499] AND o_orderstatus = 'F' — range conjunct
+    plus extra predicate), ``compact_files`` the rewrite's output, and
+    return what a reader then sees.  The oracle is the logical DELETE
+    (NOT(predicate) over the original table), so equality pins the whole
+    physical pipeline — footer min/max pruning touched the right files,
+    the rewrite dropped exactly the matching rows and lost/duplicated
+    nothing, and compaction is content-preserving (operators/
+    lifecycle.py; the temp-dir staging + swap atomicity contract).  At
+    100 TB the touch set is O(matching data), not O(table): untouched
+    files are never read past their footers.  The result frame is
+    localCheckpoint-ed before the scratch table is deleted, so the
+    returned DataFrame does not depend on the scratch dir's lifetime."""
+    import os
+    import shutil
+    import tempfile
+
+    from r_e_hive__spark.operators.lifecycle import compact_files, delete_where
+
+    (orders,) = T(spark, sf_dir, "orders")
+    workdir = tempfile.mkdtemp(prefix="x14_cow_")
+    table = os.path.join(workdir, "orders_cow")
+    try:
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.parquet(table)
+        )
+        delete_where(
+            spark,
+            table,
+            "o_orderkey",
+            _X14_LO,
+            _X14_HI,
+            extra_predicate=F.col("o_orderstatus") == "F",
+        )
+        compact_files(spark, table, target_bytes=256 << 20)
+        return (
+            spark.read.parquet(table)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -28,7 +28,7 @@ _SAMPLE_PRED = "(doc_id % 10) < (CASE WHEN lang = 'en' THEN 3 ELSE 7 END)"
 _BUDGET = 2048  # tokens per shard
 
 
-@query(
+@retired_query(
     "x9_token_shards",
     f"""
     WITH sampled AS (
@@ -54,7 +54,11 @@ def x9_token_shards(spark, sf_dir):
     weighted prefix-sum auto-gated between one window pass (group fits a
     task) and the two-phase distributed prefix-sum (range-partition local
     totals + broadcast offsets) that survives a 100 TB corpus; both
-    strategies are bit-identical (tests/test_packing.py)."""
+    strategies are bit-identical (tests/test_packing.py).  RETIRED round 8
+    second wave (50-cap rotation for x26_percentile_gate): X9 stays
+    driver-pinned by x9_chunk_documents, pack_shards keeps its strategy
+    differential in test_packing.py, and this oracle keeps running in
+    test_retired_queries.py."""
     (documents,) = T(spark, sf_dir, "documents")
     sampled = documents.where(F.expr(_SAMPLE_PRED)).select(
         "doc_id", "lang", TX.n_tokens(F.col("text")).cast("long").alias("n_tokens")

@@ -31,7 +31,7 @@ def _du_cosine(a: str, b: str) -> str:
     )
 
 
-@query(
+@retired_query(
     "x3_cosine_topk",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 4),
@@ -54,7 +54,11 @@ def x3_cosine_topk(spark, sf_dir):
     broadcast queries × candidate scan × per-query window top-k — the
     correctness baseline for ANN, and the right plan whenever the candidate
     scan dominates (100 TB: embarrassingly parallel, no shuffle until the
-    tiny top-k)."""
+    tiny top-k).  RETIRED round 8 second wave (50-cap rotation for
+    x14_cow_delete): X3 stays driver-pinned by x25_quantized_topk, whose
+    second stage IS this exact-cosine rerank over the same fixed query
+    set; the oracle keeps running in test_retired_queries.py and the
+    query keeps its bench headline row (bench=True)."""
     (embeddings,) = T(spark, sf_dir, "embeddings")
     queries = embeddings.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"

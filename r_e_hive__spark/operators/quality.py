@@ -320,15 +320,42 @@ def corpus_report(
         quality_score(F.col(text_col)).alias("_q"),
         fingerprint(F.col(text_col)).alias("_fp"),
     )
+    # Means via exact integer accumulators, rounded HALF_UP in integer
+    # arithmetic: round(S/n, 4) == (2·S·10⁴ + n) intdiv (2·n) over exact
+    # longs.  F.avg would sum doubles in partition order (4th decimal
+    # partitioning-dependent), and ROUND(double, 4) itself is
+    # engine-dependent ON ties — Spark rounds the shortest decimal
+    # rendering (0.57505 → 0.5751) where DuckDB rounds the binary value
+    # (0.57504999… → 0.575); measured on the sf0.01 fixture.  Integer
+    # arithmetic sidesteps both (determinism contract §2.12 rule 3).
+    # _q is an exact 4-dp value by quality_score's contract, so
+    # decimal(14,4)·10⁴ → long is lossless.
+    def _avg4(sum_col: str, cnt_col: str) -> Column:
+        # (2·S·10⁴ + n) DIV (2·n), then /10⁴ — SQL DIV is exact long
+        # integer division (no double in the loop, safe past 2^53 token
+        # sums per group); NULL when the group has no non-NULL inputs,
+        # matching F.avg
+        return F.when(
+            F.col(cnt_col) > 0,
+            F.expr(
+                f"(2 * {sum_col} + {cnt_col}) DIV (2 * {cnt_col})"
+            ).cast("double")
+            / F.lit(10000.0),
+        )
+
     return (
         prepared.groupBy(*gcols)
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_nt").alias("n_tokens"),
-            F.round(F.avg("_nt"), 4).alias("avg_tokens"),
+            F.sum(F.col("_nt").cast("long") * 10000).alias("_nt10k"),
+            F.count("_nt").alias("_c_nt"),
+            F.sum(
+                (F.col("_q").cast("decimal(14,4)") * 10000).cast("long")
+            ).alias("_q10k"),
+            F.count("_q").alias("_c_q"),
             F.percentile("_nt", 0.5).alias("p50_tokens"),
             F.percentile("_nt", 0.9).alias("p90_tokens"),
-            F.round(F.avg("_q"), 4).alias("avg_quality"),
             # dup fraction among FINGERPRINTABLE docs: count_distinct
             # skips NULL fingerprints (NULL text), so dividing by count(*)
             # would report an all-NULL-text slice as 100% duplicates
@@ -338,6 +365,18 @@ def corpus_report(
             )
             .otherwise(F.lit(0.0))
             .alias("dup_fraction"),
+        )
+        .withColumn("avg_tokens", _avg4("_nt10k", "_c_nt"))
+        .withColumn("avg_quality", _avg4("_q10k", "_c_q"))
+        .select(
+            *gcols,
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "p50_tokens",
+            "p90_tokens",
+            "avg_quality",
+            "dup_fraction",
         )
         .orderBy(*gcols)
     )

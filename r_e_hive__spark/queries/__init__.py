@@ -185,6 +185,13 @@ RETIRED: dict[str, Query] = {}
 #   x9_token_shards          -> x9_chunk_documents (X9); pack_shards'
 #       one-pass/two-phase strategy differential stays in
 #       test_packing.py; oracle lives on in test_retired_queries.py.
+#   x2_minhash_lsh_neardup   -> x22_incremental_neardup (the SAME
+#       minhash→band→est-Jaccard-verify decision pipeline, per increment
+#       and against the persisted banded index, md5 mode fully
+#       value-replayed), x19_dedup_components / x17_semdedup /
+#       pipeline_corpus_curation (X2); the recall=1.0-vs-exact oracle
+#       keeps running in test_retired_queries.py.  Freed the slot for
+#       x27_data_card (X27 corpus report, full statistical replay).
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -184,3 +184,67 @@ def x26_percentile_gate(spark, sf_dir):
         )
         .orderBy("gate", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — corpus data card (declared round 8 second wave; VERDICT r7
+# "What's missing" item 3)
+# ---------------------------------------------------------------------------
+
+_X27_DATA_CARD = f"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             len(string_split_regex(text, '\\s+')) AS nt,
+             {_DU_QUALITY} AS q,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           -- HALF_UP mean at 4 dp in exact integer arithmetic — the same
+           -- (2·S·10⁴ + n) // (2·n) form the engine computes; ROUND(double)
+           -- diverges between engines exactly ON ties (see corpus_report)
+           CASE WHEN COUNT(nt) > 0 THEN
+             CAST((2 * SUM(CAST(nt AS BIGINT) * 10000) + COUNT(nt))
+                  // (2 * COUNT(nt)) AS DOUBLE) / 10000.0
+           END AS avg_tokens,
+           CAST(quantile_cont(nt, 0.5) AS DOUBLE) AS p50_tokens,
+           CAST(quantile_cont(nt, 0.9) AS DOUBLE) AS p90_tokens,
+           CASE WHEN COUNT(q) > 0 THEN
+             CAST((2 * SUM(CAST(CAST(q AS DECIMAL(14,4)) * 10000 AS BIGINT)) + COUNT(q))
+                  // (2 * COUNT(q)) AS DOUBLE) / 10000.0
+           END AS avg_quality,
+           CASE WHEN COUNT(fp) > 0
+                THEN 1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(fp)
+                ELSE 0.0 END AS dup_fraction
+    FROM per_doc
+    GROUP BY source, lang
+    ORDER BY source, lang
+"""
+
+
+@query(
+    "x27_data_card",
+    _X27_DATA_CARD,
+    survey_rows=("X27",),
+)
+def x27_data_card(spark, sf_dir):
+    """Corpus data card (operators/quality.corpus_report): the per-slice
+    statistics every dataset release publishes — doc/token counts,
+    token-length mean and EXACT interpolated p50/p90, mean quality score,
+    exact-duplicate fraction — in ONE groupBy over one map-side
+    projection (count_distinct plans as a two-phase partial-distinct
+    aggregate; at 100 TB this is exactly one corpus scan).  The oracle
+    recomputes every statistic from the raw text: token counts and the
+    quality heuristic reuse the x5-pinned SQL twins, percentiles check
+    that both engines share the (n−1)·p interpolation convention
+    bit-for-bit, means go through exact accumulators (long / decimal
+    sums, one terminal double division) so partition order can't move
+    the 4th decimal, and the duplicate fraction compares
+    sha256(normalized text) distinct counts — the X1 fingerprint
+    definition, byte-identical across engines."""
+    from r_e_hive__spark.operators.quality import corpus_report
+
+    (documents,) = T(spark, sf_dir, "documents")
+    return corpus_report(documents, "text", "doc_id", group_cols=("source", "lang"))

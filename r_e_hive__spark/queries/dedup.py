@@ -90,7 +90,7 @@ def x2_ngram_jaccard_topk(spark, sf_dir):
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(100)
 
 
-@query(
+@retired_query(
     "x2_minhash_lsh_neardup",
     _DU_SHINGLES
     + """
@@ -123,7 +123,13 @@ def x2_minhash_lsh_neardup(spark, sf_dir):
     math: r=4 rows/band × 8 bands ⇒ P(candidate | J≈0.99) ≈ 1−(1−0.99⁴)⁸
     ≈ 1−4·10⁻¹¹; the fixture's true pairs all have J ≥ 0.9.  Estimated-
     signature agreement (est_jaccard, xxhash64-derived, no DuckDB twin)
-    stays covered by tests/test_dedup.py."""
+    stays covered by tests/test_dedup.py.  RETIRED round 8 second wave
+    (50-cap rotation for x27_data_card): the SAME minhash→band→verify
+    decision pipeline stays driver-pinned — per increment and in its
+    persisted banded layout — by x22_incremental_neardup (md5 signature
+    mode, full value replay), X2 keeps three other driver pins
+    (x19_dedup_components, x17_semdedup, pipeline_corpus_curation), and
+    this recall=1.0 oracle keeps running in test_retired_queries.py."""
     (documents,) = T(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
         documents, "text", "doc_id", k=3, num_hashes=32, bands=8, jaccard_threshold=0.5

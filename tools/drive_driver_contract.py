@@ -100,6 +100,23 @@ def main() -> int:
         raise SystemExit(
             f"SPARK_GRAFT_SIM_ONLY names not in queries(): {sorted(unknown)}"
         )
+    # SKIP: for ABOVE-contract scale sweeps where a specific ORACLE (not
+    # the engine) is infeasible — e.g. x32_fuzzy_join's oracle is the
+    # deliberate naive all-pairs levenshtein join, quadratic by design
+    # (fine at the driver's sf0.01, ~2·10^10 pairs at sf1).  Never set
+    # for a contract-fidelity run: skipped names are printed loudly.
+    skip = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_SIM_SKIP", "").split(",")
+        if n.strip()
+    }
+    unknown = skip - set(qs)
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SIM_SKIP names not in queries(): {sorted(unknown)}"
+        )
+    if skip:
+        print(f"SKIPPED (SPARK_GRAFT_SIM_SKIP): {sorted(skip)}")
     con = duck_con()
 
     def run_one(name, fn):
@@ -123,7 +140,7 @@ def main() -> int:
     ok = fail = 0
     transients: list[str] = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         try:
             msg = run_one(name, fn)
@@ -150,7 +167,8 @@ def main() -> int:
         print(f"TRANSIENTS ({len(transients)}):")
         for t in transients:
             print(f"  {t}")
-    print(f"TOTAL {ok} ok / {fail} fail of {len(qs) if not only else len(only)}")
+    expected = (only or set(qs)) - skip
+    print(f"TOTAL {ok} ok / {fail} fail of {len(expected)}")
     return 1 if fail else 0
 
 

@@ -290,7 +290,6 @@ def percentile_gate(
 def corpus_report(
     df: DataFrame,
     text_col: str,
-    id_col: str,
     group_cols=("source", "lang"),
 ) -> DataFrame:
     """One-pass data card: the per-slice corpus statistics every dataset
@@ -331,10 +330,14 @@ def corpus_report(
     # _q is an exact 4-dp value by quality_score's contract, so
     # decimal(14,4)·10⁴ → long is lossless.
     def _avg4(sum_col: str, cnt_col: str) -> Column:
-        # (2·S·10⁴ + n) DIV (2·n), then /10⁴ — SQL DIV is exact long
-        # integer division (no double in the loop, safe past 2^53 token
-        # sums per group); NULL when the group has no non-NULL inputs,
-        # matching F.avg
+        # (2·S·10⁴ + n) DIV (2·n), then /10⁴ — exact integer arithmetic
+        # end to end: the accumulator is DECIMAL(38,0) (exact to 10^38,
+        # i.e. ~10^33 tokens per group — int64 would cap the sum at
+        # ~9·10^14 tokens/group, reachable for a PB-scale slice), and
+        # Spark's DIV on decimals is exact integral division returning
+        # BIGINT, which only needs to hold the QUOTIENT (avg·10⁴ ≤
+        # max-per-doc·10⁴ — always fits).  NULL when the group has no
+        # non-NULL inputs, matching F.avg.
         return F.when(
             F.col(cnt_col) > 0,
             F.expr(
@@ -348,10 +351,10 @@ def corpus_report(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_nt").alias("n_tokens"),
-            F.sum(F.col("_nt").cast("long") * 10000).alias("_nt10k"),
+            F.sum(F.col("_nt").cast("decimal(28,0)") * 10000).alias("_nt10k"),
             F.count("_nt").alias("_c_nt"),
             F.sum(
-                (F.col("_q").cast("decimal(14,4)") * 10000).cast("long")
+                (F.col("_q").cast("decimal(14,4)") * 10000).cast("decimal(28,0)")
             ).alias("_q10k"),
             F.count("_q").alias("_c_q"),
             F.percentile("_nt", 0.5).alias("p50_tokens"),

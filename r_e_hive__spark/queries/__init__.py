@@ -175,8 +175,9 @@ RETIRED: dict[str, Query] = {}
 #
 #   x2_ngram_jaccard_topk    -> x19_dedup_components (the SAME
 #       ngram_jaccard_pairs generator, end to end, plus closure),
-#       x2_minhash_lsh_neardup / x22_incremental_neardup / x17_semdedup /
-#       pipeline_corpus_curation (X2); X4 stays pinned by
+#       x22_incremental_neardup / x17_semdedup /
+#       pipeline_corpus_curation (X2 — x2_minhash_lsh_neardup also
+#       retired this wave, see below); X4 stays pinned by
 #       x4_lsh_neighbor_pairs + x17_semdedup.  Keeps bench=True (headline
 #       set unchanged) and its oracle in test_retired_queries.py.
 #   x3_cosine_topk           -> x25_quantized_topk (whose second stage IS

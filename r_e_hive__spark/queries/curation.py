@@ -247,4 +247,4 @@ def x27_data_card(spark, sf_dir):
     from r_e_hive__spark.operators.quality import corpus_report
 
     (documents,) = T(spark, sf_dir, "documents")
-    return corpus_report(documents, "text", "doc_id", group_cols=("source", "lang"))
+    return corpus_report(documents, "text", group_cols=("source", "lang"))

@@ -81,9 +81,10 @@ def x2_ngram_jaccard_topk(spark, sf_dir):
     baseline the probabilistic variants are measured against.  RETIRED
     round 8 second wave (50-cap rotation for x32_fuzzy_join): the SAME
     ngram_jaccard_pairs generator stays driver-pinned end-to-end inside
-    x19_dedup_components, X2 keeps four other driver pins
-    (x2_minhash_lsh_neardup, x22_incremental_neardup, x17_semdedup,
-    pipeline_corpus_curation), and this query keeps its oracle in
+    x19_dedup_components, X2 keeps four driver pins
+    (x19_dedup_components, x22_incremental_neardup, x17_semdedup,
+    pipeline_corpus_curation — x2_minhash_lsh_neardup retired in the
+    same wave), and this query keeps its oracle in
     test_retired_queries.py plus its bench headline row (bench=True)."""
     (documents,) = T(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(documents, "text", "doc_id", k=3, threshold=0.5)

@@ -568,7 +568,7 @@ def test_corpus_report_matches_python_aggregation(spark):
 
     got = {
         (r["source"], r["lang"]): r
-        for r in corpus_report(docs, "text", "doc_id").collect()
+        for r in corpus_report(docs, "text").collect()
     }
     assert set(got) == set(groups)
     for key, members in groups.items():
@@ -603,7 +603,7 @@ def test_corpus_report_null_group_slice(spark):
     )
     rows = {
         (r["source"], r["lang"]): r
-        for r in corpus_report(df, "text", "doc_id").collect()
+        for r in corpus_report(df, "text").collect()
     }
     assert ("src", None) in rows  # NULL lang is its own slice
     assert rows[("src", "en")]["n_docs"] == 2
@@ -628,7 +628,7 @@ def test_corpus_report_null_text_dup_accounting(spark):
     )
     rows = {
         (r["source"], r["lang"]): r
-        for r in corpus_report(df, "text", "doc_id").collect()
+        for r in corpus_report(df, "text").collect()
     }
     assert rows[("s", "xx")]["dup_fraction"] == 0.0
     # en: 2 fingerprintable docs, 1 distinct -> 0.5; the NULL doc ignored

@@ -89,32 +89,23 @@ def main() -> int:
         }
     except Exception:
         pass
-    only = {
-        n.strip()
-        for n in os.environ.get("SPARK_GRAFT_SIM_ONLY", "").split(",")
-        if n.strip()
-    }
-    unknown = only - set(qs)
-    if unknown:
-        # a typo must not produce a green zero-query run
-        raise SystemExit(
-            f"SPARK_GRAFT_SIM_ONLY names not in queries(): {sorted(unknown)}"
-        )
+    def env_names(var: str) -> set[str]:
+        # a typo must not produce a green zero-query (or wrong-set) run
+        names = {
+            n.strip() for n in os.environ.get(var, "").split(",") if n.strip()
+        }
+        unknown = names - set(qs)
+        if unknown:
+            raise SystemExit(f"{var} names not in queries(): {sorted(unknown)}")
+        return names
+
+    only = env_names("SPARK_GRAFT_SIM_ONLY")
     # SKIP: for ABOVE-contract scale sweeps where a specific ORACLE (not
     # the engine) is infeasible — e.g. x32_fuzzy_join's oracle is the
     # deliberate naive all-pairs levenshtein join, quadratic by design
     # (fine at the driver's sf0.01, ~2·10^10 pairs at sf1).  Never set
     # for a contract-fidelity run: skipped names are printed loudly.
-    skip = {
-        n.strip()
-        for n in os.environ.get("SPARK_GRAFT_SIM_SKIP", "").split(",")
-        if n.strip()
-    }
-    unknown = skip - set(qs)
-    if unknown:
-        raise SystemExit(
-            f"SPARK_GRAFT_SIM_SKIP names not in queries(): {sorted(unknown)}"
-        )
+    skip = env_names("SPARK_GRAFT_SIM_SKIP")
     if skip:
         print(f"SKIPPED (SPARK_GRAFT_SIM_SKIP): {sorted(skip)}")
     con = duck_con()

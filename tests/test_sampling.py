@@ -636,6 +636,40 @@ def test_corpus_report_null_text_dup_accounting(spark):
     assert rows[("s", "en")]["n_docs"] == 3
 
 
+def test_corpus_report_mean_half_up_on_exact_tie(spark):
+    """The integer-arithmetic mean must round HALF_UP on an exact .xxxx5
+    tie — the case where ROUND(double, 4) diverges between engines
+    (Spark rounds the shortest decimal rendering 0.57505→0.5751, DuckDB
+    rounds the binary value →0.575; measured on the sf0.01 fixture and
+    the reason corpus_report avoids doubles entirely).
+
+    Construction: 32 docs totalling 33 tokens → avg = 33/32 = 1.03125
+    exactly (binary-terminating, so the tie is EXACT, not a
+    representation artifact).  HALF_UP at 4 dp gives 1.0313; banker's
+    rounding or binary-value ROUND would give 1.0312."""
+    from r_e_hive__spark.operators.quality import corpus_report
+
+    rows = [(i, "s", "en", "tok") for i in range(31)] + [
+        (31, "s", "en", "tok tok")
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id INT, source STRING, lang STRING, text STRING"
+    )
+    got = corpus_report(df, "text").collect()[0]
+    assert got["n_docs"] == 32 and got["n_tokens"] == 33
+    assert got["avg_tokens"] == 1.0313
+    # and the same tie through the DuckDB oracle arithmetic form
+    import duckdb
+
+    du = duckdb.connect().execute(
+        "SELECT CAST((2 * SUM(CAST(nt AS BIGINT) * 10000) + COUNT(nt))"
+        "     // (2 * COUNT(nt)) AS DOUBLE) / 10000.0"
+        " FROM (SELECT CASE WHEN i < 32 THEN 1 ELSE 2 END AS nt"
+        "       FROM generate_series(1, 32) t(i))"
+    ).fetchone()[0]
+    assert du == got["avg_tokens"] == 1.0313
+
+
 def test_normalize_ccnet_dedup_key(spark):
     """CCNet hashing normalization (functions/text.normalize_ccnet):
     accent strip, casefold (incl. one-to-many like German sharp s),

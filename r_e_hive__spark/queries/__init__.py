@@ -193,6 +193,15 @@ RETIRED: dict[str, Query] = {}
 #       pipeline_corpus_curation (X2); the recall=1.0-vs-exact oracle
 #       keeps running in test_retired_queries.py.  Freed the slot for
 #       x27_data_card (X27 corpus report, full statistical replay).
+#   q5_local_supplier        -> j1_relation_load (J2),
+#       q3_shipping_priority (J4, A1), q1_pricing_summary /
+#       rehive_redemption_ledger / st6_running_state (A1).  The
+#       cardinality-gate logic keeps its unit tests (tests/test_plans.py),
+#       the oracle keeps running in test_retired_queries.py, and the
+#       query KEEPS its bench headline row (bench=True — it is the
+#       tracked scan/shuffle-constant instrument in the BASELINE
+#       sweeps).  Freed the slot for x13_zorder (X13 Morton clustering
+#       key, unrolled per-bit cross-engine replay).
 _MODULES = (
     "relational",
     "streaming_batch",

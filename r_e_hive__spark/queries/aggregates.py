@@ -433,10 +433,19 @@ def _gated_broadcast(
     return ok
 
 
-@query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
+@retired_query("q5_local_supplier", _Q5, survey_rows=("J2", "J4", "A1"), bench=True)
 def q5_local_supplier(spark, sf_dir):
     """Six-table join (two broadcastable dims, one co-location predicate) —
     the plan-quality probe for join strategy selection at scale.
+
+    RETIRED round 8 second wave (50-cap rotation for x13_zorder): every
+    survey row stays driver-pinned elsewhere (J2 by j1_relation_load, J4
+    by q3_shipping_priority, A1 by q1_pricing_summary /
+    rehive_redemption_ledger / st6_running_state); the oracle keeps
+    running in test_retired_queries.py, the cardinality-gate unit tests
+    stay in tests/test_plans.py, and the query KEEPS its bench headline
+    row (bench=True) — it is the tracked scan/shuffle-constant
+    instrument in every BASELINE sweep.
 
     Join strategy is cardinality-gated at the orchestration layer (Catalyst
     without table stats estimates the (customer ⋈ orders) build side at

@@ -267,3 +267,88 @@ def x14_cow_delete(spark, sf_dir):
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# X13 — z-order (Morton) clustering key (declared round 8 second wave;
+# VERDICT r7 "What's missing" item 3)
+# ---------------------------------------------------------------------------
+
+_Z_COLS = ("o_custkey", "o_totalprice")
+_Z_BITS = 16  # stride 2 -> 16-bit ranks, top bit at position 33
+
+
+def _du_zexpr() -> str:
+    """DuckDB twin of operators/layout.zvalue for stride 2: per-column
+    min-max rank scaling (same double arithmetic, same clamp order), then
+    Morton interleave as an UNROLLED per-bit sum — an independent
+    construction vs the engine's mask-doubling spread chain (the
+    cross-paradigm-differential discipline of x19/x33), equal because bit
+    positions are disjoint."""
+    max_rank = (1 << _Z_BITS) - 1
+    ranks = []
+    for c in _Z_COLS:
+        ranks.append(
+            f"LEAST({max_rank}, GREATEST(0, CAST(FLOOR("
+            f"(CAST({c} AS DOUBLE) - lo_{c}) / (hi_{c} - lo_{c}) * {max_rank}"
+            f") AS BIGINT)))"
+        )
+    terms = []
+    for i, r in enumerate(ranks):
+        for b in range(_Z_BITS):
+            # fully parenthesized: DuckDB/Postgres give << LOWER precedence
+            # than +, so a bare `a << p + b << q` chain associates wrongly
+            terms.append(f"(((({r}) >> {b}) & 1) << {2 * b + i})")
+    return " + ".join(terms)
+
+
+_X13_ZORDER = f"""
+    WITH b AS (
+      SELECT {", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS lo_{c}, MAX(CAST({c} AS DOUBLE)) AS hi_{c}"
+        for c in _Z_COLS)}
+      FROM orders
+    )
+    SELECT o_orderkey, CAST({_du_zexpr()} AS BIGINT) AS zval
+    FROM orders CROSS JOIN b
+    ORDER BY zval, o_orderkey
+"""
+
+
+@query(
+    "x13_zorder",
+    _X13_ZORDER,
+    survey_rows=("X13",),
+)
+def x13_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (o_custkey, o_totalprice) —
+    operators/layout.zvalue: min-max rank scaling to 16 bits (pure
+    shift/mask expression chain, whole-stage codegen, no UDF) and the
+    mask-doubling bit spread, with bounds from one stats aggregate (the
+    zorder_by shape; the collect is two min/max doubles — parameter-
+    sized).  The oracle recomputes the z-value per row as an unrolled
+    per-bit Morton sum over independently-derived ranks, so the scaling
+    arithmetic ((x−lo)/span·65535, IEEE-identical in both engines), the
+    clamp order, and every bit position are value-pinned cross-engine.
+    The physical payoff — repartitionByRange(zval) + write giving tight
+    per-file min/max on EVERY clustered column — is layout-dependent and
+    stays pinned by tests/test_layout.py's row-group skip fractions and
+    the BASELINE.md sf1 scan A/B."""
+    from r_e_hive__spark.operators.layout import zvalue
+
+    (orders,) = T(spark, sf_dir, "orders")
+    cols = list(_Z_COLS)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+        ]
+    row = orders.agg(*aggs).collect()[0]
+    bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    return (
+        orders.select(
+            "o_orderkey", zvalue(orders, cols, bounds).alias("zval")
+        )
+        .orderBy("zval", "o_orderkey")
+    )

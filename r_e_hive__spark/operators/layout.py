@@ -106,17 +106,11 @@ def zvalue(df: DataFrame, cols: Sequence[str], bounds: dict | None = None) -> Co
     return z
 
 
-def zorder_by(
-    df: DataFrame, cols: Sequence[str], num_files: int | None = None
-) -> DataFrame:
-    """Cluster ``df`` along the z-order curve of ``cols``.
-
-    One aggregate computes the min/max bounds (a single scan over the
-    stats-friendly columns — on a real deployment pass metastore column
-    stats to :func:`zvalue` instead), then one ``repartitionByRange`` on
-    the z-value + an intra-partition sort.  Write the result with plain
-    ``.write.parquet`` and every output file/row-group carries tight
-    min/max on EVERY clustered column."""
+def column_bounds(df: DataFrame, cols: Sequence[str]) -> dict | None:
+    """Min/max (as doubles) per column in ONE aggregate — the stats scan
+    :func:`zorder_by` and the declared x13 query share (on a real
+    deployment, metastore column stats replace this).  Returns None for
+    empty/all-NULL input (no bounds exist to scale against)."""
     cols = list(cols)
     aggs = []
     for c in cols:
@@ -127,6 +121,23 @@ def zorder_by(
     row = df.agg(*aggs).collect()[0]
     bounds = {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
     if any(v[0] is None for v in bounds.values()):
+        return None
+    return bounds
+
+
+def zorder_by(
+    df: DataFrame, cols: Sequence[str], num_files: int | None = None
+) -> DataFrame:
+    """Cluster ``df`` along the z-order curve of ``cols``.
+
+    One aggregate computes the min/max bounds (:func:`column_bounds`),
+    then one ``repartitionByRange`` on the z-value + an intra-partition
+    sort.  Write the result with plain ``.write.parquet`` and every
+    output file/row-group carries tight min/max on EVERY clustered
+    column."""
+    cols = list(cols)
+    bounds = column_bounds(df, cols)
+    if bounds is None:
         return df  # empty input: nothing to cluster
     z = df.withColumn("__z", zvalue(df, cols, bounds))
     parts = [num_files] if num_files else []

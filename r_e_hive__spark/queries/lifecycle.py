@@ -275,7 +275,7 @@ def x14_cow_delete(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _Z_COLS = ("o_custkey", "o_totalprice")
-_Z_BITS = 16  # stride 2 -> 16-bit ranks, top bit at position 33
+_Z_BITS = 16  # stride 2 -> 16-bit ranks, top interleaved bit at 2*15+1 = 31
 
 
 def _du_zexpr() -> str:
@@ -334,18 +334,11 @@ def x13_zorder(spark, sf_dir):
     per-file min/max on EVERY clustered column — is layout-dependent and
     stays pinned by tests/test_layout.py's row-group skip fractions and
     the BASELINE.md sf1 scan A/B."""
-    from r_e_hive__spark.operators.layout import zvalue
+    from r_e_hive__spark.operators.layout import column_bounds, zvalue
 
     (orders,) = T(spark, sf_dir, "orders")
     cols = list(_Z_COLS)
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
-        ]
-    row = orders.agg(*aggs).collect()[0]
-    bounds = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    bounds = column_bounds(orders, cols)  # the zorder_by stats scan
     return (
         orders.select(
             "o_orderkey", zvalue(orders, cols, bounds).alias("zval")

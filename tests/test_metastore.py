@@ -64,12 +64,13 @@ def test_q5_gate_prefers_analyze_stats(spark):
     the probe counts.  Uses the in-memory session catalog — same DESCRIBE
     EXTENDED statistics surface as the Hive metastore, no Derby needed."""
     from r_e_hive__spark.catalog import _ctx_id, load_table
+    from r_e_hive__spark.queries import RETIRED, load_all
     from r_e_hive__spark.queries import aggregates as agg
-    from r_e_hive__spark.queries import load_all
 
     sf = "/root/testdata/sf0.001"
     key = (_ctx_id(spark), sf)
-    q5 = load_all()["q5_local_supplier"]
+    # q5 retired round 8 second wave; gate coverage continues via RETIRED
+    q5 = {**load_all(), **RETIRED}["q5_local_supplier"]
 
     # stat-less: probe fallback
     agg._Q5_GATE_CACHE.pop(key, None)

@@ -56,9 +56,12 @@ def test_partition_count_follows_input(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    from r_e_hive__spark.queries import load_all
+    # q5 retired from the driver surface in round 8 second wave (ledger in
+    # queries/__init__.py) — its broadcast-gate plan pin keeps running here
+    # via the RETIRED registry (load_all() first: it populates RETIRED)
+    from r_e_hive__spark.queries import RETIRED, load_all
 
-    qs = load_all()
+    qs = {**load_all(), **RETIRED}
     for name in ("j1_relation_load", "q3_shipping_priority", "q5_local_supplier"):
         p = plan(qs[name].spark_fn(spark, SF_SMOKE), "simple")
         assert "BroadcastHashJoin" in p, f"{name}: no broadcast join\n{p}"
@@ -202,10 +205,10 @@ def test_q3_gate_picks_broadcast_then_shuffle(spark):
 
 def test_q5_gate_picks_broadcast_then_shuffle(spark):
     from r_e_hive__spark.catalog import _ctx_id
-    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries import RETIRED, load_all
     from r_e_hive__spark.queries import aggregates as agg
 
-    q5 = load_all()["q5_local_supplier"]
+    q5 = {**load_all(), **RETIRED}["q5_local_supplier"]
     key = (_ctx_id(spark), SF_SMOKE)
 
     agg._Q5_GATE_CACHE.pop(key, None)

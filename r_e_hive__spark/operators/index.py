@@ -73,10 +73,39 @@ def _max_file_rows(table_path: str) -> int:
     return max(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
-def _positions(col, m: int, k: int) -> list:
-    # seed index as a hashed input (not xxhash64's fixed seed): k
-    # independent-enough hash lanes from one primitive.
-    return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+_HASH_FNS = ("xxhash64", "md5")
+
+
+def _positions(col, m: int, k: int, hash_fn: str = "xxhash64") -> list:
+    """k bit positions for one value — k independent-enough hash lanes
+    from one primitive, seed index as a hashed input.
+
+    ``hash_fn="xxhash64"`` is the production lane (JVM, codegen, hashes
+    the native type).  ``hash_fn="md5"`` is the cross-engine mode (the
+    X22/X24 anchor trick): position = first 15 hex digits of
+    md5(str(value) || ':' || lane) as an integer, mod m — DuckDB computes
+    the identical value via CAST('0x' || substring(md5(..), 1, 15) AS
+    BIGINT) (verified bit-exact), so the whole build+probe decision
+    pipeline is oracle-replayable.  md5 mode hashes the STRING rendering;
+    use it on integer/string key columns, where both engines render
+    identically (doubles render differently — keep those on xxhash64)."""
+    if hash_fn == "xxhash64":
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)]
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        for i in range(k)
+    ]
 
 
 def build_bloom_index(
@@ -86,22 +115,28 @@ def build_bloom_index(
     *,
     fpp: float = 0.01,
     out_path: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the per-file Bloom bitmap table for ``col``.
 
     Returns (and, with ``out_path``, persists) one row per data file:
-    ``(file, words: map<int, long>, m, k, col)`` — ``words`` maps word
-    index to a 64-bit lane of the bitmap; absent word = all zeros, so
-    index size tracks bits actually set, not m.  ``m``/``k``/``col`` ride
-    on every row to make the sidecar self-describing (no separate meta
-    file to lose).
+    ``(file, words: map<int, long>, m, k, col, hash_fn)`` — ``words``
+    maps word index to a 64-bit lane of the bitmap; absent word = all
+    zeros, so index size tracks bits actually set, not m.  ``m``/``k``/
+    ``col``/``hash_fn`` ride on every row to make the sidecar
+    self-describing (no separate meta file to lose; the probe derives
+    its hash lanes from the index metadata, never from caller arguments
+    — the band-store lesson, a build/probe hash mismatch must be
+    structurally impossible).
     """
     df = spark.read.parquet(table_path)
     if col not in df.columns:
         raise ValueError(f"column {col!r} not in table at {table_path}")
+    if hash_fn not in _HASH_FNS:
+        raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     m, k = _bloom_params(_max_file_rows(table_path), fpp)
 
-    pos = F.explode(F.array(*_positions(F.col(col), m, k))).alias("_pos")
+    pos = F.explode(F.array(*_positions(F.col(col), m, k, hash_fn))).alias("_pos")
     bits = (
         df.where(F.col(col).isNotNull())
         .select(F.input_file_name().alias("file"), pos)
@@ -129,6 +164,7 @@ def build_bloom_index(
             F.lit(m).alias("m"),
             F.lit(k).alias("k"),
             F.lit(col).alias("col"),
+            F.lit(hash_fn).alias("hash_fn"),
         )
     )
     if out_path is not None:
@@ -137,7 +173,15 @@ def build_bloom_index(
     return bits
 
 
-def probe_positions(spark: SparkSession, table_path: str, col: str, value, m: int, k: int) -> list[int]:
+def probe_positions(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    m: int,
+    k: int,
+    hash_fn: str = "xxhash64",
+) -> list[int]:
     """The k bit positions ``value`` hashes to — computed by the SAME
     Spark expressions the build used, on a one-row frame (a deliberate
     tiny driver job: re-implementing xxhash64 in Python would drift).
@@ -146,7 +190,7 @@ def probe_positions(spark: SparkSession, table_path: str, col: str, value, m: in
     """
     dtype = spark.read.parquet(table_path).schema[col].dataType
     probe = F.lit(value).cast(dtype)
-    row = spark.range(1).select(*_positions(probe, m, k)).first()
+    row = spark.range(1).select(*_positions(probe, m, k, hash_fn)).first()
     return [int(v) for v in row]
 
 
@@ -180,12 +224,18 @@ def bloom_lookup(
     """
     if value is None:
         raise ValueError("bloom_lookup probes equality; col = NULL is never true")
-    meta = index.select("m", "k", "col").first()
+    # hash_fn from the sidecar itself — pre-hash_fn indexes (no such
+    # column) are xxhash64 by construction (the legacy-store guard)
+    cols = ["m", "k", "col"] + (["hash_fn"] if "hash_fn" in index.columns else [])
+    meta = index.select(*cols).first()
     if meta is None:
         return spark.read.parquet(table_path).where(F.col(col) == F.lit(value)).limit(0)
     if meta["col"] != col:
         raise ValueError(f"index is over {meta['col']!r}, probe is on {col!r}")
-    pos = probe_positions(spark, table_path, col, value, int(meta["m"]), int(meta["k"]))
+    hash_fn = meta["hash_fn"] if "hash_fn" in index.columns else "xxhash64"
+    pos = probe_positions(
+        spark, table_path, col, value, int(meta["m"]), int(meta["k"]), hash_fn
+    )
     kept = [r["file"] for r in bloom_prune(index, pos).select("file").collect()]
     base = spark.read.parquet(table_path)
     if not kept:

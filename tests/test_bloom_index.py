@@ -165,3 +165,105 @@ def test_bloom_params_formulas():
     # floor kicks in for tiny files
     m_small, _ = bx._bloom_params(1, 0.01)
     assert m_small == bx._bloom_params(1024, 0.01)[0]
+
+
+def test_md5_mode_cross_engine_differential(spark, orders_path, tmp_path_factory):
+    """hash_fn='md5' makes the whole build+probe decision pipeline
+    DuckDB-replayable (the X22/X24 md5-anchor trick): position lane i of
+    value v is the first 15 md5 hex digits of f'{v}:{i}' as an integer
+    mod m — DuckDB computes the identical integer via CAST('0x' || hex
+    AS BIGINT) (verified bit-exact).  The oracle recomputes each file's
+    bit-position set from the RAW data and re-derives every probe's
+    candidate file set; set equality pins the lane derivation, the use
+    of m/k, and the all-k-bits candidacy rule — the differential that
+    upgrades X31 from Python-reference pinning to cross-engine."""
+    import os
+
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp("bloom") / "orders_md5idx")
+    idx = bx.build_bloom_index(
+        spark, orders_path, "o_custkey", out_path=out, hash_fn="md5"
+    )
+    meta = idx.select("m", "k", "hash_fn").first()
+    m, k = int(meta["m"]), int(meta["k"])
+    assert meta["hash_fn"] == "md5"
+
+    def du_lane(v_sql: str, i: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5({v_sql} || ':{i}'), 1, 15)) AS BIGINT)"
+            f" % {m}"
+        )
+
+    con = duckdb.connect()
+    lanes = ", ".join(
+        du_lane("CAST(o_custkey AS VARCHAR)", i) + f" AS p{i}" for i in range(k)
+    )
+    con.execute(
+        f"""CREATE TABLE raw AS
+            SELECT parse_filename(filename) AS fname, {lanes}
+            FROM read_parquet('{orders_path}/*.parquet', filename=true)
+            WHERE o_custkey IS NOT NULL"""
+    )
+    union = " UNION ".join(f"SELECT fname, p{i} AS pos FROM raw" for i in range(k))
+    con.execute(f"CREATE TABLE filepos AS {union}")
+
+    base = spark.read.parquet(orders_path)
+    present = [
+        r["o_custkey"]
+        for r in base.select("o_custkey").distinct().orderBy("o_custkey").limit(10).collect()
+    ]
+    absent = [10**9 + 7, 10**9 + 33]
+    for v in present + absent:
+        pos = bx.probe_positions(spark, orders_path, "o_custkey", v, m, k, "md5")
+        got = sorted(
+            os.path.basename(r["file"])
+            for r in bx.bloom_prune(idx, pos).select("file").collect()
+        )
+        probes = ", ".join(du_lane(f"'{int(v)}'", i) for i in range(k))
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                f"""WITH probe AS (SELECT DISTINCT unnest([{probes}]) AS pos)
+                    SELECT fname FROM filepos JOIN probe USING (pos)
+                    GROUP BY fname
+                    HAVING COUNT(DISTINCT pos) = (SELECT COUNT(*) FROM probe)"""
+            ).fetchall()
+        )
+        assert got == want, f"candidate drift for {v}: {got} vs {want}"
+        if v in present:
+            truly = sorted(
+                os.path.basename(r["f"])
+                for r in base.where(F.col("o_custkey") == v)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            assert set(truly) <= set(got)  # Bloom: no false negatives
+
+
+def test_legacy_index_without_hash_fn_column_probes_xxhash64(
+    spark, orders_path, orders_index
+):
+    """A sidecar written before the hash_fn column existed must keep
+    probing with xxhash64 (the legacy-store guard, mirroring the band
+    store): drop the column and the lookup still equals a plain filter."""
+    legacy = orders_index.drop("hash_fn")
+    key = (
+        spark.read.parquet(orders_path)
+        .select("o_custkey")
+        .orderBy("o_custkey")
+        .first()["o_custkey"]
+    )
+    got = (
+        bx.bloom_lookup(spark, orders_path, legacy, "o_custkey", key)
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    want = (
+        spark.read.parquet(orders_path)
+        .where(F.col("o_custkey") == key)
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0

@@ -782,3 +782,68 @@ def test_weighted_sample_properties(spark):
     assert sorted(r.doc_id for r in got_nk) == [1, 2, 3]
     with pytest.raises(ValueError):
         SA.weighted_sample_n(docs.withColumn("w", F.lit(1.0)), "doc_id", "w", 0)
+
+
+def test_filter_blocklist_cross_engine_differential(spark):
+    """X21 gate decision replayed in DuckDB (round-9 rotation prep): host
+    extraction (lowercase, strip trailing root-label dots), dot-boundary
+    subdomain-suffix matching, exact-host mode, and the keep-NULL-host
+    rule, pinned against an independent SQL formulation — NOT EXISTS over
+    (h = b OR h LIKE '%.'||b) vs the engine's suffix-explode broadcast
+    anti-join.  Domain note: the DuckDB twin extracts hosts with an
+    RFC-shaped regex that agrees with Spark's try_parse_url on
+    well-formed and clearly-malformed inputs (verified here); inputs in
+    the gray zone (embedded spaces etc.) are out of the twin's domain
+    and covered by the Spark-side unit tests above."""
+    import duckdb
+    import pandas as pd
+
+    from r_e_hive__spark.operators.quality import filter_blocklist
+
+    urls = [
+        "https://example.com/a",
+        "https://sub.example.com/b",
+        "https://deep.sub.example.com/c?q=1",
+        "http://examplE.com./trailing-dot-evasion",
+        "https://notexample.com/keep",  # suffix needs a dot boundary
+        "https://shady.net/x",
+        "https://user@sub.shady.net:8080/auth-and-port",
+        "https://notshady.net/keep",
+        "ftp://files.example.org/f",
+        "https://xn--caf-dma.fr/menu",
+        "not a url at all",  # NULL host -> kept
+        None,  # NULL url -> kept
+    ]
+    blocked = ["example.com", "shady.net"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id INT, url STRING")
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(urls)), "url": urls}))
+    con.register("bl", pd.DataFrame({"b": [d.lower().rstrip(".") for d in blocked]}))
+    host = (
+        "NULLIF(regexp_replace(lower(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),"
+        " '\\.+$', ''), '')"
+    )
+    for sub in (True, False):
+        got = sorted(
+            r["id"]
+            for r in filter_blocklist(df, "url", blocked, include_subdomains=sub).collect()
+        )
+        match = "h = b OR h LIKE '%.' || b" if sub else "h = b"
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                f"""WITH hosts AS (SELECT id, {host} AS h FROM t)
+                    SELECT id FROM hosts
+                    WHERE h IS NULL
+                       OR NOT EXISTS (SELECT 1 FROM bl WHERE {match})
+                    ORDER BY id"""
+            ).fetchall()
+        )
+        assert got == want, f"include_subdomains={sub}: {got} vs {want}"
+    # sanity on content, not just engine agreement: evasions blocked,
+    # dot-boundary lookalikes kept
+    kept = {r["id"] for r in filter_blocklist(df, "url", blocked).collect()}
+    assert {3, 6} & kept == set()  # trailing-dot + userinfo/port evasions
+    assert {4, 7, 10, 11} <= kept  # lookalikes and NULL hosts stay

@@ -260,6 +260,7 @@ def train_kmeans(
     seed: int = 42,
     init: list[list[float]] | None = None,
     sample_limit: int = 2048,
+    exact_decimal: bool = False,
 ) -> tuple[list[list[float]], int]:
     """Distributed spherical-k-means refinement over the FULL dataset
     (Lloyd's iterations) — the training step behind every "learned"
@@ -286,6 +287,22 @@ def train_kmeans(
     same init + same data ⇒ same assignments; double-precision sums
     commute up to ~1e-12 relative under re-partitioning (ranking ties at
     that scale are the same caveat every float reduction here carries).
+
+    ``exact_decimal=True`` is the oracle-replayable mode (the x3/x17
+    discipline): assignment scores through ``dot_exact`` (decimal(12,6)
+    products, order-free), per-dim update sums as exact decimals, and
+    every centroid iterate QUANTIZED to 6 dp — so each iteration is a
+    pure function of the data with no float-reduction order anywhere,
+    and a DuckDB replay of the whole Lloyd recursion matches
+    coordinate-for-coordinate (tests/test_kmeans.py).  The quantization
+    costs < 1e-6 per coordinate per iteration — irrelevant to clustering
+    quality, decisive for cross-engine replayability.  Python-side
+    rounding uses the BINARY value of each double (``Decimal(x)``), the
+    same semantics as a SQL double→decimal cast; and because the stored
+    centroids are then exact 6-dp decimals, the literal→decimal cast
+    inside next iteration's ``dot_exact`` is a no-op in BOTH engines
+    (the shortest-rendering-vs-binary rounding divergence documented at
+    operators/quality.corpus_report cannot arise).
     """
     import math
 
@@ -301,14 +318,31 @@ def train_kmeans(
     centroids = [list(map(float, c)) for c in init]
     dim = len(centroids[0])
     vec = F.col(vec_col)
-    dims = [
-        F.sum(vec.getItem(i).cast("double")).alias(f"_s{i}")
-        for i in range(dim)
-    ]
+    if exact_decimal:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+
+        def _quant6(x: float) -> Decimal:
+            # binary-value HALF_UP — the SQL double→decimal cast semantics
+            return Decimal(x).quantize(q6, rounding=ROUND_HALF_UP)
+
+        dims = [
+            F.sum(vec.getItem(i).cast("double").cast("decimal(12,6)")).alias(
+                f"_s{i}"
+            )
+            for i in range(dim)
+        ]
+    else:
+        dims = [
+            F.sum(vec.getItem(i).cast("double")).alias(f"_s{i}")
+            for i in range(dim)
+        ]
     it = 0
     for it in range(1, n_iter + 1):
         assigned = df.select(
-            assign_centroid(vec, centroids).alias("_b"), vec.alias(vec_col)
+            assign_centroid(vec, centroids, exact_decimal).alias("_b"),
+            vec.alias(vec_col),
         )
         stats = (
             assigned.groupBy("_b")
@@ -319,10 +353,24 @@ def train_kmeans(
         for r in stats:
             if r["_b"] is None or r["_n"] == 0:
                 continue
-            mean = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
-            nrm = math.sqrt(sum(x * x for x in mean))
-            if nrm > 0:
-                nxt[r["_b"]] = [x / nrm for x in mean]
+            if exact_decimal:
+                # exact decimal sum -> nearest double -> double divide ->
+                # 6-dp quantize: every step order-free and engine-identical
+                mq = [
+                    _quant6(float(r[f"_s{i}"]) / r["_n"]) for i in range(dim)
+                ]
+                # norm² on the exact 6-dp decimals (products ≤ 24 digits,
+                # 64-term sum ≤ 26 — exact under Decimal's 28-digit context)
+                nrm = math.sqrt(float(sum(x * x for x in mq)))
+                if nrm > 0:
+                    nxt[r["_b"]] = [
+                        float(_quant6(float(x) / nrm)) for x in mq
+                    ]
+            else:
+                mean = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+                nrm = math.sqrt(sum(x * x for x in mean))
+                if nrm > 0:
+                    nxt[r["_b"]] = [x / nrm for x in mean]
         shift = max(
             math.sqrt(sum((a - b) ** 2 for a, b in zip(c0, c1)))
             for c0, c1 in zip(centroids, nxt)

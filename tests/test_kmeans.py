@@ -146,3 +146,92 @@ def test_sample_init_then_full_refinement(spark, vecs):
     got = {(r["query_id"], r["rank"]): r["vec_id"] for r in ivf.collect()}
     want = {(r["query_id"], r["rank"]): r["vec_id"] for r in bf.collect()}
     assert got == want
+
+
+def test_exact_decimal_mode_duckdb_replay(spark):
+    """Cross-engine differential (round-9 rotation prep): two full Lloyd
+    iterations in exact_decimal mode, replayed from scratch in DuckDB —
+    decimal(12,6) dot-product assignment with ties to the LARGER bucket,
+    exact decimal per-dim update sums, nearest-double mean, 6-dp
+    HALF_UP centroid quantization, decimal-exact norm², double sqrt and
+    divide.  Final centroids must match coordinate-for-coordinate (==,
+    not approx): every step is order-free and engine-identical by
+    construction, so any drift is a real semantics bug."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dim, k, iters = 64, 4, 2
+    # init = the first k embeddings quantized to 6 dp (replayable from raw)
+    init_rows = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double").cast("decimal(12,6)").cast("double"),
+            ).alias("e")
+        )
+        .collect()
+    )
+    init = [list(r["e"]) for r in init_rows]
+    got, it = S.train_kmeans(
+        emb, n_clusters=k, n_iter=iters, tol=0.0, init=init, exact_decimal=True
+    )
+    assert it == iters
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE TABLE ed AS
+            SELECT vec_id, d.d AS dim,
+                   CAST(CAST(embedding[d.d] AS DOUBLE) AS DECIMAL(12,6)) AS xd
+            FROM read_parquet('{sf}/embeddings.parquet'),
+                 generate_series(1, {dim}) d(d)
+            WHERE embedding IS NOT NULL"""
+    )
+    # c: (bucket, dim, v DOUBLE) — iteration-0 centroids from the raw data
+    con.execute(
+        f"""CREATE TABLE c AS
+            SELECT vec_id AS bucket, dim,
+                   CAST(xd AS DOUBLE) AS v
+            FROM ed WHERE vec_id < {k}"""
+    )
+    for _ in range(iters):
+        con.execute("DROP TABLE IF EXISTS assign")
+        con.execute(
+            """CREATE TABLE assign AS
+               SELECT vec_id, bucket FROM (
+                 SELECT ed.vec_id, c.bucket,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY ed.vec_id
+                          ORDER BY CAST(SUM(ed.xd * CAST(c.v AS DECIMAL(12,6))) AS DOUBLE) DESC,
+                                   c.bucket DESC) AS rn
+                 FROM ed JOIN c USING (dim)
+                 GROUP BY ed.vec_id, c.bucket
+               ) WHERE rn = 1"""
+        )
+        con.execute("DROP TABLE IF EXISTS cnext")
+        con.execute(
+            """CREATE TABLE cnext AS
+               WITH mq AS (
+                 SELECT a.bucket, ed.dim,
+                        CAST(CAST(CAST(SUM(ed.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS m
+                 FROM assign a JOIN ed USING (vec_id)
+                 GROUP BY a.bucket, ed.dim
+               ), nrm AS (
+                 SELECT bucket, SQRT(CAST(SUM(m * m) AS DOUBLE)) AS nrm FROM mq GROUP BY bucket
+               ), upd AS (
+                 SELECT mq.bucket, mq.dim,
+                        CAST(CAST(CAST(mq.m AS DOUBLE) / nrm.nrm AS DECIMAL(12,6)) AS DOUBLE) AS v
+                 FROM mq JOIN nrm USING (bucket) WHERE nrm.nrm > 0
+               )
+               SELECT c.bucket, c.dim, COALESCE(upd.v, c.v) AS v
+               FROM c LEFT JOIN upd ON upd.bucket = c.bucket AND upd.dim = c.dim"""
+        )
+        con.execute("DROP TABLE c")
+        con.execute("ALTER TABLE cnext RENAME TO c")
+    want = {}
+    for b, d, v in con.execute("SELECT bucket, dim, v FROM c").fetchall():
+        want.setdefault(int(b), [0.0] * dim)[int(d) - 1] = v
+    for j in range(k):
+        assert got[j] == want[j], f"centroid {j} drift"

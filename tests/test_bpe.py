@@ -180,3 +180,69 @@ def test_save_load_bpe_roundtrip(spark, classic_df, tmp_path):
     # empty model round-trips too (merges exhausted / num_merges=0)
     B.save_bpe(spark, [], str(tmp_path / "empty"))
     assert B.load_bpe(spark, str(tmp_path / "empty")) == []
+
+
+def test_train_bpe_duckdb_replay(spark):
+    """X30 training replayed merge-for-merge in DuckDB (round-9 rotation
+    prep — the last family without a cross-engine differential).  The
+    oracle re-derives the whole greedy loop from raw text: pre-token
+    histogram (same RE2-safe regex), code-point symbols (RE2 '.' = one
+    rune, matching JVM split('') code-point semantics), adjacent-pair
+    counting, (count DESC, left, right) argmax tie-break, and the
+    greedy-left-no-remerge merge application — expressed as SQL REPLACE
+    over sentinel-delimited symbol strings, whose leftmost-
+    non-overlapping semantics are exactly `_merge_word`'s (a freshly
+    merged symbol cannot re-merge within the pass because scanning
+    resumes after the replacement).  Per-round assertion, so a drift
+    names the first diverging merge."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_merges = 10
+    merges = B.train_bpe(docs, "text", num_merges=n_merges, strategy="driver")
+    assert len(merges) == n_merges
+
+    con = duckdb.connect()
+    sep = chr(31)  # U+001F, asserted absent from the corpus below
+    assert (
+        con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet')"
+            f" WHERE text LIKE '%' || chr(31) || '%'"
+        ).fetchone()[0]
+        == 0
+    )
+    con.execute(
+        f"""CREATE TABLE words AS
+            SELECT '{sep}' || array_to_string(regexp_extract_all(piece, '.'),
+                                              '{sep}{sep}') || '{sep}' AS w,
+                   COUNT(*) AS cnt
+            FROM (SELECT unnest(regexp_extract_all(text, '{SUBWORD_RE}')) AS piece
+                  FROM read_parquet('{sf}/documents.parquet'))
+            GROUP BY 1"""
+    )
+    for rnd, (a, b) in enumerate(merges):
+        best = con.execute(
+            f"""WITH syms AS (
+                  SELECT string_split(trim(w, '{sep}'), '{sep}{sep}') AS s, cnt
+                  FROM words
+                ), idx AS (
+                  SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+                  FROM syms WHERE len(s) > 1
+                ), pairs AS (
+                  SELECT s[i] AS l, s[i + 1] AS r, cnt FROM idx
+                )
+                SELECT l, r FROM pairs
+                GROUP BY l, r
+                ORDER BY SUM(cnt) DESC, l, r
+                LIMIT 1"""
+        ).fetchone()
+        assert best == (a, b), f"merge {rnd}: spark {(a, b)} vs duck {best}"
+        con.execute(
+            f"""CREATE OR REPLACE TABLE words AS
+                SELECT replace(w, '{sep}' || ? || '{sep}{sep}' || ? || '{sep}',
+                               '{sep}' || ? || '{sep}') AS w,
+                       SUM(cnt) AS cnt
+                FROM words GROUP BY 1""",
+            [a, b, a + b],
+        )

@@ -37,8 +37,13 @@ def n_tokens(text: Column) -> Column:
 # GPT-2-style pre-tokenizer shape, restricted to constructs shared by Java
 # regex and RE2 (no lookahead): letter runs, digit runs, punctuation runs,
 # each optionally preceded by one space.  Public construct (Radford et al.
-# 2019 pre-tokenizer, simplified).
-SUBWORD_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# 2019 pre-tokenizer, simplified).  The whitespace class is spelled out
+# because `\s` is a THREE-way dialect skew: Java \s = [ \t\n\x0B\f\r],
+# RE2 \s = [\t\n\f\r ] (no \x0B), Python re \s additionally matches
+# Unicode spaces (NBSP etc.) — this runs under all three (Spark
+# regexp_extract_all, the DuckDB oracles, bpe_encode's re.compile), so
+# only the explicit class keeps the tokenization engine-identical.
+SUBWORD_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+"
 
 
 def subword_tokens(text: Column) -> Column:

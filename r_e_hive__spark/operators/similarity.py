@@ -297,12 +297,18 @@ def train_kmeans(
     coordinate-for-coordinate (tests/test_kmeans.py).  The quantization
     costs < 1e-6 per coordinate per iteration — irrelevant to clustering
     quality, decisive for cross-engine replayability.  Python-side
-    rounding uses the BINARY value of each double (``Decimal(x)``), the
-    same semantics as a SQL double→decimal cast; and because the stored
-    centroids are then exact 6-dp decimals, the literal→decimal cast
-    inside next iteration's ``dot_exact`` is a no-op in BOTH engines
-    (the shortest-rendering-vs-binary rounding divergence documented at
-    operators/quality.corpus_report cannot arise).
+    rounding uses the BINARY value of each double (``Decimal(x)``) —
+    DuckDB's double→decimal cast semantics.  Spark's own cast rounds the
+    double's SHORTEST DECIMAL RENDERING instead (the corpus_report
+    divergence class), which is why the driver-side quantization exists:
+    stored centroids are exact 6-dp decimals, so the literal→decimal
+    cast inside next iteration's ``dot_exact`` is a no-op in BOTH
+    engines and Spark's cast semantics never touch a non-6-dp centroid
+    double.  The one place Spark's cast DOES meet raw doubles is the
+    embedding values themselves (float→double→decimal inside dot_exact
+    and the update sums) — the identical path every x3/x25 exact_decimal
+    oracle already rides, fixture-verified; a replay on new data
+    inherits that same (rendering-tie, measure-tiny) caveat.
     """
     import math
 
@@ -359,9 +365,17 @@ def train_kmeans(
                 mq = [
                     _quant6(float(r[f"_s{i}"]) / r["_n"]) for i in range(dim)
                 ]
-                # norm² on the exact 6-dp decimals (products ≤ 24 digits,
-                # 64-term sum ≤ 26 — exact under Decimal's 28-digit context)
-                nrm = math.sqrt(float(sum(x * x for x in mq)))
+                # norm² on the exact 6-dp decimals under an explicit
+                # 38-digit context: the default 28-sig-digit context
+                # silently rounds (Inexact untrapped) once dim/magnitude
+                # outgrow it, while the DuckDB twin sums exactly in
+                # DECIMAL(38,12) — prec=38 keeps both sides exact over
+                # the whole decimal(12,6) domain (round-8 review)
+                import decimal as _dec
+
+                with _dec.localcontext(prec=38):
+                    n2 = sum(x * x for x in mq)
+                nrm = math.sqrt(float(n2))
                 if nrm > 0:
                     nxt[r["_b"]] = [
                         float(_quant6(float(x) / nrm)) for x in mq

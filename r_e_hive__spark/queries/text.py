@@ -53,7 +53,7 @@ def _du_count(lang: str) -> str:
              + (1.0 - CAST(LENGTH(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1)) * 0.3
            AS DECIMAL(10,5)), 4) AS DOUBLE) AS quality,
            SHA256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_subwords,
+           len(regexp_extract_all(text, '{TX.SUBWORD_RE}')) AS n_subwords,
            lang AS labeled_lang,
            CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
                 WHEN c_de >= GREATEST(c_en, c_es, c_fr) AND c_de > 0 THEN 'de'

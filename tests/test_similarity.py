@@ -66,6 +66,74 @@ def test_lsh_pairs_verified_exact(spark, embeddings):
         assert round(_cos(vecs[r["id_a"]], vecs[r["id_b"]]), 4) >= 0.25 - 1e-4
 
 
+def test_lsh_pairs_identical_to_legacy_shape(spark, embeddings):
+    """Result-identity pin for the VERDICT-r8-item-1 shuffle fix: the
+    first-matching-band emission (no pair-level dedup exchange) must produce
+    exactly the pairs+cosines of the legacy shape (band join ->
+    dropDuplicates on wide vector-carrying rows -> verify)."""
+    small = embeddings.where(F.col("vec_id") < 300)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.lsh_neighbor_pairs(
+            small, cosine_threshold=0.25, n_planes=16, bands=4
+        ).collect()
+    }
+    # Legacy shape, inlined: same bucketing, wide dedup-then-verify.
+    from r_e_hive__spark.operators.similarity import (
+        _paired_cosine,
+        hyperplane_bucket,
+    )
+
+    r_bits = 16 // 4
+    with_bucket = small.select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), 64, 16).alias("_bucket"),
+    )
+    chunks = with_bucket.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_bucket"), r_bits * i).bitwiseAND(
+                        F.lit((1 << r_bits) - 1)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_id", "chunk"),
+    )
+    a = chunks.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        "band_id",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        "band_id",
+        "chunk",
+    )
+    legacy = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in (
+            a.join(b, ["band_id", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn(
+                "cosine",
+                F.round(_paired_cosine(False, F.col("_va"), F.col("_vb")), 6),
+            )
+            .where(F.col("cosine") >= 0.25)
+            .select("id_a", "id_b", "cosine")
+        ).collect()
+    }
+    assert got == legacy
+    assert len(got) > 0  # non-vacuous at this threshold
+
+
 # ---------------------------------------------------------------------------
 # learned-quantizer IVF (kmeans)
 # ---------------------------------------------------------------------------

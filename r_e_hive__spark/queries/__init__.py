@@ -202,6 +202,36 @@ RETIRED: dict[str, Query] = {}
 #       tracked scan/shuffle-constant instrument in the BASELINE
 #       sweeps).  Freed the slot for x13_zorder (X13 Morton clustering
 #       key, unrolled per-bit cross-engine replay).
+# Round-9 rotation (VERDICT r8 items 2/3: driver-pin ST7 stream joins and
+# promote the three round-8 cross-engine differentials — X21 blocklist
+# gate, X29 exact-decimal k-means, X31 md5 Bloom index — to declared
+# queries; all four newcomers are FULL differentials: interval-join +
+# dim-enrich replay, NOT-EXISTS gate decision over identically-synthesized
+# URLs, two unrolled Lloyd iterations coordinate-for-coordinate, and the
+# per-file bit-position build+probe candidate-set replay):
+#
+#   j1_relation_load         -> j3_two_parents (the N:1 dim-join shape,
+#       two at once) + q5_local_supplier-retired (J2 nested loads, oracle
+#       live) + q3_shipping_priority (J4 admin-view left joins).  KEEPS
+#       bench=True (headline set unchanged — the broadcast-dim-join
+#       instrument row stays cross-round comparable) and its plan pin in
+#       tests/test_plans.py::test_dim_joins_broadcast.
+#   st3_session_window       -> st2_windows + st4_late_data + st6_running
+#       _state (ST family driver pins); the session_window streaming twin
+#       keeps its batch-equivalence test (tests/test_streaming.py::
+#       test_session_equivalence, now reading the RETIRED registry) and
+#       the gaps-and-islands oracle lives on in test_retired_queries.py.
+#   st5_stream_dedup         -> st6_running_state (stateful ST), x1_exact
+#       _dedup + j56_semi_anti_join (the J6/first-wins semantics); the
+#       dropDuplicates streaming twin keeps its test; oracle lives on in
+#       test_retired_queries.py.
+#   x19_dedup_components     -> x22_incremental_neardup (survey_rows
+#       includes X19: its per-batch recursive-CTE closure replay IS the
+#       same min-label component semantics, driver-green), x33_pagerank
+#       (iterative graph propagation), x20/x17/pipeline_corpus_curation
+#       (X2); the propagation + star differentials keep running in
+#       tests/test_components.py and the closure oracle in
+#       test_retired_queries.py.
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -248,3 +248,104 @@ def x27_data_card(spark, sf_dir):
 
     (documents,) = T(spark, sf_dir, "documents")
     return corpus_report(documents, "text", group_cols=("source", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# X21 — URL/domain blocklist gate (declared round 9; VERDICT r8 item 3:
+# the cross-engine differential landed in tests/test_sampling.py round 8,
+# promoted to a driver pin this rotation)
+# ---------------------------------------------------------------------------
+
+# Normalized entries (the operator lowercases + strips trailing root-label
+# dots at build time; the oracle's VALUES list carries the normal forms).
+# 'es.example.com' exercises dot-boundary SUBDOMAIN suffix matching (every
+# es-lang host is a subdomain of it); the other three are exact-host hits
+# whose www./case/trailing-dot variants must still match.
+_X21_BLOCKED = (
+    "src3.en.example.com",
+    "src7.de.example.com",
+    "Src11.Fr.Example.Com.",  # operator normalizes; oracle uses normal form
+    "es.example.com",
+)
+
+# Deterministic per-doc URL with the classic evasion forms layered on by
+# doc_id residue: www. subdomains (%3), trailing root-label dot (%7),
+# uppercase host (%5), userinfo (%11), explicit port (%13).  Both engines
+# build the IDENTICAL string from (doc_id, source, lang), so the gate
+# decision — not the synthesis — is what the differential pins.
+_X21_ORACLE = r"""
+    WITH built AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || source || '.' || lang || '.example.com'
+             || (CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END) AS h0
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id,
+             'https://'
+             || (CASE WHEN doc_id % 11 = 0 THEN 'user@' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN upper(h0) ELSE h0 END)
+             || (CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END)
+             || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM built
+    ),
+    hosts AS (
+      SELECT doc_id, url,
+             NULLIF(regexp_replace(lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+               '\.+$', ''), '') AS hh
+      FROM docs
+    ),
+    bl(b) AS (VALUES ('src3.en.example.com'), ('src7.de.example.com'),
+                     ('src11.fr.example.com'), ('es.example.com'))
+    SELECT doc_id, url
+    FROM hosts
+    WHERE hh IS NULL
+       OR NOT EXISTS (SELECT 1 FROM bl WHERE hh = b OR hh LIKE '%.' || b)
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "x21_url_blocklist",
+    _X21_ORACLE,
+    survey_rows=("X21",),
+)
+def x21_url_blocklist(spark, sf_dir):
+    """X21 URL/domain blocklist gate — operators/quality.filter_blocklist:
+    host extraction via Spark's built-in ``try_parse_url`` (JVM, codegen,
+    no UDF), lowercase + trailing-root-dot normalization, dot-boundary
+    subdomain-suffix matching via a bounded suffix explode, and ONE
+    broadcast anti-join (the corpus never shuffles — a map-side gate at
+    100 TB).  URLs are synthesized deterministically from (doc_id,
+    source, lang) with the standard evasion forms (www. subdomains,
+    trailing-dot absolute FQDNs, uppercase hosts, userinfo, ports); the
+    DuckDB oracle builds the identical strings and replays the keep
+    decision as NOT EXISTS over (h = b OR h LIKE '%.'||b) — an
+    independent formulation of the same rule (the
+    tests/test_sampling.py::test_filter_blocklist_cross_engine_differential
+    construction, promoted to the driver surface in the round-9
+    rotation)."""
+    from r_e_hive__spark.operators.quality import filter_blocklist
+
+    (documents,) = T(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h0 = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        F.col("lang"),
+        F.lit(".example.com"),
+        F.when(d % 7 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 11 == 0, F.lit("user@")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper(h0)).otherwise(h0),
+        F.when(d % 13 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        d.cast("string"),
+    )
+    docs = documents.select("doc_id", url.alias("url"))
+    return filter_blocklist(docs, "url", list(_X21_BLOCKED)).orderBy("doc_id")

@@ -441,7 +441,7 @@ def x22_incremental_neardup(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "x19_dedup_components",
     _DU_COMPONENTS,
     survey_rows=("X19", "X2"),

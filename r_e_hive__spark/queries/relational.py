@@ -167,7 +167,7 @@ def p7_asof_timestamp(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "j1_relation_load",
     """
     SELECT c.c_custkey, c.c_name, n.n_name, r.r_name

@@ -433,3 +433,122 @@ def x17_semdedup(spark, sf_dir):
         .select("vec_id", F.col("_sd_cluster").alias("cluster"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X29 — distributed spherical k-means (declared round 9; VERDICT r8 item 3:
+# the exact_decimal Lloyd replay landed in tests/test_kmeans.py round 8,
+# promoted to a driver pin this rotation)
+# ---------------------------------------------------------------------------
+
+_X29_K, _X29_ITERS, _X29_DIM = 4, 2, 64
+
+
+def _x29_oracle() -> str:
+    """Two FULLY UNROLLED Lloyd iterations in one DuckDB statement — the
+    tests/test_kmeans.py replay flattened into a single WITH chain:
+    decimal(12,6) dot-product assignment with ties to the LARGER bucket,
+    exact decimal per-dim update sums, nearest-double mean, 6-dp HALF_UP
+    centroid quantization, decimal-exact norm², double sqrt/divide, and
+    the emptied-cluster keep-previous fallback (COALESCE against the
+    prior iterate)."""
+    k, dim = _X29_K, _X29_DIM
+    parts = [
+        f"""ed AS (
+      SELECT vec_id, d.d AS dim,
+             CAST(CAST(embedding[d.d] AS DOUBLE) AS DECIMAL(12,6)) AS xd
+      FROM embeddings, generate_series(1, {dim}) d(d)
+      WHERE embedding IS NOT NULL
+    ), c0 AS (
+      SELECT vec_id AS bucket, dim, CAST(xd AS DOUBLE) AS v
+      FROM ed WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(1, _X29_ITERS + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, bucket FROM (
+        SELECT ed.vec_id, c.bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY ed.vec_id
+                 ORDER BY CAST(SUM(ed.xd * CAST(c.v AS DECIMAL(12,6))) AS DOUBLE) DESC,
+                          c.bucket DESC) AS rn
+        FROM ed JOIN {prev} c USING (dim)
+        GROUP BY ed.vec_id, c.bucket
+      ) WHERE rn = 1
+    ), mq{i} AS (
+      SELECT a.bucket, ed.dim,
+             CAST(CAST(CAST(SUM(ed.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS m
+      FROM a{i} a JOIN ed USING (vec_id)
+      GROUP BY a.bucket, ed.dim
+    ), nrm{i} AS (
+      SELECT bucket, SQRT(CAST(SUM(m * m) AS DOUBLE)) AS nrm
+      FROM mq{i} GROUP BY bucket
+    ), upd{i} AS (
+      SELECT mq.bucket, mq.dim,
+             CAST(CAST(CAST(mq.m AS DOUBLE) / nrm.nrm AS DECIMAL(12,6)) AS DOUBLE) AS v
+      FROM mq{i} mq JOIN nrm{i} nrm USING (bucket) WHERE nrm.nrm > 0
+    ), c{i} AS (
+      SELECT c.bucket, c.dim, COALESCE(u.v, c.v) AS v
+      FROM {prev} c LEFT JOIN upd{i} u ON u.bucket = c.bucket AND u.dim = c.dim
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(dim AS BIGINT) AS dim, v
+    FROM c{_X29_ITERS} ORDER BY bucket, dim
+    """
+    )
+
+
+@query(
+    "x29_kmeans",
+    _x29_oracle(),
+    survey_rows=("X29",),
+)
+def x29_kmeans(spark, sf_dir):
+    """X29 distributed spherical k-means — operators/similarity.
+    train_kmeans in exact_decimal mode: per iteration, assignment is a
+    map-only pass (centroids travel as literal expressions — broadcast
+    parameters), the update is ONE map-side-combined groupBy(bucket)
+    producing k×(dim+1) numbers, and every centroid iterate quantizes to
+    6-dp HALF_UP decimals so the whole Lloyd recursion is a pure function
+    of the data with no float-reduction order anywhere.  Init = the first
+    k embeddings quantized to 6 dp (replayable from raw).  The oracle
+    re-derives both iterations from scratch — assignment, mean, norm,
+    re-normalization, empty-cluster fallback — coordinate for coordinate;
+    the returned frame is the final k×dim centroid matrix (parameter-
+    sized: collecting it is collecting the MODEL, not data — per-
+    iteration cost at 100 TB is one corpus scan + a k-row shuffle)."""
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    init_rows = (
+        embeddings.where(F.col("vec_id") < _X29_K)
+        .orderBy("vec_id")
+        .select(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double").cast("decimal(12,6)").cast("double"),
+            ).alias("e")
+        )
+        .collect()
+    )
+    init = [list(r["e"]) for r in init_rows]
+    cents, _ = S.train_kmeans(
+        embeddings,
+        n_clusters=_X29_K,
+        n_iter=_X29_ITERS,
+        tol=0.0,
+        init=init,
+        exact_decimal=True,
+    )
+    rows = [
+        (b, d + 1, float(v))
+        for b, c in enumerate(cents)
+        for d, v in enumerate(c)
+    ]
+    return spark.createDataFrame(
+        rows, "bucket BIGINT, dim BIGINT, v DOUBLE"
+    ).orderBy("bucket", "dim")

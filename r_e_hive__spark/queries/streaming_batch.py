@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from r_e_hive__spark.functions import fixedpoint as fp
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 
@@ -109,7 +109,7 @@ def st2_windows(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "st3_session_window",
     """
     WITH ordered AS (
@@ -156,7 +156,7 @@ def st3_session_window(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "st5_stream_dedup",
     """
     SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
@@ -232,4 +232,76 @@ def st6_running_state(spark, sf_dir):
             fp.money_of_units(F.sum(units).over(w), 2).alias("balance_after"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 — stream-static + stream-stream joins (declared round 9; VERDICT r8
+# item 2: the last SURVEY §2 family with no driver pin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st7_stream_joins",
+    """
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id,
+           p.user_id AS user_id, c.c_name AS c_name,
+           CAST(date_diff('microsecond', p.ts, e.ts) AS BIGINT) AS lag_micros
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    LEFT JOIN customer c ON c.c_custkey = p.user_id
+    ORDER BY p_event_id, e_event_id
+    """,
+    survey_rows=("ST7",),
+)
+def st7_stream_joins(spark, sf_dir):
+    """ST7 composed: a watermarked stream-stream time-range join (each
+    purchase correlated to the same user's errors within 1 hour AFTER it)
+    whose output is then enriched stream-static with the customer
+    dimension row — the reference's notification fan-out shape
+    (render-complete-deploy.js:234-239) on top of the correlation join.
+
+    Batch formulation (this query): two inner-join conjuncts — an equi
+    key (user_id) plus the time-range bound — then a left join to the
+    dim table.  The equi conjunct makes the stream-stream join a hash
+    join, never BNLJ (the X11 range-join discipline); the dim join
+    broadcasts (customer is the small side).  The streaming twin — both
+    sides watermarked 2 hours, state evicted past watermark − range,
+    followed by the per-micro-batch static join — produces the same rows:
+    batch-equivalence asserted in
+    tests/test_streaming.py::test_st7_composed_join_matches_declared_batch.
+    lag is in exact integer MICROSECONDS (``unix_micros``) because every
+    fixture timestamp carries sub-second parts — a seconds-granularity
+    date_diff would truncate differently across engines (§2.12)."""
+    (events, customer) = T(spark, sf_dir, "events", "customer")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_name")
+    return (
+        p.join(
+            e,
+            (p["user_id"] == e["e_user_id"])
+            & (e["e_ts"] >= p["p_ts"])
+            & (e["e_ts"] <= p["p_ts"] + F.expr("INTERVAL 1 HOUR")),
+        )
+        .join(dim, "user_id", "left")
+        .select(
+            "p_event_id",
+            "e_event_id",
+            "user_id",
+            "c_name",
+            (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("lag_micros"),
+        )
+        .orderBy("p_event_id", "e_event_id")
     )

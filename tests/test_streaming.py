@@ -56,7 +56,10 @@ def test_session_equivalence(spark):
     got = jobs.run_stream_to_memory(
         jobs.session_aggregate(_stream(spark)), "t_session", "complete"
     )
-    want = load_all()["st3_session_window"].spark_fn(spark, SF_SMOKE)
+    from r_e_hive__spark.queries import RETIRED
+
+    load_all()  # populates RETIRED (st3 rotated out in round 9)
+    want = RETIRED["st3_session_window"].spark_fn(spark, SF_SMOKE)
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
 
@@ -65,7 +68,10 @@ def test_stream_dedup_counts(spark):
     got = jobs.run_stream_to_memory(
         jobs.stream_dedup(_stream(spark)), "t_dedup", "append"
     )
-    want = load_all()["st5_stream_dedup"].spark_fn(spark, SF_SMOKE)
+    from r_e_hive__spark.queries import RETIRED
+
+    load_all()  # populates RETIRED (st5 rotated out in round 9)
+    want = RETIRED["st5_stream_dedup"].spark_fn(spark, SF_SMOKE)
     # dropDuplicates keeps an arbitrary survivor; the keyset must match the
     # deterministic batch formulation exactly
     assert _rows(got, ["user_id", "event_type"]) == _rows(
@@ -615,3 +621,56 @@ def test_stream_incremental_neardup_matches_batch_loop(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(surv_path).count() == before
+
+
+def test_st7_composed_join_matches_declared_batch(spark, tmp_path):
+    """The st7_stream_joins driver pin's streaming twin (round 9): the
+    SAME composed pipeline — watermarked stream-stream time-range inner
+    join, then the per-micro-batch stream-static dim enrichment — run as
+    an actual readStream job must produce exactly the declared batch
+    query's rows."""
+    import os
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "all.parquet"))
+
+    def side(filter_type, a):
+        s = (
+            spark.readStream.schema(ev.schema)
+            .parquet(str(src) + "/*.parquet")
+            .where(F.col("event_type") == filter_type)
+        )
+        return s.select(
+            *[F.col(c).alias(f"{a}_{c}") for c in ev.columns]
+        ).withWatermark(f"{a}_ts", "2 hours")
+
+    purchases, errors = side("purchase", "p"), side("error", "e")
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("p_user_id"), "c_name"
+    )
+    joined = (
+        purchases.join(
+            errors,
+            F.expr(
+                "p_user_id = e_user_id AND "
+                "e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .join(dim, "p_user_id", "left")
+        .select(
+            "p_event_id",
+            "e_event_id",
+            F.col("p_user_id").alias("user_id"),
+            "c_name",
+            (F.unix_micros("e_ts") - F.unix_micros("p_ts")).alias("lag_micros"),
+        )
+    )
+    got = jobs.run_stream_to_memory(joined, "st7_pairs")
+    want = load_all()["st7_stream_joins"].spark_fn(spark, SF_SMOKE)
+    cols = ["p_event_id", "e_event_id", "user_id", "c_name", "lag_micros"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0

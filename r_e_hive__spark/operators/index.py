@@ -134,6 +134,18 @@ def build_bloom_index(
         raise ValueError(f"column {col!r} not in table at {table_path}")
     if hash_fn not in _HASH_FNS:
         raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
+    if hash_fn == "md5":
+        # md5 mode hashes the STRING rendering; float/double/timestamp
+        # render differently across engines, which would silently lose the
+        # mode's whole point — cross-engine replayability (ADVICE r8).
+        bad = ("float", "double", "timestamp")
+        dt = df.schema[col].dataType.simpleString()
+        if any(dt.startswith(b) for b in bad):
+            raise ValueError(
+                f"hash_fn='md5' requires an integer/string/date key column; "
+                f"{col!r} is {dt} (its string rendering is not engine-"
+                f"portable — use hash_fn='xxhash64')"
+            )
     m, k = _bloom_params(_max_file_rows(table_path), fpp)
 
     pos = F.explode(F.array(*_positions(F.col(col), m, k, hash_fn))).alias("_pos")

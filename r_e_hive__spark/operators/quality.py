@@ -330,6 +330,12 @@ def corpus_report(
     # _q is an exact 4-dp value by quality_score's contract, so
     # decimal(14,4)·10⁴ → long is lossless.
     def _avg4(sum_col: str, cnt_col: str) -> Column:
+        # PRECONDITION: S >= 0.  The HALF_UP identity round(S/n, 4) ==
+        # (2·S·10⁴ + n) DIV (2·n) holds only for non-negative sums —
+        # Spark's DIV truncates toward ZERO, so a negative S would round
+        # toward zero instead of HALF_UP (ADVICE r8).  Fine here: token
+        # counts and quality scores in [0,1] are non-negative by contract;
+        # do NOT reuse on signed metrics without a sign-split.
         # (2·S·10⁴ + n) DIV (2·n), then /10⁴ — exact integer arithmetic
         # end to end: the accumulator is DECIMAL(38,0) (exact to 10^38,
         # i.e. ~10^33 tokens per group — int64 would cap the sum at

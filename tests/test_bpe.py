@@ -197,7 +197,9 @@ def test_train_bpe_duckdb_replay(spark):
     names the first diverging merge."""
     import duckdb
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE  # shared testdata root (ADVICE r8: no hardcoded path)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n_merges = 10
     merges = B.train_bpe(docs, "text", num_merges=n_merges, strategy="driver")

@@ -100,6 +100,15 @@ def main() -> None:
                     sel.append(
                         f"LENGTH(regexp_replace(text, '(\\S+)', '\\1{i}', 'g')) AS n_chars"
                     )
+                elif t == "part" and c == "p_name" and i > 0:
+                    # doubled copy-marker suffix: any two distinct copies
+                    # differ in >=2 suffix chars, so cross-copy Levenshtein
+                    # distance is >=2 and the x32 fuzzy join's TRUE pair
+                    # count grows ~linearly with factor (copy 0 keeps the
+                    # original names; within-copy pair structure preserved)
+                    # -- VERDICT r8 item 6: without this, verbatim name
+                    # replication made true pairs grow ~quadratically.
+                    sel.append(f"p_name || ' z{i}z{i}' AS p_name")
                 else:
                     sel.append(c)
             parts.append(

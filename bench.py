@@ -30,6 +30,7 @@ from tools.bench_common import (
     LLM_BENCH_SF_CAP,
     LLM_FAST,
     LLM_FAST_SYMMETRIC,
+    LLM_SPARK_ONLY,
     bench_only,
     bench_reps,
     bench_set_flags,
@@ -253,7 +254,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": res["queries"] if time_rel else None,
                 "reps": res["reps"] if time_rel else None,
-                "llm_geomean": geomean_or_null(res["llm_queries"], time_llm),
+                # Spark-only rows (LLM_SPARK_ONLY) are timed but excluded
+                # from the geomean: no DuckDB pairing, and the series must
+                # stay comparable round over round
+                "llm_geomean": geomean_or_null(
+                    {
+                        n: v
+                        for n, v in (res["llm_queries"] or {}).items()
+                        if n not in LLM_SPARK_ONLY
+                    },
+                    time_llm,
+                ),
                 "llm_queries": res["llm_queries"] if time_llm else None,
                 "llm_reps": res["llm_reps"] if time_llm else None,
                 # fast-path twins tagged for ratio readers; the symmetric
@@ -261,6 +272,7 @@ def main() -> None:
                 # round 8) is listed separately so the asymmetric
                 # exact-oracle pairings (x17/x25) can be flagged alone
                 "llm_fast_twins": sorted(LLM_FAST),
+                "llm_spark_only": sorted(LLM_SPARK_ONLY),
                 "llm_fast_symmetric": sorted(LLM_FAST_SYMMETRIC),
                 # isolate-mode children that failed (their entries are
                 # null and EXCLUDED from the geomeans above — a paired

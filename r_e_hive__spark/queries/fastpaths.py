@@ -128,3 +128,61 @@ FASTPATHS = {
     "x25_quantized_topk_fast": x25_quantized_topk_fast,
     "x23_bm25_topk_fast": x23_bm25_topk_fast,
 }
+
+
+_SCALED_TARGET_CLUSTER = 256
+
+
+def x17_semdedup_scaled(spark, sf_dir):
+    """SemDeDup at the paper's k-scaling rule — k = N / target_cluster_size
+    (target 256), the configuration whose in-cluster pair work stays ~linear
+    in N (Σ m_c² ≈ N · target when clusters stay near target size), vs the
+    declared instrument's FIXED 8 centroids whose pairing is quadratic in
+    the corpus (round 9, VERDICT r8 item 4: sf≥5 LLM sweeps previously had
+    to EXCLUDE semdedup; this row carries the at-scale signal).
+
+    Spark-only bench row — no DuckDB pairing: the oracle replay is the k=8
+    exact-decimal instrument (x17_semdedup); a thousand-centroid literal
+    replay is not SQL-feasible, and bench.py excludes this row from the
+    llm geomean (bench_common.LLM_SPARK_ONLY) so the cross-engine series
+    stays comparable.  Centroids are strided seed vectors (every stride-th
+    embedding by vec_id, unit-normalized — deterministic, parameter-sized
+    collect); production passes train_kmeans output (amortized offline
+    training), which does not change the dedup-STAGE cost shape this row
+    measures."""
+    import math
+
+    from r_e_hive__spark.queries.similarity import _SEMDEDUP_TAU
+
+    (embeddings,) = T(spark, sf_dir, "embeddings")
+    emb = embeddings.select("vec_id", "embedding").where(
+        F.col("embedding").isNotNull()
+    )
+    n = emb.count()
+    k = max(8, n // _SCALED_TARGET_CLUSTER)
+    stride = max(1, n // k)
+    seeds = (
+        emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = []
+    for r in seeds:
+        v = [float(x) for x in r["embedding"]]
+        nn = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / nn for x in v])
+    return (
+        S.semantic_dedup(
+            emb,
+            "vec_id",
+            "embedding",
+            centroids=cents,
+            cosine_threshold=_SEMDEDUP_TAU,
+        )
+        .select("vec_id", F.col("_sd_cluster").alias("cluster"))
+        .orderBy("vec_id")
+    )
+
+
+FASTPATHS["x17_semdedup_scaled"] = x17_semdedup_scaled

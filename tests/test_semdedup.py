@@ -108,3 +108,18 @@ def test_numpy_strategy_rejects_exact_decimal(spark):
             emb, "vec_id", "embedding", _CENTS, 0.5,
             exact_decimal=True, strategy="numpy",
         )
+
+
+def test_scaled_k_bench_row_runs_and_is_deterministic(spark):
+    """x17_semdedup_scaled (bench-only, round 9): the k = N/target
+    configuration must run on the fixture, keep survivors a subset of the
+    input, and be deterministic run-over-run (strided seed centroids are a
+    pure function of the data)."""
+    from r_e_hive__spark.queries.fastpaths import x17_semdedup_scaled
+    from tests.conftest import SF_SMOKE
+
+    a = x17_semdedup_scaled(spark, SF_SMOKE).collect()
+    b = x17_semdedup_scaled(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert 0 < len(a) <= n

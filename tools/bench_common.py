@@ -45,6 +45,15 @@ LLM_FAST = {
 # ratio reader can distinguish the two classes without this file.
 LLM_FAST_SYMMETRIC = ("x23_bm25_topk_fast",)
 
+# Spark-only bench rows (round 9, VERDICT r8 item 4): timed and recorded
+# by bench.py but EXCLUDED from its llm geomean and absent from
+# baseline_duckdb.py — they have no honest DuckDB pairing (the scaled-k
+# semdedup would need a thousand-centroid literal replay).  Kept out of
+# the geomean so the cross-engine/cross-round series stays comparable;
+# readers get the raw per-query number under "llm_queries" plus this
+# list under "llm_spark_only".
+LLM_SPARK_ONLY = ("x17_semdedup_scaled",)
+
 # Per-query scale cap for the bench harnesses (round-8, VERDICT r7 item 7).
 # x17_semdedup is the exact-decimal *instrument* row: correct by contract
 # but interpreted-arithmetic, ~290 s/rep at sf1 (220× its own production

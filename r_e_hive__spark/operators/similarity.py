@@ -695,6 +695,19 @@ def lsh_neighbor_pairs(
         hyperplane_bucket(
             F.col(vec_col), dim, n_planes, planes=planes, exact=exact_decimal
         ).alias("_bucket"),
+        # per-row denominator part hoisted out of the O(pairs) verification
+        # (the semantic_dedup discipline): computed ONCE per vector here,
+        # so each candidate pair costs ONE dot aggregate instead of five
+        # (cosine_exact's den>0 guard re-derives both norms per evaluation
+        # -- measured as the dominant cost of the sf1 verify stage).  Each
+        # pair cosine below reproduces the functions/vector.py formula bit
+        # for bit: exact den = sqrt(na2_double * nb2_double), double den =
+        # norm(a) * norm(b).
+        (
+            V.norm2_exact(F.col(vec_col)).cast("double")
+            if exact_decimal
+            else V.norm(F.col(vec_col))
+        ).alias("_den"),
     )
     def _chunk(bucket: Column, i: int) -> Column:
         return F.shiftright(bucket, r * i).bitwiseAND(F.lit((1 << r) - 1))
@@ -703,6 +716,7 @@ def lsh_neighbor_pairs(
         id_col,
         vec_col,
         "_bucket",
+        "_den",
         F.posexplode(
             F.array(*[_chunk(F.col("_bucket"), i) for i in range(bands)])
         ).alias("band_id", "chunk"),
@@ -711,6 +725,7 @@ def lsh_neighbor_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         F.col("_bucket").alias("_ba"),
+        F.col("_den").alias("_dena"),
         "band_id",
         "chunk",
     )
@@ -718,6 +733,7 @@ def lsh_neighbor_pairs(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         F.col("_bucket").alias("_bb"),
+        F.col("_den").alias("_denb"),
         "band_id",
         "chunk",
     )
@@ -743,11 +759,15 @@ def lsh_neighbor_pairs(
     joined = a.join(b, ["band_id", "chunk"]).where(F.col("id_a") < F.col("id_b"))
     if first_match_only is not None:
         joined = joined.where(first_match_only)
+    if exact_decimal:
+        den = F.sqrt(F.col("_dena") * F.col("_denb"))
+        num = V.dot_exact(F.col("_va"), F.col("_vb")).cast("double")
+    else:
+        den = F.col("_dena") * F.col("_denb")
+        num = V.dot(F.col("_va"), F.col("_vb"))
+    pair_cos = F.when(den > 0, num / den)
     return (
-        joined.withColumn(
-            "cosine",
-            F.round(_paired_cosine(exact_decimal, F.col("_va"), F.col("_vb")), 6),
-        )
+        joined.withColumn("cosine", F.round(pair_cos, 6))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -265,3 +265,24 @@ def test_declared_rollup_merge_partial_aggregation(spark):
     # stage (sums are exact decimal BY DESIGN here — money semantics —
     # unlike the fixed-point queries guarded above)
     assert "partial" in p.lower(), p
+
+
+def test_lsh_pairs_no_pair_level_exchange(spark):
+    """VERDICT r8 item 1 (scale-shape pin): lsh_neighbor_pairs must not
+    shuffle candidate pairs — the legacy dropDuplicates exchange hash-
+    partitioned on (id_a, id_b) with BOTH dim-64 vectors per row (18-33 GB
+    of /tmp at sf1).  The first-matching-band emission needs no pair-level
+    exchange at all; the only exchanges allowed are on the pre-join chunk
+    keys or broadcast."""
+    from r_e_hive__spark.catalog import load_table
+    from r_e_hive__spark.operators import similarity as S
+    from r_e_hive__spark.queries._lsh_planes import _LSH_PLANES
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = S.lsh_neighbor_pairs(
+        emb, "vec_id", "embedding", dim=64, n_planes=16, bands=4,
+        cosine_threshold=0.30, exact_decimal=True, planes=_LSH_PLANES,
+    )
+    p = plan(df, "simple")
+    assert "hashpartitioning(id_a" not in p, p
+    assert "hashpartitioning(id_b" not in p, p

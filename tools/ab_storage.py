@@ -47,13 +47,16 @@ def _fence(spark):
     time.sleep(0.3)
 
 
-def _time(spark, fn) -> list[float]:
+def _time(spark, make_df) -> list[float]:
+    """bench.py's rep methodology: a FRESH DataFrame per rep (stage/shuffle
+    reuse across actions on one DataFrame would time only the final reduce)
+    and the noop sink (materializes every output column)."""
     out = []
     for _ in range(REPS):
         _fence(spark)
-        t0 = time.time()
-        fn()
-        out.append(round(time.time() - t0, 4))
+        t0 = time.perf_counter()
+        make_df().write.format("noop").mode("overwrite").save()
+        out.append(round(time.perf_counter() - t0, 4))
     return out
 
 
@@ -68,13 +71,15 @@ def build_variants(spark, sf_dir: str, out: str) -> None:
             (F.lit(100) - fp.unscaled_fast("l_discount")).alias("dm"),
             (F.lit(100) + fp.unscaled_fast("l_tax")).alias("tp"),
             (fp.unscaled_fast("l_discount")).alias("disc_u"),
-            F.unix_micros("l_shipdate").alias("ship_us"),
+            # raw parquet reads infer TIMESTAMP_NTZ; cast to LTZ (session
+            # timezone is pinned UTC) before epoch conversion
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
         ).write.mode("overwrite").parquet(f"{out}/lineitem_u")
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     (
         ev.select(
-            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "event_type",
             fp.unscaled_fast("value").alias("value_u"),
         ).write.mode("overwrite").parquet(f"{out}/events_u")
@@ -172,10 +177,14 @@ def main() -> None:
 
     res = {
         "sf_dir": sf_dir,
-        "q1_orig": _time(spark, lambda: q1_orig.collect()),
-        "q1_variant": _time(spark, lambda: q1_var.collect()),
-        "st2_orig": _time(spark, lambda: st2_orig.collect()),
-        "st2_variant": _time(spark, lambda: st2_var.collect()),
+        "q1_orig": _time(
+            spark, lambda: reg["q1_pricing_summary"].spark_fn(spark, sf_dir)
+        ),
+        "q1_variant": _time(spark, lambda: q1_variant(spark, out)),
+        "st2_orig": _time(
+            spark, lambda: reg["st2_windows"].spark_fn(spark, sf_dir)
+        ),
+        "st2_variant": _time(spark, lambda: st2_variant(spark, out)),
     }
     res["q1_ratio"] = round(min(res["q1_variant"]) / min(res["q1_orig"]), 3)
     res["st2_ratio"] = round(min(res["st2_variant"]) / min(res["st2_orig"]), 3)

@@ -359,12 +359,17 @@ def x13_zorder(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _X31_GROUPS = 32
+_X31_BLOCK = 16384  # second file-key level: o_orderkey div 16384
 # With <=1024 rows per file the sizing clamps to the _MIN_ITEMS floor, so
 # m/k are data-independent LITERALS both engines share: n=1024, fpp=0.01 ->
 # m = ceil(-1024*ln(.01)/ln(2)^2) = 9816, k = min(8, round(m/1024*ln2)) = 7.
-# The Spark side asserts the built index carries exactly these (fail loud,
-# not hash-drift, if someone reruns this at a scale where a file exceeds
-# the floor — the declared query's domain is the graded sf0.001/sf0.01).
+# The two-level file key g = (o_orderkey % 32) + 32*(o_orderkey div 16384)
+# bounds rows-per-file at <=512 for ANY scale factor (orderkeys are dense:
+# a 16384-key block holds <=16384 orders, split 32 ways), so the clamp —
+# and with it the oracle's m/k literals — holds at every sweep sf, not
+# just the graded ones (round-9 review: the single-level key left the
+# floor at sf>=0.1).  The Spark side still asserts the built index
+# carries exactly these (fail loud, not hash-drift, on non-dense data).
 _X31_M, _X31_K = 9816, 7
 _X31_PROBES = (1, 2, 3, 5, 7, 11, 999999998, 999999999)
 
@@ -387,7 +392,8 @@ def _x31_oracle() -> str:
     )
     return f"""
     WITH raw AS (
-      SELECT o_orderkey % {_X31_GROUPS} AS g, CAST(o_custkey AS VARCHAR) AS v
+      SELECT (o_orderkey % {_X31_GROUPS}) + {_X31_GROUPS} * (o_orderkey // {_X31_BLOCK}) AS g,
+             CAST(o_custkey AS VARCHAR) AS v
       FROM orders WHERE o_custkey IS NOT NULL
     ),
     filepos AS (
@@ -445,8 +451,15 @@ def x31_bloom_index(spark, sf_dir):
     table = os.path.join(workdir, "orders_by_g")
     try:
         (
-            orders.withColumn("g", F.col("o_orderkey") % _X31_GROUPS)
-            .repartition(_X31_GROUPS, "g")
+            orders.withColumn(
+                "g",
+                (F.col("o_orderkey") % _X31_GROUPS)
+                + _X31_GROUPS * F.expr(f"o_orderkey div {_X31_BLOCK}"),
+            )
+            # hash-partitioning on g puts every row of a group in ONE task,
+            # so each partition dir gets exactly one data file regardless
+            # of the partition count
+            .repartition("g")
             .write.partitionBy("g")
             .parquet(table)
         )

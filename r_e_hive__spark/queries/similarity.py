@@ -479,7 +479,7 @@ def _x29_oracle() -> str:
       ) WHERE rn = 1
     ), mq{i} AS (
       SELECT a.bucket, ed.dim,
-             CAST(CAST(CAST(SUM(ed.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS m
+             CAST(CAST(SUM(ed.xd) AS DOUBLE) / COUNT(*) AS DECIMAL(12,6)) AS m
       FROM a{i} a JOIN ed USING (vec_id)
       GROUP BY a.bucket, ed.dim
     ), nrm{i} AS (
@@ -524,28 +524,37 @@ def x29_kmeans(spark, sf_dir):
     sized: collecting it is collecting the MODEL, not data — per-
     iteration cost at 100 TB is one corpus scan + a k-row shuffle)."""
     (embeddings,) = T(spark, sf_dir, "embeddings")
+    # mirror the oracle's ed CTE exactly: NULL embeddings drop BEFORE the
+    # vec_id < k slice (round-9 review) — bucket labels stay the surviving
+    # vec_ids, and n_clusters follows the survivor count, so a NULL seed
+    # row shrinks both engines' results identically instead of crashing
+    # one side
     init_rows = (
-        embeddings.where(F.col("vec_id") < _X29_K)
+        embeddings.where(
+            (F.col("vec_id") < _X29_K) & F.col("embedding").isNotNull()
+        )
         .orderBy("vec_id")
         .select(
+            "vec_id",
             F.transform(
                 "embedding",
                 lambda x: x.cast("double").cast("decimal(12,6)").cast("double"),
-            ).alias("e")
+            ).alias("e"),
         )
         .collect()
     )
     init = [list(r["e"]) for r in init_rows]
+    labels = [int(r["vec_id"]) for r in init_rows]
     cents, _ = S.train_kmeans(
         embeddings,
-        n_clusters=_X29_K,
+        n_clusters=len(init),
         n_iter=_X29_ITERS,
         tol=0.0,
         init=init,
         exact_decimal=True,
     )
     rows = [
-        (b, d + 1, float(v))
+        (labels[b], d + 1, float(v))
         for b, c in enumerate(cents)
         for d, v in enumerate(c)
     ]

@@ -152,13 +152,27 @@ def st2_variant(spark, out: str):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf5"
-    out = os.path.join("/tmp/ab_storage", os.path.basename(sf_dir.rstrip("/")))
+    import hashlib
+
+    # key by the FULL path (two sf5 dirs under different parents must not
+    # share variants) and gate reuse on Spark's _SUCCESS markers, not the
+    # directory's existence — a killed first build must rebuild, not wedge
+    key = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    out = os.path.join("/tmp/ab_storage", key)
     spark = get_spark(app_name="ab-storage", master="local[32]")
 
     from r_e_hive__spark.queries import load_all
 
     reg = load_all()
-    if not os.path.isdir(out):
+    done = all(
+        os.path.exists(os.path.join(out, t, "_SUCCESS"))
+        for t in ("lineitem_u", "events_u")
+    )
+    if not done:
         build_variants(spark, sf_dir, out)
 
     q1_orig = reg["q1_pricing_summary"].spark_fn(spark, sf_dir)

@@ -356,6 +356,34 @@ def minhash_signatures(
     )
 
 
+def _band_hash_expr(sig_col, b: int, r: int):
+    """Band b's LSH hash over a MinHash signature column: xxhash64 of the
+    comma-joined signature rows [b*r, (b+1)*r) — the ONE construction
+    band_signatures and the first-matching-band filters share (they must
+    agree bit for bit or the dedup-free pair emission drops pairs)."""
+    return F.xxhash64(
+        F.concat_ws(",", *[sig_col[b * r + i].cast("string") for i in range(r)])
+    )
+
+
+def _first_matching_band(sig_a, sig_b, bands: int, r: int):
+    """Keep a banded candidate row only if NO earlier band also collided —
+    each colliding pair then survives in exactly one band's join output
+    and the pair generators need no pair-level dedup exchange at all (the
+    lsh_neighbor_pairs first-matching-band discipline, round 9: the
+    legacy dropDuplicates shuffled every candidate row carrying BOTH
+    signature arrays).  Earlier-band hashes recompute from the carried
+    signatures; the (i < band_id) guard short-circuits, so rows emitted
+    from band 0 — the common case — hash nothing."""
+    cond = F.lit(True)
+    for i in range(bands - 1):
+        earlier = (F.lit(i) < F.col("band_id")) & (
+            _band_hash_expr(sig_a, i, r) == _band_hash_expr(sig_b, i, r)
+        )
+        cond = cond & ~earlier
+    return cond
+
+
 def band_signatures(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -379,10 +407,7 @@ def band_signatures(
             f"with >=1 row per band"
         )
     band_arr = F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * r + i].cast("string") for i in range(r)]))
-            for b in range(bands)
-        ]
+        *[_band_hash_expr(F.col("signature"), b, r) for b in range(bands)]
     )
     # in-plan signature-length guard: a signature shorter than num_hashes
     # (e.g. a persisted index built with a different num_hashes fed back
@@ -440,8 +465,12 @@ def minhash_lsh_pairs(
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            _first_matching_band(
+                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+            )
+        )
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = cand.withColumn(
         "est_jaccard",
@@ -535,10 +564,23 @@ def simhash_neardup_pairs(
     )
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val")
+    # first-matching-chunk emission (the lsh_neighbor_pairs discipline):
+    # both sides carry the full 64-bit fingerprint, so "an earlier chunk
+    # also collided" is a pure bit test and no pair-level dedup exchange
+    # is needed
+    def _chunk(col, i):
+        return F.shiftright(col, 16 * i).bitwiseAND(F.lit(0xFFFF))
+
+    first = F.lit(True)
+    for i in range(3):
+        first = first & ~(
+            (F.lit(i) < F.col("chunk_id"))
+            & (_chunk(F.col("sh_a"), i) == _chunk(F.col("sh_b"), i))
+        )
     return (
         a.join(b, ["chunk_id", "chunk_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .where(first)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -948,7 +990,11 @@ def incremental_neardup(
     nn = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .where(
+            _first_matching_band(
+                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+            )
+        )
         .where(
             _sig_match_fraction(F.col("sig_a"), F.col("sig_b"), num_hashes)
             >= est_threshold
@@ -1030,7 +1076,11 @@ def incremental_neardup(
                 "band_id", "band_hash",
             )
             .join(probe, ["band_id", "band_hash"])
-            .dropDuplicates(["id_a", "id_b"])
+            .where(
+                _first_matching_band(
+                    F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+                )
+            )
             .where(
                 _sig_match_fraction(F.col("sig_a"), F.col("sig_b"), num_hashes)
                 >= est_threshold

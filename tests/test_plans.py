@@ -286,3 +286,21 @@ def test_lsh_pairs_no_pair_level_exchange(spark):
     p = plan(df, "simple")
     assert "hashpartitioning(id_a" not in p, p
     assert "hashpartitioning(id_b" not in p, p
+
+
+def test_minhash_simhash_pairs_no_pair_level_exchange(spark):
+    """Round-9 follow-through of the x4 shuffle fix: the MinHash and
+    SimHash pair generators use the same first-matching-band emission, so
+    no plan may hash-partition on (id_a, id_b) — the legacy dropDuplicates
+    exchange carried both signature arrays per candidate row."""
+    from r_e_hive__spark.catalog import load_table
+    from r_e_hive__spark.operators import dedup as D
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    for df in (
+        D.minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=None),
+        D.simhash_neardup_pairs(docs, "text", "doc_id"),
+    ):
+        p = plan(df, "simple")
+        assert "hashpartitioning(id_a" not in p, p
+        assert "hashpartitioning(id_b" not in p, p

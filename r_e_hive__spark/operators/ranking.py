@@ -179,14 +179,49 @@ def bm25_search(
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("bm25_search: query has no tokens")
-    p = postings if postings is not None else term_postings(df, text_col, id_col)
-    if stats is None:
-        stats = corpus_stats(p, id_col)
-    # the term filter is a literal IN list — it pushes into the postings
-    # scan (partition-prunes a term-partitioned index); df-counts for the
-    # query's terms are computed on the FILTERED postings, so no
-    # vocabulary-wide aggregation runs at query time
-    hits = p.where(F.col("term").isin(terms))
+    if postings is not None:
+        if stats is None:
+            stats = corpus_stats(postings, id_col)
+        # the term filter is a literal IN list — it pushes into the
+        # postings scan (partition-prunes a term-partitioned index);
+        # df-counts for the query's terms are computed on the FILTERED
+        # postings, so no vocabulary-wide aggregation runs at query time
+        hits = postings.where(F.col("term").isin(terms))
+    else:
+        # inline (no persisted index): build postings for the QUERY'S
+        # terms only — the token array filters to matching terms BEFORE
+        # the explode, so the (term, doc) aggregation shuffles O(matching
+        # tokens), not O(all corpus tokens) (round 9; the previous
+        # term_postings-then-filter shape shuffled the whole vocabulary
+        # to serve a 10-term query — at 100 TB that is the corpus).
+        # Value-identical to filtering term_postings: tf counts the same
+        # occurrences, doc_len is the same full-array size riding the
+        # groupBy key, and docs with no matching term vanish in the
+        # explode exactly as the postings filter dropped them.
+        toks = tokenize(F.col(text_col))
+        hits = (
+            df.select(
+                F.col(id_col),
+                F.size(toks).alias("doc_len"),
+                F.filter(toks, lambda t: t.isin(*terms)).alias("_m"),
+            )
+            .select(id_col, "doc_len", F.explode("_m").alias("term"))
+            .groupBy(id_col, "doc_len", "term")
+            .agg(F.count("*").alias("tf"))
+            .select(id_col, "term", "tf", "doc_len")
+        )
+        if stats is None:
+            # same (n_docs, avgdl) population as corpus_stats(term_postings):
+            # docs with >=1 token (empty/NULL docs are not retrievable) —
+            # computed map-only, no postings shuffle
+            stats = (
+                df.select(F.size(toks).alias("doc_len"))
+                .where(F.col("doc_len") >= 1)
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.avg("doc_len").alias("avgdl"),
+                )
+            )
     dfreq = hits.groupBy("term").agg(F.count(id_col).alias("df"))
     scored = (
         hits.join(F.broadcast(dfreq), "term")

@@ -533,6 +533,21 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+# 64-bit fingerprint banded into four 16-bit chunks; pigeonhole bounds
+# recall at Hamming <= _SIMHASH_CHUNKS - 1.
+_SIMHASH_CHUNKS = 4
+_SIMHASH_CHUNK_BITS = 64 // _SIMHASH_CHUNKS
+
+
+def _simhash_chunk_expr(fp_col, i: int):
+    """Chunk i of a 64-bit simhash — the ONE construction the posexplode
+    banding array and the earlier-chunk filter share (r9 ADVICE: they must
+    agree bit for bit or first-chunk emission drops/duplicates pairs;
+    the MinHash path's _band_hash_expr plays the same role)."""
+    mask = (1 << _SIMHASH_CHUNK_BITS) - 1
+    return F.shiftright(fp_col, _SIMHASH_CHUNK_BITS * i).bitwiseAND(F.lit(mask))
+
+
 def simhash_neardup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -544,10 +559,12 @@ def simhash_neardup_pairs(
     quadratic.  The same pigeonhole bounds recall: 4 chunks guarantee
     candidates only for Hamming ≤ 3, so larger thresholds are rejected
     rather than silently missing pairs (round-4 code review)."""
-    if not 0 <= max_hamming <= 3:
+    if not 0 <= max_hamming <= _SIMHASH_CHUNKS - 1:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the 4x16-bit banding's "
-            f"recall guarantee (<=3); use more/narrower bands for larger radii"
+            f"max_hamming={max_hamming} exceeds the "
+            f"{_SIMHASH_CHUNKS}x{_SIMHASH_CHUNK_BITS}-bit banding's recall "
+            f"guarantee (<={_SIMHASH_CHUNKS - 1}); use more/narrower bands "
+            f"for larger radii"
         )
     sh = simhash64(df, text_col, id_col)
     chunks = sh.select(
@@ -556,8 +573,8 @@ def simhash_neardup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    _simhash_chunk_expr(F.col("simhash"), i)
+                    for i in range(_SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),
@@ -567,15 +584,16 @@ def simhash_neardup_pairs(
     # first-matching-chunk emission (the lsh_neighbor_pairs discipline):
     # both sides carry the full 64-bit fingerprint, so "an earlier chunk
     # also collided" is a pure bit test and no pair-level dedup exchange
-    # is needed
-    def _chunk(col, i):
-        return F.shiftright(col, 16 * i).bitwiseAND(F.lit(0xFFFF))
-
+    # is needed; chunks derive from the same _simhash_chunk_expr as the
+    # banding array above
     first = F.lit(True)
-    for i in range(3):
+    for i in range(_SIMHASH_CHUNKS - 1):
         first = first & ~(
             (F.lit(i) < F.col("chunk_id"))
-            & (_chunk(F.col("sh_a"), i) == _chunk(F.col("sh_b"), i))
+            & (
+                _simhash_chunk_expr(F.col("sh_a"), i)
+                == _simhash_chunk_expr(F.col("sh_b"), i)
+            )
         )
     return (
         a.join(b, ["chunk_id", "chunk_val"])

@@ -232,6 +232,16 @@ RETIRED: dict[str, Query] = {}
 #       (X2); the propagation + star differentials keep running in
 #       tests/test_components.py and the closure oracle in
 #       test_retired_queries.py.
+# Round-10 rotation (VERDICT r9 item 1: driver-pin X30 BPE, the last
+# SURVEY §2 row without a driver or retired-oracle pin; the newcomer
+# x30_bpe_train is a FULL differential — the whole greedy training loop
+# unrolled merge-for-merge into one MATERIALIZED WITH chain):
+#
+#   w4_running_frames        -> w2_rank_lag (same window spec, rank/lag)
+#       + st6_running_state (the running-balance state the frames
+#       reformulate; the ST6 survey row stays driver-pinned there).  The
+#       decimal-exact frames oracle keeps running in
+#       test_retired_queries.py.  Freed the slot for x30_bpe_train.
 _MODULES = (
     "relational",
     "streaming_batch",

@@ -480,7 +480,10 @@ def x31_bloom_index(spark, sf_dir):
                 spark, table, "o_custkey", v, _X31_M, _X31_K, "md5"
             )
             for r in bx.bloom_prune(idx, pos).select("file").collect():
-                g = int(re.search(r"g=(\d+)", r["file"]).group(1))
+                # anchored to the partition-dir segment: a TMPDIR path
+                # containing "g=<digits>" elsewhere must not match
+                # (r9 ADVICE)
+                g = int(re.search(r"/g=(\d+)/", r["file"]).group(1))
                 rows.append((v, g))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -461,3 +461,94 @@ def x28_perplexity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------- X30
+
+_X30_MERGES = 12
+
+
+def _x30_oracle(n_merges: int = _X30_MERGES) -> str:
+    """X30 BPE training unrolled merge-for-merge into one WITH chain (the
+    x29 Lloyd-flattening trick): w0 is the sentinel-delimited pre-token
+    histogram (same RE2-safe SUBWORD_RE, code-point symbols via RE2 '.'),
+    then per merge round b{i} takes the (count DESC, left, right) argmax
+    over adjacent symbol pairs and w{i+1} applies it as a sentinel-string
+    REPLACE, whose leftmost-non-overlapping semantics equal
+    operators/bpe._merge_word (a fresh merge never re-merges in-pass
+    because scanning resumes after the replacement — pinned by
+    tests/test_bpe.py's per-round replay).  Every CTE is MATERIALIZED:
+    each level is referenced 2-4× (b{i} three times as a scalar subquery)
+    and DuckDB's default inlining would otherwise expand the chain
+    exponentially.  U+001F is the symbol delimiter; both engines drop the
+    (zero, asserted per-sf) documents containing it."""
+    from r_e_hive__spark.functions.text import SUBWORD_RE
+
+    s, ss = "chr(31)", "(chr(31) || chr(31))"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT {s} || array_to_string(regexp_extract_all(piece, '.'), {ss}) || {s} AS w,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, '{SUBWORD_RE}')) AS piece
+            FROM documents
+            WHERE text IS NOT NULL AND text NOT LIKE '%' || chr(31) || '%')
+      GROUP BY 1)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT l, r FROM (
+        SELECT s[i] AS l, s[i + 1] AS r, cnt FROM (
+          SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+          FROM (SELECT string_split(trim(w, {s}), {ss}) AS s, cnt FROM w{i})
+          WHERE len(s) > 1))
+      GROUP BY l, r ORDER BY SUM(cnt) DESC, l, r LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{i + 1} AS MATERIALIZED (
+      SELECT replace(w, {s} || (SELECT l FROM b{i}) || {ss} || (SELECT r FROM b{i}) || {s},
+                     {s} || (SELECT l || r FROM b{i}) || {s}) AS w,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM w{i} GROUP BY 1)"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank,"
+        f" l AS left_sym, r AS right_sym FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+@query(
+    "x30_bpe_train",
+    _x30_oracle(),
+    survey_rows=("X30",),
+)
+def x30_bpe_train(spark, sf_dir):
+    """X30 BPE tokenizer training (operators/bpe.train_bpe) — the merge
+    list IS the model, so the returned frame is the ordered merge table
+    (parameter-sized, like x29's centroid matrix).  The engine's one
+    corpus-sized pass is the pre-token histogram; merge learning runs on
+    the histogram only (driver strategy when it broadcasts, distributed
+    argmax+fold otherwise — the two are pinned merge-identical in
+    tests/test_bpe.py, so `auto` is deterministic).  The oracle re-derives
+    the full greedy loop from raw text, merge-for-merge (VERDICT r9 item
+    1: the last SURVEY §2 row without a driver pin).  Determinism: the
+    (count DESC, left, right) tie-break is total, symbols are whole code
+    points on both engines (JVM split('') == RE2 '.'), and no floats
+    exist anywhere in training."""
+    from r_e_hive__spark.operators import bpe as B
+
+    (documents,) = T(spark, sf_dir, "documents")
+    docs = documents.where(
+        F.col("text").isNotNull() & ~F.col("text").contains("\x1f")
+    )
+    merges = B.train_bpe(docs, "text", num_merges=_X30_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank BIGINT, left_sym STRING, right_sym STRING",
+    ).orderBy("merge_rank")

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from r_e_hive__spark.operators.relational import latest_n_per_key, latest_record_wins
-from r_e_hive__spark.queries import query
+from r_e_hive__spark.queries import query, retired_query
 from r_e_hive__spark.queries._util import T
 
 
@@ -90,7 +90,7 @@ def w2_rank_lag(spark, sf_dir):
     )
 
 
-@query(
+@retired_query(
     "w4_running_frames",
     """
     SELECT user_id, event_id,
@@ -107,7 +107,11 @@ def w4_running_frames(spark, sf_dir):
     """Running/sliding frame aggregation — the batch formulation of the
     per-key running balance state (ST6; ledger semantics
     render-complete-deploy.js:228); decimal-exact so the oracle hash is
-    order-stable."""
+    order-stable.  RETIRED round 10 (50-cap, VERDICT r9 item 1): frames
+    stay driver-pinned by w2_rank_lag (rank/lag over the same window) and
+    st6_running_state (the running-sum state itself); this oracle keeps
+    running in tests/test_retired_queries.py.  Freed the slot for
+    x30_bpe_train."""
     (events,) = T(spark, sf_dir, "events")
     ob = [F.asc("ts"), F.asc("event_id")]
     w_all = Window.partitionBy("user_id").orderBy(*ob).rowsBetween(Window.unboundedPreceding, 0)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators.similarity import semantic_dedup
 
@@ -123,3 +124,54 @@ def test_scaled_k_bench_row_runs_and_is_deterministic(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
     assert 0 < len(a) <= n
+
+
+def test_scaled_k_bench_row_survivors_match_expr_strategy(spark):
+    """Survivor-identity anchor for the Spark-only bench row (VERDICT r9
+    item 5): x17_semdedup_scaled's survivor set must equal
+    semantic_dedup(strategy="expr") run with the SAME strided seed
+    centroids and threshold — so the row's correctness doesn't ride
+    solely on configuration discipline (whatever strategy auto picks,
+    the result is pinned to the differentialed expr path)."""
+    import math
+
+    from r_e_hive__spark.queries.fastpaths import (
+        _SCALED_TARGET_CLUSTER,
+        x17_semdedup_scaled,
+    )
+    from r_e_hive__spark.queries.similarity import _SEMDEDUP_TAU
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in x17_semdedup_scaled(spark, SF_SMOKE).collect()
+    }
+
+    # re-derive the strided seed centroids exactly as the bench row does
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where(F.col("embedding").isNotNull())
+    )
+    n = emb.count()
+    k = max(8, n // _SCALED_TARGET_CLUSTER)
+    stride = max(1, n // k)
+    seeds = (
+        emb.where(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = []
+    for r in seeds:
+        v = [float(x) for x in r["embedding"]]
+        nn = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / nn for x in v])
+
+    want = {
+        (r["vec_id"], r["_sd_cluster"])
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", cents, _SEMDEDUP_TAU, strategy="expr"
+        ).collect()
+    }
+    assert got == want

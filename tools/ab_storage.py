@@ -181,13 +181,17 @@ def main() -> None:
     st2_var = st2_variant(spark, out)
 
     # value identity BEFORE timing: the variant is only interesting if it
-    # is the same query
-    assert [tuple(r) for r in q1_orig.collect()] == [
+    # is the same query.  Explicit raise, not assert — asserts vanish
+    # under python -O and a diverged variant would get timed and reported
+    # as a valid ratio (r9 ADVICE).
+    if [tuple(r) for r in q1_orig.collect()] != [
         tuple(r) for r in q1_var.collect()
-    ], "q1 variant diverged"
-    assert [tuple(r) for r in st2_orig.collect()] == [
+    ]:
+        raise SystemExit("q1 variant diverged; refusing to time it")
+    if [tuple(r) for r in st2_orig.collect()] != [
         tuple(r) for r in st2_var.collect()
-    ], "st2 variant diverged"
+    ]:
+        raise SystemExit("st2 variant diverged; refusing to time it")
 
     res = {
         "sf_dir": sf_dir,

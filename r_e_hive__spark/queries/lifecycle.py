@@ -372,6 +372,17 @@ _X31_BLOCK = 16384  # second file-key level: o_orderkey div 16384
 # carries exactly these (fail loud, not hash-drift, on non-dense data).
 _X31_M, _X31_K = 9816, 7
 _X31_PROBES = (1, 2, 3, 5, 7, 11, 999999998, 999999999)
+# File-count guard (round 10, VERDICT r9 item 6): the declared layout's
+# file count is ~GROUPS * max_orderkey/BLOCK and rows/file <= BLOCK/GROUPS;
+# with the oracle's m/k literals requiring the <=1024-row sizing floor,
+# rows/file <= 1024 AND files <= _X31_MAX_FILES are jointly satisfiable
+# only up to ~_X31_MAX_FILES*1024 = ~4M orders (sf ~2.7 on this data).
+# Beyond that the query raises BEFORE the expensive layout write (the sf20
+# sweep previously wrote ~59k files as a documented cap — now a loud
+# guard, like the m/k check below).  Production sizing for bigger tables
+# lives in operators/index.build_bloom_index, which re-derives m/k from
+# actual per-file row counts instead of pinning literals.
+_X31_MAX_FILES = 4096
 
 
 def _x31_lane(v_sql: str, i: int) -> str:
@@ -447,6 +458,17 @@ def x31_bloom_index(spark, sf_dir):
     from r_e_hive__spark.operators import index as bx
 
     (orders,) = T(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    n_files = _X31_GROUPS * (int(max_key) // _X31_BLOCK + 1)
+    if n_files > _X31_MAX_FILES:
+        raise ValueError(
+            f"x31_bloom_index: declared layout would write ~{n_files} files "
+            f"(> {_X31_MAX_FILES}); its domain ends near "
+            f"{_X31_MAX_FILES * _X31_BLOCK // _X31_GROUPS} orderkeys "
+            f"(~sf2.7) — for bigger tables use operators/index."
+            f"build_bloom_index with data-derived sizing instead of the "
+            f"oracle's pinned m/k literals"
+        )
     workdir = tempfile.mkdtemp(prefix="x31_bloom_")
     table = os.path.join(workdir, "orders_by_g")
     try:

@@ -267,3 +267,24 @@ def test_legacy_index_without_hash_fn_column_probes_xxhash64(
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_x31_declared_query_file_count_guard(spark, tmp_path):
+    """The declared x31 query refuses (loudly, BEFORE the layout write) any
+    orders table whose two-level key would exceed _X31_MAX_FILES files —
+    the round-10 promotion of the documented sf20 sweep cap into a guard
+    (VERDICT r9 item 6).  A table with orderkeys past ~2.1M trips it."""
+    from r_e_hive__spark.queries.lifecycle import (
+        _X31_BLOCK,
+        _X31_GROUPS,
+        _X31_MAX_FILES,
+        x31_bloom_index,
+    )
+
+    limit = _X31_MAX_FILES * _X31_BLOCK // _X31_GROUPS
+    big = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(limit)
+    )
+    big.write.parquet(str(tmp_path / "orders.parquet"))
+    with pytest.raises(ValueError, match="files"):
+        x31_bloom_index(spark, str(tmp_path))

@@ -480,8 +480,10 @@ def _x30_oracle(n_merges: int = _X30_MERGES) -> str:
     tests/test_bpe.py's per-round replay).  Every CTE is MATERIALIZED:
     each level is referenced 2-4× (b{i} three times as a scalar subquery)
     and DuckDB's default inlining would otherwise expand the chain
-    exponentially.  U+001F is the symbol delimiter; both engines drop the
-    (zero, asserted per-sf) documents containing it."""
+    exponentially.  U+001F is the symbol delimiter; both engines drop
+    documents containing it with the same filter (none exist at
+    sf0.001/0.01/0.1 — verified offline — but the filter makes the
+    differential correct at ANY sf rather than assuming it)."""
     from r_e_hive__spark.functions.text import SUBWORD_RE
 
     s, ss = "chr(31)", "(chr(31) || chr(31))"

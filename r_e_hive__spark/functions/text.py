@@ -166,18 +166,51 @@ def normalize_ccnet(text: Column) -> Column:
     return _norm(text)
 
 
+def bind_once(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and hand the result to ``body`` as a lambda variable.
+
+    Why this exists (round-10 scale fix): Spark's higher-order array
+    functions are INTERPRETED — ``ArrayTransform``/``ArrayFilter`` never
+    enter whole-stage codegen, and each lambda invocation re-``eval``s any
+    captured expression SUBTREE from scratch.  An expensive captured
+    expression (a regex ``split``, a gram builder) therefore re-executes
+    once per array element — ``shingles``' old ``slice(tokens(text), …)``
+    re-tokenized the whole document per shingle index, turning a linear
+    scan into O(tokens²) regex work per document (measured: the x16 query
+    spent 449 s at sf0.1; let-bound it is ~10 s, values identical).  A
+    lambda VARIABLE, by contrast, is a ``NamedLambdaVariable`` holding the
+    already-evaluated value — referencing it is O(1).
+
+    ``transform(array(value), body)[0]`` is the smallest expression that
+    creates such a binding: ``array(value)`` evaluates the subtree once,
+    ``transform`` binds the single element, ``[0]`` unwraps.  No Catalyst
+    rule inlines the binding away (constant folding only fires on foldable
+    subtrees, which these are not).  NULL-safe: ``array(x)`` is never NULL,
+    so ``body`` sees the NULL and must reproduce the unbound NULL semantics
+    — which it does by construction, being the same expression tree.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (dedup building block, X2).
 
     transform(sequence(0, n-k)) over the token array — JVM higher-order
-    functions, no UDF, no explode until the caller wants one.
+    functions, no UDF, no explode until the caller wants one.  The token
+    array is let-bound (``bind_once``) so the document is tokenized ONCE,
+    not once per shingle index — see ``bind_once`` for the interpreted-HOF
+    re-evaluation hazard this avoids (6.6× on the sf0.1 explode path).
     """
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n >= k, F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+        )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return bind_once(tokens(text), build)
 
 
 # --- Repetition signals (Gopher-style quality rules; SURVEY.md §2.11 X16) --
@@ -200,14 +233,19 @@ def shingles(text: Column, k: int = 3) -> Column:
 def word_ngrams(text: Column, n: int) -> Column:
     """Word n-grams as array<string>; [] when the document has < n tokens
     (unlike :func:`shingles`, which falls back to the whole document —
-    repetition stats must not count a short doc as one big gram)."""
-    toks = tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), cnt - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(cnt >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    repetition stats must not count a short doc as one big gram).  Token
+    array let-bound (``bind_once``): one tokenization per document, not one
+    per gram index."""
+
+    def build(toks: Column) -> Column:
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(1), cnt - (n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        return F.when(cnt >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(tokens(text), build)
 
 
 def dup_ngram_fraction(grams: Column) -> Column:
@@ -221,14 +259,21 @@ def dup_ngram_fraction(grams: Column) -> Column:
 def top_ngram_fraction(grams: Column) -> Column:
     """Share of n-gram occurrences taken by the single most frequent
     n-gram (the mode) — high values flag boilerplate/spam.  0.0 when the
-    document has no n-grams."""
-    total = F.size(grams)
-    mode_count = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    document has no n-grams.  The gram array is let-bound (``bind_once``)
+    before the mode count: the old form re-evaluated the whole ``grams``
+    tree (tokenize + gram build) once per DISTINCT gram inside the filter
+    lambda — O(grams²) tokenizations per document."""
+
+    def body(g: Column) -> Column:
+        total = F.size(g)
+        mode_count = F.array_max(
+            F.transform(
+                F.array_distinct(g),
+                lambda d: F.size(F.filter(g, lambda x: x == d)),
+            )
         )
-    )
-    return F.when(total > 0, mode_count.cast("double") / total).otherwise(
-        F.lit(0.0)
-    )
+        return F.when(total > 0, mode_count.cast("double") / total).otherwise(
+            F.lit(0.0)
+        )
+
+    return bind_once(grams, body)

@@ -823,19 +823,29 @@ def duplicate_spans(
     if strategy == "pandas":
         exploded = _windowed_hashes_pandas(df, text_col, id_col, window)
     elif strategy == "expr":
-        toks = tokens(F.col(text_col))
-        n = F.size(toks)
-        wins = F.transform(
-            F.sequence(F.lit(1), n - (window - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
-            ),
-        )
+        from r_e_hive__spark.functions.text import bind_once
+
+        # let-bind the token array: slice(tokens(text), …) inside the
+        # transform lambda re-tokenized the document per window position
+        # (the interpreted-HOF re-evaluation hazard — see bind_once)
+        def _wins(toks):
+            return F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i, window))
+                    ).alias("h"),
+                ),
+            )
+
         exploded = (
             ensure_parallelism(df)
-            .where(n >= window)
-            .select(F.col(id_col), F.explode(wins).alias("w"))
+            .where(F.size(tokens(F.col(text_col))) >= window)
+            .select(
+                F.col(id_col),
+                F.explode(bind_once(tokens(F.col(text_col)), _wins)).alias("w"),
+            )
             .select(id_col, F.col("w.pos").alias("_pos"), F.col("w.h").alias("_h"))
         )
     else:

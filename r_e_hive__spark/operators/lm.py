@@ -65,21 +65,29 @@ def _bigram_pairs(text: Column) -> Column:
     (BOS if i == 1 else tok[i-1], tok[i]).  A T-token document yields
     exactly T pairs; empty/NULL text yields an empty array (the caller's
     explode then drops the row — an unscorable document)."""
-    toks = tokenize(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n)
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.when(i == 1, F.lit(BOS))
-            .otherwise(F.element_at(toks, (i - 1).cast("int")))
-            .alias("w1"),
-            F.element_at(toks, i.cast("int")).alias("w2"),
-        ),
-    )
-    return F.when(n > 0, pairs).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
+    from r_e_hive__spark.functions.text import bind_once
+
+    def build(toks: Column) -> Column:
+        # toks is a bound lambda variable (bind_once): the old form's
+        # element_at(tokenize(text), …) re-tokenized the document TWICE
+        # PER TOKEN inside the transform lambda (interpreted-HOF subtree
+        # re-evaluation — see bind_once) — O(tokens²) regex work per doc
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), n)
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.when(i == 1, F.lit(BOS))
+                .otherwise(F.element_at(toks, (i - 1).cast("int")))
+                .alias("w1"),
+                F.element_at(toks, i.cast("int")).alias("w2"),
+            ),
+        )
+        return F.when(n > 0, pairs).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    return bind_once(tokenize(text), build)
 
 
 def _exploded_pairs(df: DataFrame, text_col: str, *keep) -> DataFrame:

@@ -109,12 +109,17 @@ def filter_blocklist(
         return df.join(
             F.broadcast(bl), host == bl["_blocked"], "left_anti"
         )
-    # explode the host into its dot-suffixes: a.b.co -> [a.b.co, b.co, co]
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    suffixes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    # explode the host into its dot-suffixes: a.b.co -> [a.b.co, b.co, co];
+    # the split-host array is let-bound so the URL parses once per row,
+    # not once per suffix (interpreted-HOF re-evaluation — see bind_once)
+    from r_e_hive__spark.functions.text import bind_once
+
+    suffixes = bind_once(
+        F.split(host, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+        ),
     )
     probe = df.select(
         F.col(url_col).alias("_u"), F.explode(suffixes).alias("_h")

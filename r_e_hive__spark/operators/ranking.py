@@ -198,14 +198,25 @@ def bm25_search(
         # occurrences, doc_len is the same full-array size riding the
         # groupBy key, and docs with no matching term vanish in the
         # explode exactly as the postings filter dropped them.
-        toks = tokenize(F.col(text_col))
+        from r_e_hive__spark.functions.text import bind_once
+
+        # one tokenization per document: doc_len and the matched-token
+        # slice ride one let-bound struct (bind_once) instead of two
+        # independent evaluations of tokenize(text) in the projection
+        bound = bind_once(
+            tokenize(F.col(text_col)),
+            lambda t: F.struct(
+                F.size(t).alias("doc_len"),
+                F.filter(t, lambda tok: tok.isin(*terms)).alias("m"),
+            ),
+        )
         hits = (
-            df.select(
-                F.col(id_col),
-                F.size(toks).alias("doc_len"),
-                F.filter(toks, lambda t: t.isin(*terms)).alias("_m"),
+            df.select(F.col(id_col), bound.alias("_b"))
+            .select(
+                id_col,
+                F.col("_b.doc_len").alias("doc_len"),
+                F.explode("_b.m").alias("term"),
             )
-            .select(id_col, "doc_len", F.explode("_m").alias("term"))
             .groupBy(id_col, "doc_len", "term")
             .agg(F.count("*").alias("tf"))
             .select(id_col, "term", "tf", "doc_len")
@@ -215,7 +226,7 @@ def bm25_search(
             # docs with >=1 token (empty/NULL docs are not retrievable) —
             # computed map-only, no postings shuffle
             stats = (
-                df.select(F.size(toks).alias("doc_len"))
+                df.select(F.size(tokenize(F.col(text_col))).alias("doc_len"))
                 .where(F.col("doc_len") >= 1)
                 .agg(
                     F.count("*").alias("n_docs"),

@@ -304,3 +304,28 @@ def test_minhash_simhash_pairs_no_pair_level_exchange(spark):
         p = plan(df, "simple")
         assert "hashpartitioning(id_a" not in p, p
         assert "hashpartitioning(id_b" not in p, p
+
+
+def test_hot_array_lambdas_tokenize_once(spark):
+    """Round-10 bind_once pin: Spark's higher-order array functions are
+    interpreted and re-eval any captured expression subtree once per
+    lambda invocation, so a tokenizer captured inside a transform/filter
+    lambda re-splits the document per array element (the x16 sf5 wedge:
+    449 s -> 3.4 s at sf0.1 after let-binding).  Guard the fix
+    structurally: each hot construct's expression tree must contain its
+    expensive leaf (regexp split / url parse) exactly once."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.functions import text as TX
+    from r_e_hive__spark.operators.lm import _bigram_pairs
+
+    def n_splits(col):
+        return str(col._jc).count("split(")
+
+    assert n_splits(TX.shingles(F.col("t"), 3)) == 1
+    assert n_splits(TX.word_ngrams(F.col("t"), 2)) == 1
+    assert n_splits(_bigram_pairs(F.col("t"))) == 1
+    # top_ngram_fraction binds its gram argument: the grams tree (here a
+    # full word_ngrams build, 1 split) must appear ONCE, not once per
+    # reference inside the mode-count lambda
+    assert n_splits(TX.top_ngram_fraction(TX.word_ngrams(F.col("t"), 2))) == 1

@@ -64,7 +64,16 @@ def count_in_set(text: Column, words: tuple[str, ...]) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    return count_in_set(text, STOPWORDS) / n_tokens(text)
+    """Stopword tokens / total tokens.  Token array let-bound
+    (``bind_once``): the old ``count_in_set(text)/n_tokens(text)`` form
+    tokenized the document twice (round-11 HOF-lint find)."""
+    arr = F.array(*[F.lit(w) for w in STOPWORDS])
+
+    def body(toks: Column) -> Column:
+        matched = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        return matched / F.size(toks)
+
+    return bind_once(tokens(text), body)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -94,19 +103,37 @@ def quality_score(text: Column) -> Column:
 def lang_guess(text: Column) -> Column:
     """Stopword-marker language ID: argmax over per-language marker counts,
     'und' (undetermined) when no marker hits.  Deterministic tie-break by
-    language-code order."""
-    counts = {lang: count_in_set(text, ws) for lang, ws in LANG_MARKERS.items()}
-    best = None
-    best_count = None
-    for lang in sorted(LANG_MARKERS):  # deterministic tie-break
-        c = counts[lang]
-        if best is None:
-            best, best_count = F.lit(lang), c
-        else:
-            cond = c > best_count
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_count = F.when(cond, c).otherwise(best_count)
-    return F.when(best_count > 0, best).otherwise(F.lit("und"))
+    language-code order.
+
+    Round-11 HOF-lint find: the old CASE-WHEN argmax chain referenced each
+    language's ``count_in_set(text, …)`` subtree ~2× per chain level, and
+    every count re-tokenized the document — 40 interpreted regex splits
+    per row (ArrayFilter keeps the whole projection out of codegen, so no
+    subexpression elimination saves it).  Now the token array is let-bound
+    once, the per-language counts land in ONE bound array, and the argmax
+    is ``array_position(counts, array_max(counts))`` — first index of the
+    max, which is exactly the old chain's strict-``>`` earliest-wins
+    tie-break.  1 tokenization per row, values identical (oracle + parity
+    tests unchanged)."""
+    langs = sorted(LANG_MARKERS)
+    markers = {
+        lang: F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]) for lang in langs
+    }
+    names = F.array(*[F.lit(lang) for lang in langs])
+
+    def pick(counts: Column) -> Column:
+        best = F.array_max(counts)
+        idx = F.array_position(counts, best).cast("int")
+        return F.when(best > 0, F.element_at(names, idx)).otherwise(F.lit("und"))
+
+    def body(toks: Column) -> Column:
+        def count_for(arr: Column) -> Column:
+            return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+        counts = F.array(*[count_for(markers[lang]) for lang in langs])
+        return bind_once(counts, pick)
+
+    return bind_once(tokens(text), body)
 
 
 def normalize(text: Column) -> Column:
@@ -250,10 +277,19 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 def dup_ngram_fraction(grams: Column) -> Column:
     """Fraction of n-gram occurrences that are repeats of an earlier one:
-    1 − distinct/total.  0.0 for documents with no n-grams."""
-    total = F.size(grams)
-    frac = 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
-    return F.when(total > 0, frac).otherwise(F.lit(0.0))
+    1 − distinct/total.  0.0 for documents with no n-grams.  The gram
+    array is let-bound (``bind_once``): the unbound form referenced
+    ``grams`` three times (size, array_distinct, guard), re-evaluating the
+    full gram-build tree per reference — linear, not the quadratic hazard
+    ``top_ngram_fraction`` had, but 3× the necessary work (round-10
+    ADVICE)."""
+
+    def body(g: Column) -> Column:
+        total = F.size(g)
+        frac = 1.0 - F.size(F.array_distinct(g)).cast("double") / total
+        return F.when(total > 0, frac).otherwise(F.lit(0.0))
+
+    return bind_once(grams, body)
 
 
 def top_ngram_fraction(grams: Column) -> Column:

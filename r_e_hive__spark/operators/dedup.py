@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.functions.text import shingles, tokens
@@ -356,7 +356,7 @@ def minhash_signatures(
     )
 
 
-def _band_hash_expr(sig_col, b: int, r: int):
+def _band_hash_expr(sig_col, b: int, r: int) -> Column:
     """Band b's LSH hash over a MinHash signature column: xxhash64 of the
     comma-joined signature rows [b*r, (b+1)*r) — the ONE construction
     band_signatures and the first-matching-band filters share (they must
@@ -366,7 +366,7 @@ def _band_hash_expr(sig_col, b: int, r: int):
     )
 
 
-def _first_matching_band(sig_a, sig_b, bands: int, r: int):
+def _first_matching_band(sig_a, sig_b, bands: int, r: int) -> Column:
     """Keep a banded candidate row only if NO earlier band also collided —
     each colliding pair then survives in exactly one band's join output
     and the pair generators need no pair-level dedup exchange at all (the
@@ -429,7 +429,7 @@ def band_signatures(
     ).withColumn("num_bands", F.lit(bands))
 
 
-def _sig_match_fraction(sig_a, sig_b, num_hashes: int):
+def _sig_match_fraction(sig_a, sig_b, num_hashes: int) -> Column:
     """Fraction of equal MinHash rows between two signature columns —
     the unbiased Jaccard estimator (MMDS ch.3)."""
     return (
@@ -539,7 +539,7 @@ _SIMHASH_CHUNKS = 4
 _SIMHASH_CHUNK_BITS = 64 // _SIMHASH_CHUNKS
 
 
-def _simhash_chunk_expr(fp_col, i: int):
+def _simhash_chunk_expr(fp_col, i: int) -> Column:
     """Chunk i of a 64-bit simhash — the ONE construction the posexplode
     banding array and the earlier-chunk filter share (r9 ADVICE: they must
     agree bit for bit or first-chunk emission drops/duplicates pairs;

@@ -11,7 +11,7 @@ Same outputs, pinned equal to the scalar form in tests/test_sampling.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from r_e_hive__spark.functions.text import word_ngrams
 
@@ -66,7 +66,7 @@ def repetition_stats_grouped(
     )
 
 
-def host_of(url):
+def host_of(url) -> Column:
     """Registrable host of a URL column, lowercased — Spark's built-in
     ``try_parse_url`` (JVM, codegen'd; NULL for malformed URLs rather
     than an ANSI INVALID_URL error), no UDF.  A trailing root-label dot

@@ -38,7 +38,7 @@ from __future__ import annotations
 import re
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from r_e_hive__spark.operators import plan_fits_broadcast
@@ -47,7 +47,7 @@ from r_e_hive__spark.operators import plan_fits_broadcast
 TOKEN_SPLIT = r"[ \t\n\x0B\f\r]+"
 
 
-def tokenize(text):
+def tokenize(text) -> Column:
     """Lowercased ASCII-whitespace tokens as array<string>, empties removed
     (Spark's split keeps leading/trailing empty tokens)."""
     return F.filter(
@@ -261,7 +261,7 @@ def bm25_search(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
 
 
-def term_bucket(term, n_buckets: int):
+def term_bucket(term, n_buckets: int) -> Column:
     """Deterministic, engine-portable term → bucket column: the first 8
     hex chars of md5 as an integer, mod ``n_buckets``.  md5 (not
     xxhash64) so the SAME bucket is computable driver-side in pure Python

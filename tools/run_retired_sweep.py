@@ -14,6 +14,7 @@ Usage:
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
@@ -42,26 +43,37 @@ def main():
     load_all()
     cons = {}
     ok = fail = 0
-    for q in RETIRED.values():
-        if q.name in SKIP or (ONLY and q.name not in ONLY):
-            print(f"{q.name}: SKIP", flush=True)
-            continue
-        sf = q.golden_sf or SF_DIR
-        if sf not in cons:
-            cons[sf] = duckdb_connection(sf)
-        t0 = time.time()
-        try:
-            res = run_diff(spark, cons[sf], q, sf)
-        except Exception as e:  # noqa: BLE001
-            print(f"{q.name}: ERROR {type(e).__name__}: {e}", flush=True)
-            fail += 1
-            continue
-        dt = time.time() - t0
-        tag = "OK" if res.ok else f"FAIL {res.detail}"
-        pin = " [golden_sf]" if q.golden_sf else ""
-        print(f"{q.name}: {tag} ({res.n_spark} rows, {dt:.1f}s){pin}", flush=True)
-        ok += res.ok
-        fail += not res.ok
+    try:
+        for q in RETIRED.values():
+            if q.name in SKIP or (ONLY and q.name not in ONLY):
+                print(f"{q.name}: SKIP", flush=True)
+                continue
+            sf = q.golden_sf or SF_DIR
+            if sf not in cons:
+                cons[sf] = duckdb_connection(sf)
+            t0 = time.time()
+            try:
+                res = run_diff(spark, cons[sf], q, sf)
+            except Exception as e:  # noqa: BLE001
+                print(f"{q.name}: ERROR {type(e).__name__}: {e}", flush=True)
+                traceback.print_exc()
+                fail += 1
+                continue
+            dt = time.time() - t0
+            tag = "OK" if res.ok else f"FAIL {res.detail}"
+            pin = " [golden_sf]" if q.golden_sf else ""
+            print(
+                f"{q.name}: {tag} ({res.n_spark} rows, {dt:.1f}s){pin}",
+                flush=True,
+            )
+            ok += res.ok
+            fail += not res.ok
+    finally:
+        for con in cons.values():
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
     print(f"TOTAL {ok} ok / {fail} fail", flush=True)
     return 1 if fail else 0
 

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from r_e_hive__spark.functions.text import shingles, tokens
+from r_e_hive__spark.functions.text import bind_once, shingles, tokens
 from r_e_hive__spark.operators import (
     SHINGLE_PANDAS_MIN_BYTES,
     ensure_parallelism,
@@ -366,19 +366,34 @@ def _band_hash_expr(sig_col, b: int, r: int) -> Column:
     )
 
 
-def _first_matching_band(sig_a, sig_b, bands: int, r: int) -> Column:
+def _first_matching_band(
+    sig_a, sig_b, bands: int, r: int, bh_a=None, bh_b=None
+) -> Column:
     """Keep a banded candidate row only if NO earlier band also collided —
     each colliding pair then survives in exactly one band's join output
     and the pair generators need no pair-level dedup exchange at all (the
     lsh_neighbor_pairs first-matching-band discipline, round 9: the
     legacy dropDuplicates shuffled every candidate row carrying BOTH
-    signature arrays).  Earlier-band hashes recompute from the carried
-    signatures; the (i < band_id) guard short-circuits, so rows emitted
-    from band 0 — the common case — hash nothing."""
+    signature arrays).
+
+    ``bh_a``/``bh_b`` are the sides' ``earlier_band_hashes`` columns
+    (band_signatures carries band hashes [0, band_id) precomputed — the
+    x4 carry-the-bucket-word discipline, round-11): the earlier-band test
+    is then pure array indexing.  A side passed as ``None`` (an index
+    persisted before the column existed) recomputes its hashes from the
+    carried signature with ``_band_hash_expr`` — the pre-round-11 shape,
+    measured ~15%% of the sf1 probe.  Either way the (i < band_id) guard
+    keeps rows emitted from band 0 — the common case — comparing nothing:
+    i >= band_id makes the conjunct FALSE (an out-of-range getItem is
+    NULL, and false AND null = false)."""
+
+    def hash_at(sig, bh, i: int):
+        return _band_hash_expr(sig, i, r) if bh is None else bh[i]
+
     cond = F.lit(True)
     for i in range(bands - 1):
         earlier = (F.lit(i) < F.col("band_id")) & (
-            _band_hash_expr(sig_a, i, r) == _band_hash_expr(sig_b, i, r)
+            hash_at(sig_a, bh_a, i) == hash_at(sig_b, bh_b, i)
         )
         cond = cond & ~earlier
     return cond
@@ -389,11 +404,21 @@ def band_signatures(
 ) -> DataFrame:
     """Explode a MinHash signature frame (``id_col``, ``signature``) into
     its banded-LSH form ``(id_col, signature, band_id, band_hash,
-    num_bands)`` — band b's hash is ``xxhash64`` over signature rows
-    [b*r, (b+1)*r).  ``num_bands`` is a constant metadata column (free
-    under parquet RLE) so a consumer of a PERSISTED index can verify its
-    banding parameters in-plan instead of silently joining mismatched
-    band spaces — see ``incremental_neardup``.
+    earlier_band_hashes, num_bands)`` — band b's hash is ``xxhash64`` over
+    signature rows [b*r, (b+1)*r).  ``num_bands`` is a constant metadata
+    column (free under parquet RLE) so a consumer of a PERSISTED index can
+    verify its banding parameters in-plan instead of silently joining
+    mismatched band spaces — see ``incremental_neardup``.
+
+    ``earlier_band_hashes`` (round-11, the x4 carry-the-bucket-word
+    discipline) is the slice of band hashes [0, band_id) — exactly what
+    the first-matching-band predicate tests — precomputed HERE, where the
+    band array exists anyway, so the pair generators' post-join filter is
+    pure array indexing instead of up to bands−1 xxhash64-over-concat
+    recomputes per candidate (measured ~15% of the sf1 x22 probe).  Band
+    0's rows — the bulk of emissions — carry an EMPTY array: the average
+    carry is (bands−1)/2 longs/row, cheaper than one more signature
+    element.
 
     This is the layout a persisted signature INDEX should be stored in
     (partitioned/bucketed by ``band_hash``) so that incremental batches
@@ -424,9 +449,38 @@ def band_signatures(
         ).isNull(),
         band_arr,
     )
-    return sig.select(
-        id_col, "signature", F.posexplode(band_arr).alias("band_id", "band_hash")
-    ).withColumn("num_bands", F.lit(bands))
+    # the band array feeds BOTH the explode and the earlier-hashes slice;
+    # let-bind it (functions.text.bind_once) so it is built once per doc —
+    # as two projected references Catalyst's CollapseProject inlines it
+    # into both consumers and every doc hashes its bands twice (measured
+    # 32 xxhash64(concat_ws in the optimized plan vs 16 let-bound)
+    def banded_structs(bs: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                bs[i].alias("band_hash"),
+                F.slice(bs, F.lit(1), i).alias("earlier_band_hashes"),
+            ),
+        )
+
+    return (
+        sig.select(
+            id_col,
+            "signature",
+            F.posexplode(bind_once(band_arr, banded_structs)).alias(
+                "band_id", "_band"
+            ),
+        )
+        .select(
+            id_col,
+            "signature",
+            "band_id",
+            F.col("_band.band_hash").alias("band_hash"),
+            F.col("_band.earlier_band_hashes").alias("earlier_band_hashes"),
+        )
+        .withColumn("num_bands", F.lit(bands))
+    )
 
 
 def _sig_match_fraction(sig_a, sig_b, num_hashes: int) -> Column:
@@ -457,17 +511,20 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     banded = band_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band_id", "band_hash"
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+        F.col("earlier_band_hashes").alias("_bh_a"), "band_id", "band_hash",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band_id", "band_hash"
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+        F.col("earlier_band_hashes").alias("_bh_b"), "band_id", "band_hash",
     )
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             _first_matching_band(
-                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands,
+                bh_a=F.col("_bh_a"), bh_b=F.col("_bh_b"),
             )
         )
         .select("id_a", "id_b", "sig_a", "sig_b")
@@ -1009,18 +1066,19 @@ def incremental_neardup(
     # minhash_lsh_pairs but from the already-computed signatures)
     a = banded_new.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
-        "band_id", "band_hash",
+        F.col("earlier_band_hashes").alias("_bh_a"), "band_id", "band_hash",
     )
     b = banded_new.select(
         F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
-        "band_id", "band_hash",
+        F.col("earlier_band_hashes").alias("_bh_b"), "band_id", "band_hash",
     )
     nn = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             _first_matching_band(
-                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+                F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands,
+                bh_a=F.col("_bh_a"), bh_b=F.col("_bh_b"),
             )
         )
         .where(
@@ -1088,7 +1146,7 @@ def incremental_neardup(
             banded_idx = band_signatures(index_sig, id_col, num_hashes, bands)
         probe = banded_new.select(
             F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
-            "band_id", "band_hash",
+            F.col("earlier_band_hashes").alias("_bh_b"), "band_id", "band_hash",
         )
         if broadcast_new is None:
             # gate on what is actually shipped: the banded signature frame
@@ -1097,16 +1155,26 @@ def incremental_neardup(
             broadcast_new = _fits_broadcast(banded_new)
         if broadcast_new:
             probe = F.broadcast(probe)
+        # the increment's side always carries earlier_band_hashes (banded
+        # here); the INDEX side only if its layout does — a store persisted
+        # before the column existed falls back to the per-candidate hash
+        # recompute for its side only (see _first_matching_band)
+        idx_has_bh = "earlier_band_hashes" in banded_idx.columns
+        idx_cols = [
+            F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+            "band_id", "band_hash",
+        ]
+        if idx_has_bh:
+            idx_cols.insert(2, F.col("earlier_band_hashes").alias("_bh_a"))
         # big (index) side on the left so it streams; small probe hashed
         ni = (
-            banded_idx.select(
-                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
-                "band_id", "band_hash",
-            )
+            banded_idx.select(*idx_cols)
             .join(probe, ["band_id", "band_hash"])
             .where(
                 _first_matching_band(
-                    F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands
+                    F.col("sig_a"), F.col("sig_b"), bands, num_hashes // bands,
+                    bh_a=F.col("_bh_a") if idx_has_bh else None,
+                    bh_b=F.col("_bh_b"),
                 )
             )
             .where(
@@ -1159,8 +1227,13 @@ def incremental_neardup(
         # persisted before band_signatures carried num_bands lack that
         # column — align the delta so the union stays well-formed.
         delta = band_signatures(surv_sig, id_col, num_hashes, bands)
+        # align the delta with the fed-back index's layout: indexes
+        # persisted before num_bands / earlier_band_hashes existed lack
+        # those columns, and unionByName would otherwise fail
         if "num_bands" not in index_sig.columns:
             delta = delta.drop("num_bands")
+        if "earlier_band_hashes" not in index_sig.columns:
+            delta = delta.drop("earlier_band_hashes")
     else:
         delta = surv_sig
     updated_index = (
@@ -1207,8 +1280,11 @@ def save_band_index(
     minhash_signatures stamps (preserved through parquet) — so a
     caller-supplied parameter that disagrees with how the signatures
     were actually built fails here, not as a silent-admit at probe time.
-    Size: ~8·num_hashes bytes/doc/band-row — the ONLY thing history
-    contributes to every future increment."""
+    Size: ~8·num_hashes bytes/doc/band-row (+ ~8·(bands−1)/2 bytes/row
+    for ``earlier_band_hashes`` when built through ``band_signatures``,
+    round-11 — which buys the probe a hash-free first-matching-band
+    filter) — the ONLY thing history contributes to every future
+    increment."""
     # meta is trusted at probe time, so a wrong parameter here would
     # persist a lie the probe then acts on (wrong-hash/k signatures →
     # zero est matches → every history near-dup admitted).  Validate

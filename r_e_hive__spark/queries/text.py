@@ -293,16 +293,24 @@ def x23_bm25_topk(spark, sf_dir):
     return bm25_declared_topk(documents)
 
 
-# Search-only DuckDB pairing for the x23 fast twin (round-8; r7 ADVICE):
-# the Spark twin searches a prebuilt on-disk index, so its DuckDB pair
-# must search a prebuilt index too — X23_FAST_DUCKDB_PREP builds the
-# postings/stats tables ONCE (untimed, the warm phase), and
-# X23_FAST_DUCKDB_SEARCH is the timed query-only tail.  Output is the
-# same task as the declared oracle (same formula/rounding/top-k), so the
-# pairing stays value-aligned while the timed work is now symmetric.
-X23_FAST_DUCKDB_PREP = [
-    """
-    CREATE TABLE IF NOT EXISTS bm25_postings AS
+# Search-only DuckDB pairing for the x23 fast twin (round-8; r7 ADVICE;
+# round-11, VERDICT r10 item 6): the Spark twin searches a prebuilt
+# ON-DISK term-bucket-partitioned parquet index, so its DuckDB pair must
+# search a persisted artifact too — an in-memory native table made the
+# DuckDB side a warm rescan (0.02 s at sf1) that single-handedly
+# distorted any geomean it entered.  x23_fast_duckdb_prep(dir) builds the
+# postings/stats ONCE (untimed, the warm phase) and COPYs them to parquet
+# on disk, term-SORTED so DuckDB's own pruning mechanism (row-group
+# zonemaps on `term`) plays the role Spark's md5 bucket partitioning
+# plays; x23_fast_duckdb_search(dir) is the timed search-only tail over
+# read_parquet of that artifact.  Output is the same task as the declared
+# oracle (same formula/rounding/top-k), so the pairing stays
+# value-aligned while the timed work is symmetric: both engines read a
+# persisted index from disk and prune to the query's terms.
+def x23_fast_duckdb_prep(index_dir: str) -> list[str]:
+    return [
+        """
+    CREATE OR REPLACE TABLE bm25_postings AS
     WITH toks AS (
       SELECT doc_id, t.term
       FROM documents,
@@ -316,20 +324,33 @@ X23_FAST_DUCKDB_PREP = [
     FROM toks JOIN dl USING (doc_id)
     GROUP BY toks.doc_id, term
     """,
-    """
-    CREATE TABLE IF NOT EXISTS bm25_stats AS
+        """
+    CREATE OR REPLACE TABLE bm25_stats AS
     SELECT count(*)::DOUBLE AS n_docs, avg(doc_len) AS avgdl
     FROM (SELECT DISTINCT doc_id, doc_len FROM bm25_postings)
     """,
-]
+        f"""
+    COPY (SELECT * FROM bm25_postings ORDER BY term)
+    TO '{index_dir}/postings.parquet' (FORMAT PARQUET)
+    """,
+        f"""
+    COPY bm25_stats TO '{index_dir}/stats.parquet' (FORMAT PARQUET)
+    """,
+        # drop the in-memory builds: the timed search must read the disk
+        # artifact, not a warm native table
+        "DROP TABLE bm25_postings",
+        "DROP TABLE bm25_stats",
+    ]
 
 
-def x23_fast_duckdb_search() -> str:
+def x23_fast_duckdb_search(index_dir: str) -> str:
+    postings = f"read_parquet('{index_dir}/postings.parquet')"
+    stats = f"read_parquet('{index_dir}/stats.parquet')"
     return f"""
     WITH q(term) AS (VALUES {_bm25_terms_values()}),
     dfreq AS (
         SELECT term, count(*)::DOUBLE AS df
-        FROM bm25_postings WHERE term IN (SELECT term FROM q)
+        FROM {postings} WHERE term IN (SELECT term FROM q)
         GROUP BY term
     ),
     scored AS (
@@ -340,9 +361,10 @@ def x23_fast_duckdb_search() -> str:
                  / (p.tf + {_BM25_K1}
                     * (1.0 - {_BM25_B} + {_BM25_B} * p.doc_len / s.avgdl))
                ), 6) AS score
-        FROM bm25_postings p
+        FROM {postings} p
         JOIN dfreq USING (term)
-        CROSS JOIN bm25_stats s
+        CROSS JOIN {stats} s
+        WHERE p.term IN (SELECT term FROM q)
         GROUP BY p.doc_id
     )
     SELECT doc_id, score FROM scored

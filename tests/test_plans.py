@@ -306,6 +306,38 @@ def test_minhash_simhash_pairs_no_pair_level_exchange(spark):
         assert "hashpartitioning(id_b" not in p, p
 
 
+def test_minhash_first_band_filter_hash_free(spark):
+    """Round-11 (VERDICT r10 item 3): band_signatures precomputes each
+    row's EARLIER band hashes (the x4 carry-the-bucket-word discipline),
+    so the first-matching-band predicate is pure array indexing — the
+    legacy shape recomputed up to bands-1 xxhash64-over-concat hashes per
+    CANDIDATE (measured ~15% of the sf1 x22 probe).  Pin it at both
+    levels: the predicate tree hashes nothing when the arrays are
+    supplied, and the pair plan builds each side's bands exactly once
+    (2*bands hash sites total — a third site would mean CollapseProject
+    re-inlined the band array into a second consumer, the double-build
+    this test's bind_once construction prevents)."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.catalog import load_table
+    from r_e_hive__spark.operators import dedup as D
+
+    pred = D._first_matching_band(
+        F.col("sig_a"), F.col("sig_b"), 8, 4,
+        bh_a=F.col("bh_a"), bh_b=F.col("bh_b"),
+    )
+    assert "xxhash64" not in repr(pred)
+    # legacy fallback (an index persisted without the column) still hashes
+    legacy = D._first_matching_band(F.col("sig_a"), F.col("sig_b"), 8, 4)
+    assert "xxhash64" in repr(legacy)
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    df = D.minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=None)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    bands = 8  # minhash_lsh_pairs default
+    assert p.count("xxhash64(concat_ws") == 2 * bands, p
+
+
 def test_hot_array_lambdas_tokenize_once(spark):
     """Round-10 bind_once pin: Spark's higher-order array functions are
     interpreted and re-eval any captured expression subtree once per

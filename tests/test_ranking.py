@@ -414,3 +414,38 @@ def test_load_postings_rejects_non_index_layout(spark, tmp_path):
     ).write.parquet(f"{bad}/stats")
     with pytest.raises(Exception, match="postings layout|PATH_NOT_FOUND"):
         R.load_postings(spark, bad)
+
+
+def test_x23_fast_duckdb_disk_pairing_value_aligned(tmp_path):
+    """Round-11 (VERDICT r10 item 6): the x23 fast twin's DuckDB pairing
+    is symmetric — prep COPYs the postings/stats to an on-disk parquet
+    artifact (term-sorted, so DuckDB's zonemap pruning mirrors Spark's
+    bucket-partition pruning) and the timed search reads ONLY that
+    artifact.  The search tail must stay value-identical to the declared
+    x23 oracle, or the pairing silently times a different task."""
+    from r_e_hive__spark.oracle.diff import duckdb_connection
+    from r_e_hive__spark.queries import load_all
+    from r_e_hive__spark.queries.text import (
+        x23_fast_duckdb_prep,
+        x23_fast_duckdb_search,
+    )
+
+    con = duckdb_connection("/root/testdata/sf0.01")
+    idx_dir = str(tmp_path / "bm25_duck")
+    (tmp_path / "bm25_duck").mkdir()
+    for stmt in x23_fast_duckdb_prep(idx_dir):
+        con.execute(stmt)
+    # the in-memory build tables are dropped by prep: the timed tail can
+    # only be reading the disk artifact
+    leftover = {
+        n
+        for (n,) in con.execute(
+            "SELECT table_name FROM duckdb_tables()"
+        ).fetchall()
+        if n.startswith("bm25_")
+    }
+    assert not leftover, leftover
+    got = con.execute(x23_fast_duckdb_search(idx_dir)).fetchall()
+    want = con.execute(load_all()["x23_bm25_topk"].oracle).fetchall()
+    assert got == want
+    con.close()

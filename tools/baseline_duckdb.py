@@ -114,18 +114,25 @@ def main() -> None:
         return cons.get(name, con)
 
     # search-only oracles for twins whose Spark side searches a prebuilt
-    # index: the prep SQL runs ONCE per connection (the untimed build, in
-    # the warm phase) and the timed statement is the search tail
+    # index: the prep SQL runs ONCE per connection (the untimed build +
+    # COPY to an on-disk parquet artifact, in the warm phase) and the
+    # timed statement is the search tail over read_parquet of that
+    # artifact — both engines read a persisted index from disk (round-11,
+    # VERDICT r10 item 6: the in-memory native table made the DuckDB side
+    # a warm rescan, an asymmetric pair)
     search_only: dict[str, str] = {}
     if "x23_bm25_topk_fast" in llm_queries:
+        import tempfile
+
         from r_e_hive__spark.queries.text import (
-            X23_FAST_DUCKDB_PREP,
+            x23_fast_duckdb_prep,
             x23_fast_duckdb_search,
         )
 
-        for prep in X23_FAST_DUCKDB_PREP:
+        idx_dir = tempfile.mkdtemp(prefix="rehive_bm25_duck_")
+        for prep in x23_fast_duckdb_prep(idx_dir):
             con_for("x23_bm25_topk_fast").execute(prep)
-        search_only["x23_bm25_topk_fast"] = x23_fast_duckdb_search()
+        search_only["x23_bm25_topk_fast"] = x23_fast_duckdb_search(idx_dir)
 
     def sql_for(name: str, q) -> str:
         return search_only.get(name, q.oracle)

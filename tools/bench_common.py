@@ -36,8 +36,11 @@ LLM_FAST = {
 }
 
 # Fast twins whose DuckDB pairing is SYMMETRIC: both engines search a
-# prebuilt index, so the timed work matches (x23 since round 8 — the
-# DuckDB side runs a search-only tail over untimed CREATE TABLE prep).
+# prebuilt index, so the timed work matches (x23 since round 8; round 11
+# closes the residual asymmetry — the DuckDB prep now COPYs its postings
+# to an ON-DISK parquet artifact and the timed tail reads only that, so
+# neither side gets a warm in-memory rescan; value alignment pinned in
+# tests/test_ranking.py::test_x23_fast_duckdb_disk_pairing_value_aligned).
 # The remaining twins (x17/x25) run the identical end-to-end task on both
 # sides — arithmetic mode is the only delta — but the Spark side is the
 # production float path while the oracle is the exact-decimal replay, so

@@ -19,8 +19,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from r_e_hive__spark.functions import fixedpoint as fp
+
 DEC = "decimal(12,6)"
 ACC = "decimal(38,12)"
+
+# Micro-units of the decimal(12,6) quantization: every element value is an
+# exact integer multiple of 1e-6 after _el(), so it carries losslessly as
+# ``value * 10^6`` in a BIGINT — the fixedpoint.py money discipline applied
+# to vectors (round 11; see dot_units for the equivalence argument).
+UNIT_SCALE = 10**6
 
 
 def _el(c: Column) -> Column:
@@ -53,6 +61,81 @@ def cosine_exact(a: Column, b: Column) -> Column:
     NaN — NULL sorts last under the desc top-k orderings downstream."""
     den = F.sqrt(norm2_exact(a).cast("double") * norm2_exact(b).cast("double"))
     return F.when(den > 0, dot_exact(a, b).cast("double") / den)
+
+
+# ---------------------------------------------------------------------------
+# Integer-units formulation of the exact path (round-11 optimization).
+#
+# dot_exact() above is the SPEC: per pair it multiplies decimal(12,6)
+# elements (BigDecimal allocation each) and folds a decimal(38,12)
+# accumulator through an interpreted higher-order aggregate — measured as
+# the dominant cost of every exact-decimal pair stage (x17's in-cluster
+# join, x3's scan, x4's verify).  The units formulation computes the SAME
+# rational number in plain BIGINT arithmetic and converts ONCE at the end:
+#
+#   units(x)   = _el(x) * 10^6            (exact: _el(x) is a 6-dp decimal)
+#   dot units  = Σ units(a_i)·units(b_i)  (exact integer, scale 10^12)
+#   result     = decimal(25,0)(Σ) × 0.000000000001::decimal(12,12)
+#              → decimal(38,12), the IDENTICAL type AND value dot_exact's
+#                accumulator holds, so every downstream cast("double") /
+#                comparison / ROUND is bit-for-bit unchanged.
+#
+# Equivalence: integer addition is associative and exact, so the long sum
+# equals the decimal sum's unscaled value by construction; NULL semantics
+# match (NULL element → NULL product → NULL sum, zip_with length padding →
+# NULL, empty array → 0).  Measured at sf0.1 (250k in-cluster pairs, dim
+# 64): 7.6 s → 2.5 s on the declared x17 query, outputs identical.
+#
+# Overflow bound (the loud-failure contract): |units| < 10^6·|x|, so a
+# dim-64 dot stays under the BIGINT ceiling while |x| ≤ ~379; unit-norm
+# embeddings (every corpus here) sit 2-6 orders below.  Overflow raises
+# under ANSI mode (session default) instead of corrupting — callers with
+# unbounded magnitudes should keep dot_exact.
+# ---------------------------------------------------------------------------
+
+
+def units_el(c: Column) -> Column:
+    """One element → exact micro-units (BIGINT) of its _el() quantization."""
+    return (_el(c) * UNIT_SCALE).cast("long")
+
+
+def units_arr(vec: Column) -> Column:
+    """array<float/double> → array<long> of exact micro-units (one decimal
+    cast per element per ROW — hoist this to a column so O(pairs) dots reuse
+    it; the transform is interpreted but linear)."""
+    return F.transform(vec, units_el)
+
+
+def units_lit(values) -> Column:
+    """Foldable literal unit-array for a Python float vector (frozen
+    centroids / planes).  Built as ONE parsed SQL expression — ~3 py4j
+    calls instead of ~200 per vector, which matters because declared
+    queries rebuild their plan every bench rep.  The value rides the same
+    cast chain as units_el (string → double parse is exact for repr()
+    round-trip strings), so literal and data-side quantization cannot
+    drift."""
+    els = ",".join(
+        f"CAST(CAST(CAST('{float(x)!r}' AS DOUBLE) AS {DEC}) * {UNIT_SCALE} AS BIGINT)"
+        for x in values
+    )
+    return F.expr(f"array({els})")
+
+
+def dot_units(ua: Column, ub: Column) -> Column:
+    """Exact decimal dot product from two unit arrays: BIGINT fold + ONE
+    terminal decimal conversion.  Returns decimal(38,12) — bit-identical to
+    ``dot_exact`` on the vectors the unit arrays came from."""
+    s = F.aggregate(
+        F.zip_with(ua, ub, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return fp.decimal_of_units(s, 12)
+
+
+def norm2_units(ua: Column) -> Column:
+    """Exact decimal sum of squares from a unit array (see dot_units)."""
+    return dot_units(ua, ua)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -100,21 +100,41 @@ def brute_force_topk(
     # 3 dot products, but ‖a‖² and ‖b‖² are per-ROW quantities — computing
     # them once per side instead of once per PAIR cuts the pairwise decimal
     # work 3× (bit-identical: the norm is cast to double before the multiply
-    # exactly as in cosine_exact)
-    _n2 = V.norm2_exact if exact_decimal else (lambda v: V.dot(v, v))
-    _dot = V.dot_exact if exact_decimal else V.dot
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.col(vec_col).alias("_qvec"),
-            _n2(F.col(vec_col)).cast("double").alias("_qn2"),
+    # exactly as in cosine_exact).  The exact path additionally hoists the
+    # decimal QUANTIZATION out of the pair loop (round 11): each side
+    # carries its micro-unit array (V.units_arr) so the O(pairs) dot is a
+    # plain BIGINT fold with one terminal decimal conversion — bit-identical
+    # to dot_exact (vector.py's equivalence note), ~3× on the sf0.1 x17/x3
+    # pair stages, and the shuffled/broadcast row stays fixed-width.
+    if exact_decimal:
+        _u = lambda v: V.units_arr(v)  # noqa: E731
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id),
+                _u(F.col(vec_col)).alias("_qvec"),
+                V.norm2_units(_u(F.col(vec_col))).cast("double").alias("_qn2"),
+            )
         )
-    )
-    c = ensure_parallelism(candidates).select(
-        F.col(cand_id),
-        F.col(vec_col).alias("_cvec"),
-        _n2(F.col(vec_col)).cast("double").alias("_cn2"),
-    )
+        c = ensure_parallelism(candidates).select(
+            F.col(cand_id),
+            _u(F.col(vec_col)).alias("_cvec"),
+            V.norm2_units(_u(F.col(vec_col))).cast("double").alias("_cn2"),
+        )
+        _dot = V.dot_units
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id),
+                F.col(vec_col).alias("_qvec"),
+                V.dot(F.col(vec_col), F.col(vec_col)).cast("double").alias("_qn2"),
+            )
+        )
+        c = ensure_parallelism(candidates).select(
+            F.col(cand_id),
+            F.col(vec_col).alias("_cvec"),
+            V.dot(F.col(vec_col), F.col(vec_col)).cast("double").alias("_cn2"),
+        )
+        _dot = V.dot
     # NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors, matching
     # cosine_exact's semantics; NULL-cosine rows are filtered before the
     # rank window below (unrankable — the unified omit contract)
@@ -174,21 +194,29 @@ def ivf_topk(
         )
     if strategy != "expr":
         raise ValueError(f"unknown strategy {strategy!r}")
-    # per-side norm hoist, same reasoning (and bit-identity) as brute_force_topk
-    _n2 = V.norm2_exact if exact_decimal else (lambda v: V.dot(v, v))
-    _dot = V.dot_exact if exact_decimal else V.dot
+    # per-side norm hoist, same reasoning (and bit-identity) as
+    # brute_force_topk; the exact path also carries micro-unit arrays so the
+    # probe-join dot is a BIGINT fold (round 11, see vector.dot_units)
+    if exact_decimal:
+        _side = lambda v: V.units_arr(v)  # noqa: E731
+        _n2 = lambda v: V.norm2_units(V.units_arr(v))  # noqa: E731
+        _dot = V.dot_units
+    else:
+        _side = lambda v: v  # noqa: E731
+        _n2 = lambda v: V.dot(v, v)  # noqa: E731
+        _dot = V.dot
     q = F.broadcast(
         queries.select(
             F.col(query_id),
             F.col(bucket_col),
-            F.col(vec_col).alias("_qvec"),
+            _side(F.col(vec_col)).alias("_qvec"),
             _n2(F.col(vec_col)).cast("double").alias("_qn2"),
         )
     )
     c = ensure_parallelism(candidates).select(
         F.col(cand_id),
         F.col(bucket_col),
-        F.col(vec_col).alias("_cvec"),
+        _side(F.col(vec_col)).alias("_cvec"),
         _n2(F.col(vec_col)).cast("double").alias("_cn2"),
     )
     den = F.sqrt(F.col("_qn2") * F.col("_cn2"))  # zero-norm guard, as above
@@ -333,10 +361,12 @@ def train_kmeans(
             # binary-value HALF_UP — the SQL double→decimal cast semantics
             return Decimal(x).quantize(q6, rounding=ROUND_HALF_UP)
 
+        # round 11: sum each dimension in exact micro-units (BIGINT inside
+        # whole-stage codegen) instead of a decimal(22,6) buffer — the same
+        # value by integer exactness; converted back below via
+        # Decimal(units)·10^-6, the identical rational the decimal sum held
         dims = [
-            F.sum(vec.getItem(i).cast("double").cast("decimal(12,6)")).alias(
-                f"_s{i}"
-            )
+            F.sum(V.units_el(vec.getItem(i))).alias(f"_s{i}")
             for i in range(dim)
         ]
     else:
@@ -360,10 +390,15 @@ def train_kmeans(
             if r["_b"] is None or r["_n"] == 0:
                 continue
             if exact_decimal:
-                # exact decimal sum -> nearest double -> double divide ->
-                # 6-dp quantize: every step order-free and engine-identical
+                # exact unit sum -> exact decimal -> nearest double ->
+                # double divide -> 6-dp quantize: every step order-free and
+                # engine-identical (float(Decimal(units)·10^-6) is the same
+                # correctly-rounded double the old decimal-sum float() gave)
                 mq = [
-                    _quant6(float(r[f"_s{i}"]) / r["_n"]) for i in range(dim)
+                    _quant6(
+                        float(Decimal(r[f"_s{i}"]).scaleb(-6)) / r["_n"]
+                    )
+                    for i in range(dim)
                 ]
                 # norm² on the exact 6-dp decimals under an explicit
                 # 38-digit context: the default 28-sig-digit context
@@ -395,6 +430,31 @@ def train_kmeans(
     return centroids, it
 
 
+def _centroid_scores_from_units(
+    vec: Column, units: Column, centroids: list[list[float]], cdim: int
+) -> Column:
+    """Exact-mode score array from a PRECOMPUTED micro-unit array (round
+    11): per centroid the dot is a BIGINT fold against a foldable literal
+    unit array — bit-identical to dot_exact(vec, lit-array) because both
+    sides ride the same quantization chain (vector.units_lit).  ``vec`` is
+    only consulted by the loud dimension guard, so callers that already
+    materialized ``units`` as a column pay one unit build per row for ALL
+    k scores."""
+    elems = []
+    for j, c in enumerate(centroids):
+        dot = V.dot_units(units, V.units_lit(c)).cast("double")
+        if j == 0:
+            dot = F.when(
+                F.assert_true(
+                    vec.isNull() | (F.size(vec) == cdim),
+                    F.lit(f"embedding dimension != centroid dimension {cdim}"),
+                ).isNull(),
+                dot,
+            )
+        elems.append(F.struct(dot.alias("score"), F.lit(j).alias("idx")))
+    return F.array(*elems)
+
+
 def _centroid_scores(
     vec: Column, centroids: list[list[float]], exact: bool = False
 ) -> Column:
@@ -403,23 +463,30 @@ def _centroid_scores(
     Centroids are unit vectors, so dot(v, ĉ_j) ranks identically to
     cosine(v, c_j) (the ‖v‖ factor is constant across j).  All JVM-side:
     k×dim literal arrays folded with zip_with/aggregate, one codegen stage,
-    no UDF.  ``exact`` routes through the decimal-exact dot (oracle-stable
-    ranking for declared queries); the double path is the production one."""
+    no UDF.  ``exact`` routes through the decimal-exact dot in its
+    micro-unit formulation (oracle-stable ranking for declared queries,
+    bit-identical to the dot_exact spec — see vector.dot_units; the vector
+    quantizes ONCE per row via a bind_once let-binding instead of once per
+    centroid per element); the double path is the production one."""
     dims = {len(c) for c in centroids}
     if len(dims) != 1:
         raise ValueError(f"centroids have inconsistent dimensions: {sorted(dims)}")
     (cdim,) = dims
+    if exact:
+        from r_e_hive__spark.functions.text import bind_once
+
+        return bind_once(
+            V.units_arr(vec),
+            lambda u: _centroid_scores_from_units(vec, u, centroids, cdim),
+        )
     elems = []
     for j, c in enumerate(centroids):
         carr = F.array(*[F.lit(float(x)) for x in c])
-        if exact:
-            dot = V.dot_exact(vec, carr).cast("double")
-        else:
-            dot = F.aggregate(
-                F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+        dot = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         if j == 0:
             # zip_with null-pads a wrong-length vector and every score would
             # go NULL -> an arbitrary bucket.  Fail LOUDLY instead (the same
@@ -577,6 +644,7 @@ def hyperplane_bucket(
     n_planes: int = 16,
     planes: list[list[int]] | None = None,
     exact: bool = False,
+    units: Column | None = None,
 ) -> Column:
     """Deterministic random-hyperplane sign bucket for a vector.
 
@@ -624,17 +692,36 @@ def hyperplane_bucket(
         if planes is not None:
             comps = F.array(*[F.lit(int(c)) for c in planes[p]])
             if exact:
+                # round 11: the projection's SIGN is all that matters, and
+                # sign(Σ dec(12,6)·int) == sign(Σ units·int) — the exact
+                # decimal sum times 10^6.  Integer coefficients need no
+                # quantization, so the fold is pure BIGINT; ``units``
+                # (V.units_arr, materialized by the caller) replaces one
+                # decimal cast per element PER PLANE with one per element
+                # per row.  Bound: |Σ| ≤ dim·10^6·max|x|·max|c| — loud ANSI
+                # overflow far above any unit-norm corpus.
+                # the loud dimension guard must ride the branch that is
+                # actually evaluated: the exact path never touches the
+                # guarded ``vec`` wrapper below, so re-apply it to ``u``
+                # (NULL vec passes through exactly as before: NULL units →
+                # NULL proj → bit 0)
+                u_raw = units if units is not None else V.units_arr(vec)
+                u = F.when(
+                    F.assert_true(
+                        vec.isNull() | (F.size(vec) == dim),
+                        f"hyperplane_bucket: vector dim != {dim}",
+                    ).isNull(),
+                    u_raw,
+                )
+                comps_long = F.expr(
+                    "array(" + ",".join(f"{int(c)}L" for c in planes[p]) + ")"
+                )
                 proj = F.aggregate(
-                    F.zip_with(
-                        vec,
-                        comps,
-                        lambda x, s: x.cast("double").cast("decimal(12,6)")
-                        * s.cast("decimal(6,0)"),
-                    ),
-                    F.lit(0).cast("decimal(38,6)"),
+                    F.zip_with(u, comps_long, lambda x, s: x * s),
+                    F.lit(0).cast("long"),
                     lambda acc, v: acc + v,
                 )
-                zero: Column = F.lit(0).cast("decimal(38,6)")
+                zero: Column = F.lit(0).cast("long")
             else:
                 proj = F.aggregate(
                     F.zip_with(vec, comps, lambda x, s: x.cast("double") * s),
@@ -685,36 +772,60 @@ def lsh_neighbor_pairs(
             f"bands ({bands}) must evenly divide n_planes ({n_planes}) "
             f"with >=1 bit per chunk"
         )
-    with_bucket = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.col(vec_col),
-        # pass exact_decimal through untouched: hyperplane_bucket raises the
-        # documented ValueError on exact=True without frozen planes -- the
-        # old `and planes is not None` silently downgraded to double
-        # bucketing (round-4 review)
-        hyperplane_bucket(
-            F.col(vec_col), dim, n_planes, planes=planes, exact=exact_decimal
-        ).alias("_bucket"),
-        # per-row denominator part hoisted out of the O(pairs) verification
-        # (the semantic_dedup discipline): computed ONCE per vector here,
-        # so each candidate pair costs ONE dot aggregate instead of five
-        # (cosine_exact's den>0 guard re-derives both norms per evaluation
-        # -- measured as the dominant cost of the sf1 verify stage).  Each
-        # pair cosine below reproduces the functions/vector.py formula bit
-        # for bit: exact den = sqrt(na2_double * nb2_double), double den =
-        # norm(a) * norm(b).
-        (
-            V.norm2_exact(F.col(vec_col)).cast("double")
-            if exact_decimal
-            else V.norm(F.col(vec_col))
-        ).alias("_den"),
-    )
+    # round 11: the exact path carries each row's micro-unit array instead
+    # of the raw vector — bucketing, norm², and the O(pairs) verify dot all
+    # run as BIGINT folds over it (bit-identical to the decimal spec, see
+    # vector.dot_units), and the unit quantization happens ONCE per row
+    # instead of once per plane/pair element.
+    if exact_decimal:
+        src = ensure_parallelism(df).withColumn(
+            "_lsh_u", V.units_arr(F.col(vec_col))
+        )
+        with_bucket = src.select(
+            F.col(id_col),
+            F.col("_lsh_u"),
+            # pass exact_decimal through untouched: hyperplane_bucket raises
+            # the documented ValueError on exact=True without frozen planes
+            hyperplane_bucket(
+                F.col(vec_col),
+                dim,
+                n_planes,
+                planes=planes,
+                exact=True,
+                units=F.col("_lsh_u"),
+            ).alias("_bucket"),
+            V.norm2_units(F.col("_lsh_u")).cast("double").alias("_den"),
+        )
+        pair_col = "_lsh_u"
+    else:
+        with_bucket = ensure_parallelism(df).select(
+            F.col(id_col),
+            F.col(vec_col),
+            # pass exact_decimal through untouched: hyperplane_bucket raises
+            # the documented ValueError on exact=True without frozen planes
+            # -- the old `and planes is not None` silently downgraded to
+            # double bucketing (round-4 review)
+            hyperplane_bucket(
+                F.col(vec_col), dim, n_planes, planes=planes, exact=False
+            ).alias("_bucket"),
+            # per-row denominator part hoisted out of the O(pairs)
+            # verification (the semantic_dedup discipline): computed ONCE
+            # per vector here, so each candidate pair costs ONE dot
+            # aggregate instead of five (cosine_exact's den>0 guard
+            # re-derives both norms per evaluation -- measured as the
+            # dominant cost of the sf1 verify stage).  Each pair cosine
+            # below reproduces the functions/vector.py formula bit for bit:
+            # exact den = sqrt(na2_double * nb2_double), double den =
+            # norm(a) * norm(b).
+            V.norm(F.col(vec_col)).alias("_den"),
+        )
+        pair_col = vec_col
     def _chunk(bucket: Column, i: int) -> Column:
         return F.shiftright(bucket, r * i).bitwiseAND(F.lit((1 << r) - 1))
 
     chunks = with_bucket.select(
         id_col,
-        vec_col,
+        pair_col,
         "_bucket",
         "_den",
         F.posexplode(
@@ -723,7 +834,7 @@ def lsh_neighbor_pairs(
     )
     a = chunks.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+        F.col(pair_col).alias("_va"),
         F.col("_bucket").alias("_ba"),
         F.col("_den").alias("_dena"),
         "band_id",
@@ -731,7 +842,7 @@ def lsh_neighbor_pairs(
     )
     b = chunks.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+        F.col(pair_col).alias("_vb"),
         F.col("_bucket").alias("_bb"),
         F.col("_den").alias("_denb"),
         "band_id",
@@ -761,7 +872,7 @@ def lsh_neighbor_pairs(
         joined = joined.where(first_match_only)
     if exact_decimal:
         den = F.sqrt(F.col("_dena") * F.col("_denb"))
-        num = V.dot_exact(F.col("_va"), F.col("_vb")).cast("double")
+        num = V.dot_units(F.col("_va"), F.col("_vb")).cast("double")
     else:
         den = F.col("_dena") * F.col("_denb")
         num = V.dot(F.col("_va"), F.col("_vb"))
@@ -839,17 +950,44 @@ def semantic_dedup(
         return _semantic_dedup_numpy(
             assigned, id_col, vec_col, cosine_threshold, n_part
         )
-    assigned = ensure_parallelism(df).withColumn(
-        "_sd_cluster", assign_centroid(vec, centroids, exact_decimal)
-    )
-    # per-row denominator part, hoisted out of the O(pairs) join:
+    # Round-11 dataflow: ONE post-assignment frame, repartitioned by
+    # cluster, feeds all three consumers (pair side a, pair side b, and the
+    # anti-join left).  The two pair sides always shared the exchange via
+    # AQE stage reuse; hanging the anti-join left off the SAME exchange
+    # removes the third full scan+assignment pass the old shape paid
+    # (`assigned` was a separate lineage).  Row set returned is identical —
+    # only the partitioning of the output differs, and every declared
+    # caller orders afterwards.
+    #
+    # Exact mode carries each row's micro-unit array (_sd_u) through the
+    # exchange so the O(pairs) dot is a BIGINT fold (vector.dot_units,
+    # bit-identical to dot_exact) — measured 7.6 s → 2.5 s on the sf0.1
+    # declared x17 with outputs pinned identical.  The double path carries
+    # the raw vector as before.
+    #
+    # Per-row denominator part, hoisted out of the O(pairs) join:
     # exact path carries norm² as double (cosine_exact's den is
     # sqrt(na2*nb2)); double path carries the norm itself (cosine's den is
     # na*nb) — each pair cosine below reproduces the corresponding
     # functions/vector.py formula bit for bit.
-    den_part = (
-        V.norm2_exact(vec).cast("double") if exact_decimal else V.norm(vec)
-    )
+    if exact_decimal:
+        pair_col = "_sd_u"
+        base = ensure_parallelism(df).withColumn("_sd_u", V.units_arr(vec))
+        base = base.withColumn(
+            "_sd_cluster",
+            F.array_max(
+                _centroid_scores_from_units(
+                    vec, F.col("_sd_u"), centroids, len(centroids[0])
+                )
+            ).getField("idx"),
+        ).withColumn("_sd_den", V.norm2_units(F.col("_sd_u")).cast("double"))
+    else:
+        pair_col = vec_col
+        base = (
+            ensure_parallelism(df)
+            .withColumn("_sd_cluster", assign_centroid(vec, centroids, False))
+            .withColumn("_sd_den", V.norm(vec))
+        )
     # EXPLICIT numPartitions: the pair join is compute-bound (one array dot
     # per candidate pair) on tiny shuffle bytes, exactly the shape where
     # AQE's byte-based coalescing collapses the stage to 1-2 tasks and
@@ -857,24 +995,22 @@ def semantic_dedup(
     # explicit 32-way spread; BASELINE.md).  A user-specified repartition
     # survives AQE; both join sides share the distribution so the join
     # adds no further exchange.
-    sides = assigned.withColumn("_sd_den", den_part).repartition(
-        n_part, "_sd_cluster"
-    )
-    a = sides.select(
+    base = base.repartition(n_part, "_sd_cluster")
+    a = base.select(
         F.col("_sd_cluster"),
         F.col(id_col).alias("_sd_a"),
-        F.col(vec_col).alias("_sd_va"),
+        F.col(pair_col).alias("_sd_va"),
         F.col("_sd_den").alias("_sd_dena"),
     )
-    b = sides.select(
+    b = base.select(
         F.col("_sd_cluster"),
         F.col(id_col).alias("_sd_b"),
-        F.col(vec_col).alias("_sd_vb"),
+        F.col(pair_col).alias("_sd_vb"),
         F.col("_sd_den").alias("_sd_denb"),
     )
     if exact_decimal:
         den = F.sqrt(F.col("_sd_dena") * F.col("_sd_denb"))
-        num = V.dot_exact(F.col("_sd_va"), F.col("_sd_vb")).cast("double")
+        num = V.dot_units(F.col("_sd_va"), F.col("_sd_vb")).cast("double")
     else:
         den = F.col("_sd_dena") * F.col("_sd_denb")
         num = V.dot(F.col("_sd_va"), F.col("_sd_vb"))
@@ -886,7 +1022,8 @@ def semantic_dedup(
         .select(F.col("_sd_b").alias(id_col))
         .distinct()
     )
-    return assigned.join(dups, id_col, "left_anti")
+    drop_cols = ["_sd_den"] + (["_sd_u"] if exact_decimal else [])
+    return base.drop(*drop_cols).join(dups, id_col, "left_anti")
 
 
 def _semantic_dedup_numpy(
@@ -1299,16 +1436,36 @@ def quantized_topk(
     cvec = candidates.select(cand_id, F.col(vec_col).alias("_cv"))
     qvec = F.broadcast(queries.select(query_id, F.col(vec_col).alias("_qv")))
     # exact_decimal: decimal-exact rerank cosines (order-independent,
-    # hash-stable vs a SQL oracle) — the declared x25 query's mode; the
-    # production default keeps the double fast path.
-    _cos = V.cosine_exact if exact_decimal else V.cosine
-    scored = (
-        cvec.join(pairs, cand_id)
-        .join(qvec, query_id)
-        .select(
-            query_id,
-            cand_id,
-            F.round(_cos(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    # hash-stable vs a SQL oracle) — the declared x25 query's mode, in the
+    # round-11 micro-unit formulation (bit-identical to cosine_exact, see
+    # vector.dot_units: num/den built from the same quantization, norms
+    # hoisted per shortlist row instead of re-derived per cosine_exact
+    # evaluation); the production default keeps the double fast path.
+    if exact_decimal:
+        joined = (
+            cvec.join(pairs, cand_id)
+            .join(qvec, query_id)
+            .withColumn("_cu", V.units_arr(F.col("_cv")))
+            .withColumn("_qu", V.units_arr(F.col("_qv")))
         )
-    )
+        den = F.sqrt(
+            V.norm2_units(F.col("_qu")).cast("double")
+            * V.norm2_units(F.col("_cu")).cast("double")
+        )
+        cos = F.when(
+            den > 0, V.dot_units(F.col("_qu"), F.col("_cu")).cast("double") / den
+        )
+        scored = joined.select(
+            query_id, cand_id, F.round(cos, 6).alias("cosine")
+        )
+    else:
+        scored = (
+            cvec.join(pairs, cand_id)
+            .join(qvec, query_id)
+            .select(
+                query_id,
+                cand_id,
+                F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            )
+        )
     return _finalize_topk(scored, query_id, cand_id, k)

@@ -199,9 +199,10 @@ def ngram_jaccard_pairs(
     shuffle and get duplicate-tolerant sizes on both strategies
     (measured +0.5 s on the sf0.1 bench query, hence opt-in).
 
-    ``shingle_strategy``: ``"expr"`` (default) shingles twice with JVM
-    higher-order functions; ``"pandas"`` shingles ONCE in an Arrow batch
-    pass that also carries the per-doc count.  Measured crossover
+    ``shingle_strategy``: ``"expr"`` shingles with JVM higher-order
+    functions; ``"pandas"`` shingles in an Arrow batch pass.  Both carry
+    the per-doc count on the exploded rows (round 11) so neither pays a
+    second shingling pass or a size join.  Measured crossover
     (BASELINE.md): expr wins at 5 k docs (1.89 s vs 2.14 s — Python
     worker startup dominates), pandas wins at 50 k docs (4.73 s vs
     6.12 s) and grows its lead with corpus size; outputs are pinned
@@ -214,32 +215,72 @@ def ngram_jaccard_pairs(
         shingle_strategy = resolve_text_strategy(
             df, text_col, "expr", "pandas", SHINGLE_PANDAS_MIN_BYTES
         )
+    # Carried-n reshape (round 11): under the unique-id contract the per-doc
+    # shingle count rides the exploded rows (+4 bytes/row on the shingle
+    # exchange), the posting lists collect (id, n) STRUCTS, and the pair
+    # expansion emits (id_a, n_a, id_b, n_b) directly — so the two
+    # size-probe joins (and, in expr mode, the two EXTRA full
+    # shingling scans that built their broadcast sides; in pandas mode the
+    # localCheckpoint that shielded the shared Python pass) disappear from
+    # the plan outright.  At 100 TB this also deletes the failure mode
+    # where ``sizes`` outgrows the broadcast threshold and the pair stream
+    # pays two shuffle joins.  Outputs are identical: n is functionally
+    # determined by the id, sort_array over (id, n) structs orders by id
+    # exactly as the old sorted id list did, and the Jaccard arithmetic is
+    # the same expression over the same numbers (oracle-differentialed in
+    # tests/test_retired_queries.py; strategy parity in tests/test_dedup.py).
+    # Duplicate-tolerant callers (assume_unique_ids=False) keep the join
+    # path: a duplicated id with drifting n must resolve through the
+    # aggregated min, not pair with itself inside a posting list.
+    carry_n = assume_unique_ids
+    sh = sizes = None
     if shingle_strategy == "pandas":
-        # one Arrow pass computes exploded shingles AND carries the per-doc
-        # count on every row; sizes reduce out of the same stream with a
-        # map-side-combined min (one tiny shuffle of (id, int) pairs) —
-        # strictly cheaper than the expr path's second full shingling pass
-        exploded = _exploded_shingles_pandas(
-            df, text_col, id_col, k, block_cols
-        ).localCheckpoint(eager=True)
-        sh = exploded.drop("_n")
-        sizes = exploded.groupBy("_id").agg(F.min("_n").alias("_n"))
+        exploded = _exploded_shingles_pandas(df, text_col, id_col, k, block_cols)
+        if not carry_n:
+            # two consumers (postings + sizes) would re-run the Python pass
+            exploded = exploded.localCheckpoint(eager=True)
+            sh = exploded.drop("_n")
+            sizes = exploded.groupBy("_id").agg(F.min("_n").alias("_n"))
     elif shingle_strategy == "expr":
         src = ensure_parallelism(df)
-        sh = src.select(
-            F.col(id_col).alias("_id"),
-            *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
-        )
-        # per-doc shingle count is a NARROW projection of the source —
-        # computing it from the exploded stream would re-run the whole
-        # shingling pass (Spark recomputes shared subplans per consumer)
-        # and add a groupBy shuffle for a count the row already knows
-        sizes = src.select(
-            F.col(id_col).alias("_id"),
-            F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
-        )
-        if not assume_unique_ids:
+        if carry_n:
+            # ONE let-bound shingling evaluation per doc: the distinct-gram
+            # array binds once (interpreted-HOF discipline, functions/text
+            # bind_once) and each element pairs with the array's size
+            shingle_structs = bind_once(
+                F.array_distinct(shingles(F.col(text_col), k)),
+                lambda arr: F.transform(
+                    arr,
+                    lambda s: F.struct(
+                        s.alias("shingle"), F.size(arr).alias("_n")
+                    ),
+                ),
+            )
+            exploded = src.select(
+                F.col(id_col).alias("_id"),
+                *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+                F.explode(shingle_structs).alias("_sn"),
+            ).select(
+                "_id",
+                *[f"_b_{c}" for c in block_cols],
+                F.col("_sn.shingle").alias("shingle"),
+                F.col("_sn._n").alias("_n"),
+            )
+        else:
+            sh = src.select(
+                F.col(id_col).alias("_id"),
+                *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+                F.explode(
+                    F.array_distinct(shingles(F.col(text_col), k))
+                ).alias("shingle"),
+            )
+            # per-doc shingle count is a NARROW projection of the source —
+            # computing it from the exploded stream would re-run the whole
+            # shingling pass (Spark recomputes shared subplans per consumer)
+            sizes = src.select(
+                F.col(id_col).alias("_id"),
+                F.size(F.array_distinct(shingles(F.col(text_col), k))).alias("_n"),
+            )
             # one row per DOC, not per input row: duplicate ids would
             # otherwise duplicate every pair through the n_a/n_b joins
             # (and diverge from the pandas strategy, which aggregates)
@@ -250,40 +291,79 @@ def ngram_jaccard_pairs(
     # adjacent in the sorted list and the i<j slice would pair them with
     # themselves (Jaccard 1.0 self-pairs) — the old self-join's strict
     # id_a < id_b predicate excluded equal ids, so must the index.
-    postings = (
-        sh.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
-        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
-        .where(F.size("_ids") >= 2)
-    )
+    if carry_n:
+        # posting lists carry (id, n) structs; sort_array orders by the
+        # leading id field (n is id-determined, so the order — and the
+        # i<j pair set — is exactly the old sorted-id-list order)
+        postings = (
+            exploded.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
+            .agg(
+                F.sort_array(F.collect_set(F.struct("_id", "_n"))).alias("_ids")
+            )
+            .where(F.size("_ids") >= 2)
+        )
+    else:
+        postings = (
+            sh.groupBy("shingle", *[f"_b_{c}" for c in block_cols])
+            .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
+            .where(F.size("_ids") >= 2)
+        )
     if max_df is not None:
         postings = postings.where(F.size("_ids") <= max_df)
     # all index pairs (i < j) of the sorted posting list, JVM-side
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if carry_n:
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_a"),
+                        x["_n"].alias("n_a"),
+                        y["_id"].alias("id_b"),
+                        y["_n"].alias("n_b"),
+                    ),
+                ),
+            )
         )
-    )
-    pair_common = (
-        postings.select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
-    # sizes is one small fixed-width row per doc; when the doc table itself
-    # is under the broadcast threshold, hint both probe joins to BHJ — the
-    # pair stream (the big side) then never shuffles again
-    if _fits_broadcast(df):
-        na, nb = F.broadcast(na), F.broadcast(nb)
+        # min() keeps the hash aggregate partial (map-side combine); every
+        # group's n_a/n_b values are equal under the unique-id contract
+        joined = (
+            postings.select(F.explode(pair_structs).alias("_p"))
+            .select("_p.id_a", "_p.n_a", "_p.id_b", "_p.n_b")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias("n_common"),
+                F.min("n_a").alias("n_a"),
+                F.min("n_b").alias("n_b"),
+            )
+        )
+    else:
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        pair_common = (
+            postings.select(F.explode(pair_structs).alias("_p"))
+            .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+        nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+        # sizes is one small fixed-width row per doc; when the doc table
+        # itself is under the broadcast threshold, hint both probe joins to
+        # BHJ — the pair stream (the big side) then never shuffles again
+        if _fits_broadcast(df):
+            na, nb = F.broadcast(na), F.broadcast(nb)
+        joined = pair_common.join(na, "id_a").join(nb, "id_b")
     return (
-        pair_common.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")

@@ -861,3 +861,54 @@ def test_band_index_update_false_manual_safe_order_append(spark, tmp_path):
     assert {r["id"] for r in loaded2.select("id").distinct().collect()} == {
         1, 2, 12,
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-11 carried-n reshape: the size-probe joins are gone from the plan
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_carried_n_matches_join_path(spark, documents):
+    """assume_unique_ids=True (carried-n posting lists, round 11) must be
+    value-identical to the legacy size-join path (False) on unique-id data —
+    both strategies, so the reshape is pinned on the expr AND pandas
+    shingle builders."""
+    for strategy in ("expr", "pandas"):
+        fast = D.ngram_jaccard_pairs(
+            documents, "text", "doc_id", k=3, threshold=0.5,
+            shingle_strategy=strategy,
+        )
+        legacy = D.ngram_jaccard_pairs(
+            documents, "text", "doc_id", k=3, threshold=0.5,
+            shingle_strategy=strategy, assume_unique_ids=False,
+        )
+        a = {tuple(r) for r in fast.collect()}
+        b = {tuple(r) for r in legacy.collect()}
+        assert a == b and a, strategy
+
+
+def test_jaccard_carried_n_plan_single_pass_join_free(spark, documents):
+    """Structural pin for the round-11 reshape: the carried-n expr plan
+    shingles ONCE (one `split(` site — the pre-reshape plan had three:
+    index + two broadcast size probes) and contains NO join operator at
+    all (the n_a/n_b values ride the posting lists)."""
+    from tests.test_plans import plan
+
+    p = plan(
+        D.ngram_jaccard_pairs(
+            documents, "text", "doc_id", k=3, threshold=0.5,
+            shingle_strategy="expr",
+        )
+    )
+    import re
+
+    assert len(re.findall(r"(?<![0-9A-Za-z_])split\(", p)) == 1
+    assert "Join" not in p
+    # the duplicate-tolerant path keeps its joins (and its extra pass)
+    p_legacy = plan(
+        D.ngram_jaccard_pairs(
+            documents, "text", "doc_id", k=3, threshold=0.5,
+            shingle_strategy="expr", assume_unique_ids=False,
+        )
+    )
+    assert "Join" in p_legacy

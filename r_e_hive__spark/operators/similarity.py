@@ -147,17 +147,11 @@ def brute_force_topk(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
-    return (
-        # NULL cosines (zero-norm or NULL vectors) are unrankable — filter
-        # BEFORE the window so they never occupy trailing ranks when k
-        # exceeds the scoreable candidates (aligns the expr path with
-        # _finalize_topk's numpy contract; round-5 code review)
-        scored.where(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", cand_id, "cosine")
-    )
+    # NULL cosines (zero-norm or NULL vectors) are unrankable and omitted —
+    # the filter lives INSIDE _finalize_topk, above the rank window, so the
+    # pushed-down isnotnull can't re-evaluate the dot fold per pair in the
+    # join condition (round 11; see _finalize_topk)
+    return _finalize_topk(scored, query_id, cand_id, k)
 
 
 def ivf_topk(
@@ -228,13 +222,7 @@ def ivf_topk(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
-    return (
-        scored.where(F.col("cosine").isNotNull())  # same contract as above
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", cand_id, "cosine")
-    )
+    return _finalize_topk(scored, query_id, cand_id, k)  # same contract as above
 
 
 def kmeans_centroids(
@@ -1181,13 +1169,29 @@ def _score_block(q_ids, Q, q_norms, ids, V_, k, query_id, cand_id):
 
 
 def _finalize_topk(partials, query_id, cand_id, k):
-    """Global exact top-k over the tiny per-block partials (the window's
-    order is the contract _score_block pre-selected by)."""
+    """Global exact top-k over scored (query, candidate, cosine) rows —
+    the shared tail of every similarity path (expr scans, numpy partials,
+    quantized rerank).  NULL cosines (zero-norm or NULL vectors) are
+    unrankable and omitted.
+
+    The NULL filter runs AFTER the rank window, not before (round 11):
+    when ``cosine`` is an unevaluated expression over a join (the expr
+    paths), a pre-window ``where(cosine.isNotNull())`` is pushed by
+    Catalyst into the join condition as ``isnotnull(round(dot/den))`` —
+    re-evaluating the entire O(dim) dot-product fold PER PAIR a second
+    time (measured: the x3 sf0.1 plan held 2 dot folds per pair, and the
+    scan stage halved when the duplicate went).  Catalyst does not push
+    predicates through a Window unless they reference only partition
+    columns, so filtering after the window reads the materialized column
+    instead.  Output is identical: ``F.desc`` orders NULLS LAST, so NULL
+    rows sort after every rankable row and cannot displace a non-NULL
+    row's row_number; they are then dropped by the post-window filter
+    whether or not they drew a rank ≤ k (k exceeding the scoreable
+    candidates included — pinned in tests/test_similarity.py)."""
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (
-        partials.where(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        partials.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= k) & F.col("cosine").isNotNull())
         .select(query_id, "rank", cand_id, "cosine")
     )
 

@@ -106,45 +106,41 @@ def brute_force_topk(
     # plain BIGINT fold with one terminal decimal conversion — bit-identical
     # to dot_exact (vector.py's equivalence note), ~3× on the sf0.1 x17/x3
     # pair stages, and the shuffled/broadcast row stays fixed-width.
+    # Sides and the pair cosine are single parsed SQL expressions (round
+    # 11): this constructor is also quantized_topk's shortlist stage, and
+    # its Column-API form was ~0.8 s of py4j per build.  Fragments mirror
+    # the Column spec exactly (tests/test_vector_units.py pins both modes).
+    v = _bq(vec_col)
     if exact_decimal:
-        _u = lambda v: V.units_arr(v)  # noqa: E731
-        q = F.broadcast(
-            queries.select(
-                F.col(query_id),
-                _u(F.col(vec_col)).alias("_qvec"),
-                V.norm2_units(_u(F.col(vec_col))).cast("double").alias("_qn2"),
-            )
-        )
-        c = ensure_parallelism(candidates).select(
-            F.col(cand_id),
-            _u(F.col(vec_col)).alias("_cvec"),
-            V.norm2_units(_u(F.col(vec_col))).cast("double").alias("_cn2"),
-        )
-        _dot = V.dot_units
+        side_vec = V.units_arr_sql(v)
+        side_n2 = f"CAST({V.norm2_units_sql(V.units_arr_sql(v))} AS DOUBLE)"
+        pair_dot = V.dot_units_sql("_qvec", "_cvec")
     else:
-        q = F.broadcast(
-            queries.select(
-                F.col(query_id),
-                F.col(vec_col).alias("_qvec"),
-                V.dot(F.col(vec_col), F.col(vec_col)).cast("double").alias("_qn2"),
-            )
+        side_vec = v
+        side_n2 = f"CAST({V.dot_sql(v, v)} AS DOUBLE)"
+        pair_dot = V.dot_sql("_qvec", "_cvec")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.expr(side_vec).alias("_qvec"),
+            F.expr(side_n2).alias("_qn2"),
         )
-        c = ensure_parallelism(candidates).select(
-            F.col(cand_id),
-            F.col(vec_col).alias("_cvec"),
-            V.dot(F.col(vec_col), F.col(vec_col)).cast("double").alias("_cn2"),
-        )
-        _dot = V.dot
+    )
+    c = ensure_parallelism(candidates).select(
+        F.col(cand_id),
+        F.expr(side_vec).alias("_cvec"),
+        F.expr(side_n2).alias("_cn2"),
+    )
     # NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors, matching
-    # cosine_exact's semantics; NULL-cosine rows are filtered before the
-    # rank window below (unrankable — the unified omit contract)
-    den = F.sqrt(F.col("_qn2") * F.col("_cn2"))
+    # cosine_exact's semantics; NULL-cosine rows are filtered after the
+    # rank window (unrankable — the unified omit contract)
+    den = "SQRT((_qn2 * _cn2))"
     scored = q.crossJoin(c).select(
         query_id,
         cand_id,
-        F.round(
-            F.when(den > 0, _dot(F.col("_qvec"), F.col("_cvec")).cast("double") / den),
-            6,
+        F.expr(
+            f"round(CASE WHEN {den} > 0 THEN "
+            f"CAST({pair_dot} AS DOUBLE) / {den} END, 6)"
         ).alias("cosine"),
     )
     # NULL cosines (zero-norm or NULL vectors) are unrankable and omitted —
@@ -191,35 +187,36 @@ def ivf_topk(
     # per-side norm hoist, same reasoning (and bit-identity) as
     # brute_force_topk; the exact path also carries micro-unit arrays so the
     # probe-join dot is a BIGINT fold (round 11, see vector.dot_units)
+    v = _bq(vec_col)
     if exact_decimal:
-        _side = lambda v: V.units_arr(v)  # noqa: E731
-        _n2 = lambda v: V.norm2_units(V.units_arr(v))  # noqa: E731
-        _dot = V.dot_units
+        side_vec = V.units_arr_sql(v)
+        side_n2 = f"CAST({V.norm2_units_sql(V.units_arr_sql(v))} AS DOUBLE)"
+        pair_dot = V.dot_units_sql("_qvec", "_cvec")
     else:
-        _side = lambda v: v  # noqa: E731
-        _n2 = lambda v: V.dot(v, v)  # noqa: E731
-        _dot = V.dot
+        side_vec = v
+        side_n2 = f"CAST({V.dot_sql(v, v)} AS DOUBLE)"
+        pair_dot = V.dot_sql("_qvec", "_cvec")
     q = F.broadcast(
         queries.select(
             F.col(query_id),
             F.col(bucket_col),
-            _side(F.col(vec_col)).alias("_qvec"),
-            _n2(F.col(vec_col)).cast("double").alias("_qn2"),
+            F.expr(side_vec).alias("_qvec"),
+            F.expr(side_n2).alias("_qn2"),
         )
     )
     c = ensure_parallelism(candidates).select(
         F.col(cand_id),
         F.col(bucket_col),
-        _side(F.col(vec_col)).alias("_cvec"),
-        _n2(F.col(vec_col)).cast("double").alias("_cn2"),
+        F.expr(side_vec).alias("_cvec"),
+        F.expr(side_n2).alias("_cn2"),
     )
-    den = F.sqrt(F.col("_qn2") * F.col("_cn2"))  # zero-norm guard, as above
+    den = "SQRT((_qn2 * _cn2))"  # zero-norm guard, as above
     scored = q.join(c, bucket_col).select(
         query_id,
         cand_id,
-        F.round(
-            F.when(den > 0, _dot(F.col("_qvec"), F.col("_cvec")).cast("double") / den),
-            6,
+        F.expr(
+            f"round(CASE WHEN {den} > 0 THEN "
+            f"CAST({pair_dot} AS DOUBLE) / {den} END, 6)"
         ).alias("cosine"),
     )
     return _finalize_topk(scored, query_id, cand_id, k)  # same contract as above
@@ -365,7 +362,7 @@ def train_kmeans(
     it = 0
     for it in range(1, n_iter + 1):
         assigned = df.select(
-            assign_centroid(vec, centroids, exact_decimal).alias("_b"),
+            assign_centroid(vec_col, centroids, exact_decimal).alias("_b"),
             vec.alias(vec_col),
         )
         stats = (
@@ -418,8 +415,33 @@ def train_kmeans(
     return centroids, it
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for the SQL-string builders."""
+    return f"`{name}`"
+
+
+def _scores_array_sql(
+    vec_sql: str, per_centroid_dots: list[str], cdim: int
+) -> str:
+    """array<struct<score,idx>> SQL source from pre-rendered per-centroid
+    dot fragments, with the loud dimension guard attached to centroid 0
+    exactly as the Column spec attaches it (CASE WHEN assert_true(...) IS
+    NULL THEN dot END ≡ F.when(F.assert_true(...).isNull(), dot))."""
+    guard = (
+        f"CASE WHEN assert_true((({vec_sql}) IS NULL) OR "
+        f"(size({vec_sql}) = {cdim}), "
+        f"'embedding dimension != centroid dimension {cdim}') IS NULL "
+        f"THEN {{dot}} END"
+    )
+    elems = []
+    for j, d in enumerate(per_centroid_dots):
+        dd = guard.format(dot=d) if j == 0 else d
+        elems.append(f"struct({dd} AS score, {j} AS idx)")
+    return "array(" + ",".join(elems) + ")"
+
+
 def _centroid_scores_from_units(
-    vec: Column, units: Column, centroids: list[list[float]], cdim: int
+    vec: Column | str, units: Column | str, centroids: list[list[float]], cdim: int
 ) -> Column:
     """Exact-mode score array from a PRECOMPUTED micro-unit array (round
     11): per centroid the dot is a BIGINT fold against a foldable literal
@@ -427,7 +449,20 @@ def _centroid_scores_from_units(
     sides ride the same quantization chain (vector.units_lit).  ``vec`` is
     only consulted by the loud dimension guard, so callers that already
     materialized ``units`` as a column pay one unit build per row for ALL
-    k scores."""
+    k scores.
+
+    Pass COLUMN NAMES (str) for both and the whole k-centroid array is
+    built as ONE parsed SQL expression instead of ~30 py4j round-trips
+    per centroid (round 11 — plan-construction time was 30–60 % of the
+    sub-second benched similarity rows; value identity vs the Column spec
+    pinned in tests/test_vector_units.py)."""
+    if isinstance(vec, str) and isinstance(units, str):
+        u = _bq(units)
+        dots = [
+            f"CAST({V.dot_units_sql(u, V.units_lit_sql(c))} AS DOUBLE)"
+            for c in centroids
+        ]
+        return F.expr(_scores_array_sql(_bq(vec), dots, cdim))
     elems = []
     for j, c in enumerate(centroids):
         dot = V.dot_units(units, V.units_lit(c)).cast("double")
@@ -444,7 +479,7 @@ def _centroid_scores_from_units(
 
 
 def _centroid_scores(
-    vec: Column, centroids: list[list[float]], exact: bool = False
+    vec: Column | str, centroids: list[list[float]], exact: bool = False
 ) -> Column:
     """array<struct<score,idx>> of cos-proportional scores per centroid.
 
@@ -460,6 +495,31 @@ def _centroid_scores(
     if len(dims) != 1:
         raise ValueError(f"centroids have inconsistent dimensions: {sorted(dims)}")
     (cdim,) = dims
+    if isinstance(vec, str):
+        # ONE parsed SQL expression for all k scores (round 11): the
+        # Column constructions below are the spec; at ~0.85 ms per py4j
+        # round-trip the k-centroid loop alone cost ~0.8 s of every
+        # declared-query build.  Value identity pinned in
+        # tests/test_vector_units.py.
+        v = _bq(vec)
+        if exact:
+            # same let-binding shape as bind_once(units_arr(vec), ...):
+            # transform(array(value), u -> body)[0] quantizes ONCE per row
+            dots = [
+                f"CAST({V.dot_units_sql('_cu', V.units_lit_sql(c))} AS DOUBLE)"
+                for c in centroids
+            ]
+            body = _scores_array_sql(v, dots, cdim)
+            return F.expr(
+                f"transform(array({V.units_arr_sql(v)}), _cu -> {body})[0]"
+            )
+        dots = [
+            f"aggregate(zip_with({v}, {V.lit_vec_sql(c)}, "
+            f"(_dx, _dy) -> CAST(_dx AS DOUBLE) * _dy), "
+            f"CAST(0 AS DOUBLE), (_da, _dv) -> _da + _dv)"
+            for c in centroids
+        ]
+        return F.expr(_scores_array_sql(v, dots, cdim))
     if exact:
         from r_e_hive__spark.functions.text import bind_once
 
@@ -492,7 +552,7 @@ def _centroid_scores(
 
 
 def assign_centroid(
-    vec: Column, centroids: list[list[float]], exact: bool = False
+    vec: Column | str, centroids: list[list[float]], exact: bool = False
 ) -> Column:
     """Nearest-centroid id (struct-max: ties break to the larger idx,
     consistently with probe_centroids' descending sort)."""
@@ -500,7 +560,7 @@ def assign_centroid(
 
 
 def probe_centroids(
-    vec: Column, centroids: list[list[float]], n_probe: int, exact: bool = False
+    vec: Column | str, centroids: list[list[float]], n_probe: int, exact: bool = False
 ) -> Column:
     """The ``n_probe`` nearest centroid ids, best first."""
     ordered = F.sort_array(_centroid_scores(vec, centroids, exact), asc=False)
@@ -533,13 +593,13 @@ def ivf_kmeans_topk(
             candidates, vec_col, cand_id, n_clusters=n_clusters
         )
     cand_b = candidates.withColumn(
-        "_ivf_bucket", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+        "_ivf_bucket", assign_centroid(vec_col, centroids, exact_decimal)
     )
     q_b = queries.select(
         F.col(query_id),
         F.col(vec_col),
         F.explode(
-            probe_centroids(F.col(vec_col), centroids, n_probe, exact_decimal)
+            probe_centroids(vec_col, centroids, n_probe, exact_decimal)
         ).alias("_ivf_bucket"),
     )
     return ivf_topk(
@@ -568,7 +628,7 @@ def save_ivf_index(
     full read.  One map-only pass over the corpus (assignment is the
     broadcast-parameters centroid argmax) + one partitioned write."""
     candidates.withColumn(
-        "_ivf_bucket", assign_centroid(F.col(vec_col), centroids, exact_decimal)
+        "_ivf_bucket", assign_centroid(vec_col, centroids, exact_decimal)
     ).write.mode("overwrite").partitionBy("_ivf_bucket").parquet(path)
 
 
@@ -597,7 +657,7 @@ def ivf_search(
         F.col(query_id),
         F.col(vec_col),
         F.explode(
-            probe_centroids(F.col(vec_col), centroids, n_probe, exact_decimal)
+            probe_centroids(vec_col, centroids, n_probe, exact_decimal)
         ).alias("_ivf_bucket"),
     # eager pin BEFORE the probe collect: the bucket list and the
     # ivf_topk join must see the SAME evaluation of the queries frame —
@@ -767,7 +827,7 @@ def lsh_neighbor_pairs(
     # instead of once per plane/pair element.
     if exact_decimal:
         src = ensure_parallelism(df).withColumn(
-            "_lsh_u", V.units_arr(F.col(vec_col))
+            "_lsh_u", F.expr(V.units_arr_sql(_bq(vec_col)))
         )
         with_bucket = src.select(
             F.col(id_col),
@@ -782,7 +842,7 @@ def lsh_neighbor_pairs(
                 exact=True,
                 units=F.col("_lsh_u"),
             ).alias("_bucket"),
-            V.norm2_units(F.col("_lsh_u")).cast("double").alias("_den"),
+            F.expr(f"CAST({V.norm2_units_sql('_lsh_u')} AS DOUBLE)").alias("_den"),
         )
         pair_col = "_lsh_u"
     else:
@@ -805,7 +865,7 @@ def lsh_neighbor_pairs(
             # below reproduces the functions/vector.py formula bit for bit:
             # exact den = sqrt(na2_double * nb2_double), double den =
             # norm(a) * norm(b).
-            V.norm(F.col(vec_col)).alias("_den"),
+            F.expr(V.norm_sql(_bq(vec_col))).alias("_den"),
         )
         pair_col = vec_col
     def _chunk(bucket: Column, i: int) -> Column:
@@ -859,14 +919,14 @@ def lsh_neighbor_pairs(
     if first_match_only is not None:
         joined = joined.where(first_match_only)
     if exact_decimal:
-        den = F.sqrt(F.col("_dena") * F.col("_denb"))
-        num = V.dot_units(F.col("_va"), F.col("_vb")).cast("double")
+        den = "SQRT((_dena * _denb))"
+        num = f"CAST({V.dot_units_sql('_va', '_vb')} AS DOUBLE)"
     else:
-        den = F.col("_dena") * F.col("_denb")
-        num = V.dot(F.col("_va"), F.col("_vb"))
-    pair_cos = F.when(den > 0, num / den)
+        den = "(_dena * _denb)"
+        num = V.dot_sql("_va", "_vb")
+    pair_cos = f"round(CASE WHEN {den} > 0 THEN {num} / {den} END, 6)"
     return (
-        joined.withColumn("cosine", F.round(pair_cos, 6))
+        joined.withColumn("cosine", F.expr(pair_cos))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -960,21 +1020,26 @@ def semantic_dedup(
     # functions/vector.py formula bit for bit.
     if exact_decimal:
         pair_col = "_sd_u"
-        base = ensure_parallelism(df).withColumn("_sd_u", V.units_arr(vec))
+        base = ensure_parallelism(df).withColumn(
+            "_sd_u", F.expr(V.units_arr_sql(_bq(vec_col)))
+        )
         base = base.withColumn(
             "_sd_cluster",
             F.array_max(
                 _centroid_scores_from_units(
-                    vec, F.col("_sd_u"), centroids, len(centroids[0])
+                    vec_col, "_sd_u", centroids, len(centroids[0])
                 )
             ).getField("idx"),
-        ).withColumn("_sd_den", V.norm2_units(F.col("_sd_u")).cast("double"))
+        ).withColumn(
+            "_sd_den",
+            F.expr(f"CAST({V.norm2_units_sql('_sd_u')} AS DOUBLE)"),
+        )
     else:
         pair_col = vec_col
         base = (
             ensure_parallelism(df)
-            .withColumn("_sd_cluster", assign_centroid(vec, centroids, False))
-            .withColumn("_sd_den", V.norm(vec))
+            .withColumn("_sd_cluster", assign_centroid(vec_col, centroids, False))
+            .withColumn("_sd_den", F.expr(V.norm_sql(_bq(vec_col))))
         )
     # EXPLICIT numPartitions: the pair join is compute-bound (one array dot
     # per candidate pair) on tiny shuffle bytes, exactly the shape where
@@ -997,16 +1062,22 @@ def semantic_dedup(
         F.col("_sd_den").alias("_sd_denb"),
     )
     if exact_decimal:
-        den = F.sqrt(F.col("_sd_dena") * F.col("_sd_denb"))
-        num = V.dot_units(F.col("_sd_va"), F.col("_sd_vb")).cast("double")
+        den = "SQRT((_sd_dena * _sd_denb))"
+        num = f"CAST({V.dot_units_sql('_sd_va', '_sd_vb')} AS DOUBLE)"
     else:
-        den = F.col("_sd_dena") * F.col("_sd_denb")
-        num = V.dot(F.col("_sd_va"), F.col("_sd_vb"))
-    pair_cos = F.when(den > 0, num / den)
+        den = "(_sd_dena * _sd_denb)"
+        num = V.dot_sql("_sd_va", "_sd_vb")
+    # one parsed predicate (round 11): CASE WHEN den > 0 THEN num/den END
+    # ≡ F.when(den > 0, num / den); the threshold literal rides an exact
+    # repr()-string double cast like every other SQL-twin literal
+    pair_sim = (
+        f"round(CASE WHEN {den} > 0 THEN {num} / {den} END, 6) "
+        f">= CAST('{float(cosine_threshold)!r}' AS DOUBLE)"
+    )
     dups = (
         a.join(b, "_sd_cluster")
         .where(F.col("_sd_a") < F.col("_sd_b"))
-        .where(F.round(pair_cos, 6) >= F.lit(cosine_threshold))
+        .where(F.expr(pair_sim))
         .select(F.col("_sd_b").alias(id_col))
         .distinct()
     )
@@ -1330,21 +1401,25 @@ def quantize_embeddings(
 
     Strictly map-only (one transform + array_max + transform), fused into
     the scan — quantizing 100 TB is one pass at IO speed.
+
+    Both columns are built as single parsed SQL expressions (round 11):
+    the Column-API form cost ~0.4 s of py4j round-trips per build and this
+    operator is constructed twice per quantized_topk plan.  The SQL mirrors
+    the spec token for token (same casts, same HALF_UP round, same
+    zero-scale CASE); value identity is pinned in tests/test_vector_units.py.
     """
-    amax = F.array_max(
-        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
-    )
+    v, sc = _bq(vec_col), _bq(scale_col)
     with_scale = df.withColumn(
-        scale_col, (amax / F.lit(127.0)).cast("double")
+        scale_col,
+        F.expr(
+            f"CAST(array_max(transform({v}, _qx -> abs(CAST(_qx AS DOUBLE)))) "
+            f"/ CAST('127.0' AS DOUBLE) AS DOUBLE)"
+        ),
     )
-    codes = F.transform(
-        F.col(vec_col),
-        lambda x: F.when(
-            F.col(scale_col) > 0,
-            F.round(x.cast("double") / F.col(scale_col), 0),
-        )
-        .otherwise(F.lit(0.0))
-        .cast("tinyint"),
+    codes = F.expr(
+        f"transform({v}, _qx -> CAST(CASE WHEN {sc} > 0 "
+        f"THEN round(CAST(_qx AS DOUBLE) / {sc}, 0) "
+        f"ELSE CAST(0 AS DOUBLE) END AS TINYINT))"
     )
     return with_scale.withColumn(codes_col, codes)
 
@@ -1449,18 +1524,20 @@ def quantized_topk(
         joined = (
             cvec.join(pairs, cand_id)
             .join(qvec, query_id)
-            .withColumn("_cu", V.units_arr(F.col("_cv")))
-            .withColumn("_qu", V.units_arr(F.col("_qv")))
+            .withColumn("_cu", F.expr(V.units_arr_sql("_cv")))
+            .withColumn("_qu", F.expr(V.units_arr_sql("_qv")))
         )
-        den = F.sqrt(
-            V.norm2_units(F.col("_qu")).cast("double")
-            * V.norm2_units(F.col("_cu")).cast("double")
-        )
-        cos = F.when(
-            den > 0, V.dot_units(F.col("_qu"), F.col("_cu")).cast("double") / den
+        den = (
+            f"SQRT((CAST({V.norm2_units_sql('_qu')} AS DOUBLE) "
+            f"* CAST({V.norm2_units_sql('_cu')} AS DOUBLE)))"
         )
         scored = joined.select(
-            query_id, cand_id, F.round(cos, 6).alias("cosine")
+            query_id,
+            cand_id,
+            F.expr(
+                f"round(CASE WHEN {den} > 0 THEN "
+                f"CAST({V.dot_units_sql('_qu', '_cu')} AS DOUBLE) / {den} END, 6)"
+            ).alias("cosine"),
         )
     else:
         scored = (
@@ -1469,7 +1546,9 @@ def quantized_topk(
             .select(
                 query_id,
                 cand_id,
-                F.round(V.cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+                F.expr(f"round({V.cosine_sql('_qv', '_cv')}, 6)").alias(
+                    "cosine"
+                ),
             )
         )
     return _finalize_topk(scored, query_id, cand_id, k)

@@ -30,6 +30,27 @@ def tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+def tokens_sql(text: str) -> str:
+    """SQL-string twin of :func:`tokens` (round 11): same split, same
+    regex.  ``text`` is a SQL fragment (quoted column name), not a Column.
+    The *_sql twins exist to collapse py4j round-trips in plan-building
+    hot paths — see functions/vector.py's renderer block for the measured
+    rationale; value identity is pinned in tests/test_dedup.py."""
+    return f"split({text}, '\\\\s+')"
+
+
+def shingles_sql(text: str, k: int = 3) -> str:
+    """SQL-string twin of :func:`shingles`: same let-binding
+    (``transform(array(tokens), ...)[0]``), same < k whole-doc fallback."""
+    return (
+        f"transform(array({tokens_sql(text)}), _tk -> "
+        f"CASE WHEN size(_tk) >= {k} THEN "
+        f"transform(sequence(0, greatest(size(_tk) - {k}, 0)), "
+        f"_i -> concat_ws(' ', slice(_tk, _i + 1, {k}))) "
+        f"ELSE array(concat_ws(' ', _tk)) END)[0]"
+    )
+
+
 def n_tokens(text: Column) -> Column:
     return F.size(tokens(text))
 

@@ -30,7 +30,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from r_e_hive__spark.functions.text import bind_once, shingles, tokens
+from r_e_hive__spark.functions.text import (
+    bind_once,
+    shingles,
+    shingles_sql,
+    tokens,
+)
 from r_e_hive__spark.operators import (
     SHINGLE_PANDAS_MIN_BYTES,
     ensure_parallelism,
@@ -246,15 +251,16 @@ def ngram_jaccard_pairs(
         if carry_n:
             # ONE let-bound shingling evaluation per doc: the distinct-gram
             # array binds once (interpreted-HOF discipline, functions/text
-            # bind_once) and each element pairs with the array's size
-            shingle_structs = bind_once(
-                F.array_distinct(shingles(F.col(text_col), k)),
-                lambda arr: F.transform(
-                    arr,
-                    lambda s: F.struct(
-                        s.alias("shingle"), F.size(arr).alias("_n")
-                    ),
-                ),
+            # bind_once) and each element pairs with the array's size.
+            # Built as ONE parsed SQL expression (round 11, the vector.py
+            # *_sql discipline): the Column-API construction of this tree
+            # was ~0.3 s of py4j round-trips per bench rep; the rendered
+            # tree is the same expression (parity in tests/test_dedup.py).
+            shingle_structs = F.expr(
+                f"transform(array(array_distinct("
+                f"{shingles_sql(f'`{text_col}`', k)})), _arr -> "
+                f"transform(_arr, _s -> "
+                f"struct(_s AS shingle, size(_arr) AS _n)))[0]"
             )
             exploded = src.select(
                 F.col(id_col).alias("_id"),
@@ -312,19 +318,11 @@ def ngram_jaccard_pairs(
         postings = postings.where(F.size("_ids") <= max_df)
     # all index pairs (i < j) of the sorted posting list, JVM-side
     if carry_n:
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                    lambda y: F.struct(
-                        x["_id"].alias("id_a"),
-                        x["_n"].alias("n_a"),
-                        y["_id"].alias("id_b"),
-                        y["_n"].alias("n_b"),
-                    ),
-                ),
-            )
+        pair_structs = F.expr(
+            "flatten(transform(_ids, (_x, _i) -> "
+            "transform(slice(_ids, _i + 2, size(_ids)), _y -> "
+            "struct(_x._id AS id_a, _x._n AS n_a, "
+            "_y._id AS id_b, _y._n AS n_b))))"
         )
         # min() keeps the hash aggregate partial (map-side combine); every
         # group's n_a/n_b values are equal under the unique-id contract

@@ -912,3 +912,40 @@ def test_jaccard_carried_n_plan_single_pass_join_free(spark, documents):
         )
     )
     assert "Join" in p_legacy
+
+
+def test_shingles_sql_twin_matches_column_spec(spark):
+    """Round-11 build-time pin: shingles_sql/tokens_sql (the one-parse SQL
+    renderers behind ngram_jaccard_pairs' carry path) must reproduce
+    shingles()/tokens() value-for-value on edge strings — whitespace runs,
+    Unicode whitespace (Java \\s is ASCII-only), short docs (< k fallback),
+    empty and NULL documents."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.functions.text import (
+        shingles,
+        shingles_sql,
+        tokens,
+        tokens_sql,
+    )
+
+    rows = [
+        ("a b c d e",),
+        ("  leading and   multiple   spaces ",),
+        ("one",),
+        ("two words",),
+        ("",),
+        (None,),
+        ("tab\tand\nnewline\rmix",),
+        ("nbsp stays one token",),  # Unicode WS: NOT a Java \s split
+    ]
+    df = spark.createDataFrame(rows, "t STRING")
+    got = df.select(
+        tokens(F.col("t")).alias("tok_c"),
+        F.expr(tokens_sql("`t`")).alias("tok_s"),
+        shingles(F.col("t"), 3).alias("sh_c"),
+        F.expr(shingles_sql("`t`", 3)).alias("sh_s"),
+    ).collect()
+    for r in got:
+        assert r["tok_c"] == r["tok_s"]
+        assert r["sh_c"] == r["sh_s"]

@@ -173,29 +173,30 @@ def ancestor_closure(
     while reach < max_levels:
         # Paths of length in (reach, 2*reach] decompose uniquely as
         # (exactly-reach prefix) + (suffix of length ≤ reach): join the
-        # exact-length frontier against the whole closure.
-        pfx_cols = [
-            F.col("node").alias("_n"),
-            F.col("ancestor").alias("_mid"),
-            F.col("level").alias("_l"),
-        ]
-        if ord_col is not None:
-            pfx_cols.append(F.col("max_ord").alias("_o"))
-        prefix = closure.where(F.col("level") == reach).select(*pfx_cols).alias("pfx")
-        suffix = closure.alias("sfx")
+        # exact-length frontier against the whole closure.  The per-round
+        # projections ride selectExpr/F.expr — one py4j round-trip per
+        # select instead of one per Column op (round 11: the loop's
+        # Column-API form was ~1.2 s of the benched j8_doubling rep; the
+        # rendered expressions are name-for-name identical).
+        pfx_cols = ["node AS _n", "ancestor AS _mid", "level AS _l"]
         ext_cols = [
-            F.col("pfx._n").alias("node"),
-            F.col("sfx.ancestor").alias("ancestor"),
-            (F.col("pfx._l") + F.col("sfx.level")).alias("level"),
+            "pfx._n AS node",
+            "sfx.ancestor AS ancestor",
+            "(pfx._l + sfx.level) AS level",
         ]
         if ord_col is not None:
-            ext_cols.append(
-                F.greatest(F.col("pfx._o"), F.col("sfx.max_ord")).alias("max_ord")
-            )
+            pfx_cols.append("max_ord AS _o")
+            ext_cols.append("greatest(pfx._o, sfx.max_ord) AS max_ord")
+        prefix = (
+            closure.where(F.col("level") == reach)
+            .selectExpr(*pfx_cols)
+            .alias("pfx")
+        )
+        suffix = closure.alias("sfx")
         ext = (
-            prefix.join(suffix, F.col("pfx._mid") == F.col("sfx.node"), "inner")
-            .select(*ext_cols)
-            .where(F.col("level") <= max_levels)
+            prefix.join(suffix, F.expr("pfx._mid = sfx.node"), "inner")
+            .selectExpr(*ext_cols)
+            .where(f"level <= {int(max_levels)}")
         )
         closure = closure.unionByName(ext)
         reach = min(reach * 2, max_levels)

@@ -55,6 +55,18 @@ def tokenize(text) -> Column:
     )
 
 
+def tokenize_sql(text: str) -> str:
+    """SQL-string twin of :func:`tokenize` (round 11, the vector.py *_sql
+    build discipline): ``text`` is a SQL fragment.  The doubled
+    backslashes survive the SQL string literal as the SAME Java regex
+    source TOKEN_SPLIT feeds the Column form; parity pinned in
+    tests/test_ranking.py."""
+    return (
+        f"filter(split(lower({text}), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+        f"_t -> _t != '')"
+    )
+
+
 def tokenize_py(text: str) -> list[str]:
     """The same tokenization for driver-side query strings and test
     references.  Reuses TOKEN_SPLIT (explicit ASCII class — NOT Python's
@@ -198,17 +210,16 @@ def bm25_search(
         # occurrences, doc_len is the same full-array size riding the
         # groupBy key, and docs with no matching term vanish in the
         # explode exactly as the postings filter dropped them.
-        from r_e_hive__spark.functions.text import bind_once
-
         # one tokenization per document: doc_len and the matched-token
-        # slice ride one let-bound struct (bind_once) instead of two
-        # independent evaluations of tokenize(text) in the projection
-        bound = bind_once(
-            tokenize(F.col(text_col)),
-            lambda t: F.struct(
-                F.size(t).alias("doc_len"),
-                F.filter(t, lambda tok: tok.isin(*terms)).alias("m"),
-            ),
+        # slice ride one let-bound struct (same transform(array(x), ...)[0]
+        # binding bind_once builds), constructed as ONE parsed SQL
+        # expression (round 11 — the Column form was ~0.2 s of py4j per
+        # bench rep; parity pinned in tests/test_ranking.py)
+        in_list = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+        bound = F.expr(
+            f"transform(array({tokenize_sql(f'`{text_col}`')}), _tk -> "
+            f"struct(size(_tk) AS doc_len, "
+            f"filter(_tk, _tok -> _tok IN ({in_list})) AS m))[0]"
         )
         hits = (
             df.select(F.col(id_col), bound.alias("_b"))
@@ -226,7 +237,11 @@ def bm25_search(
             # docs with >=1 token (empty/NULL docs are not retrievable) —
             # computed map-only, no postings shuffle
             stats = (
-                df.select(F.size(tokenize(F.col(text_col))).alias("doc_len"))
+                df.select(
+                    F.expr(
+                        f"size({tokenize_sql(f'`{text_col}`')})"
+                    ).alias("doc_len")
+                )
                 .where(F.col("doc_len") >= 1)
                 .agg(
                     F.count("*").alias("n_docs"),

@@ -449,3 +449,28 @@ def test_x23_fast_duckdb_disk_pairing_value_aligned(tmp_path):
     want = con.execute(load_all()["x23_bm25_topk"].oracle).fetchall()
     assert got == want
     con.close()
+
+
+def test_tokenize_sql_twin_matches_column_spec(spark):
+    """Round-11 build-time pin: tokenize_sql must reproduce tokenize()
+    value-for-value — lowercase, ASCII-only split (Unicode whitespace is
+    NOT a separator), empty-token removal, NULL/empty docs."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.ranking import tokenize, tokenize_sql
+
+    rows = [
+        ("The QUICK  brown\tfox\nruns",),
+        (" leading trailing ",),
+        ("",),
+        (None,),
+        ("nbsp stays one token",),
+        ("x0b\x0bsplits here",),
+    ]
+    df = spark.createDataFrame(rows, "t STRING")
+    got = df.select(
+        tokenize(F.col("t")).alias("c"),
+        F.expr(tokenize_sql("`t`")).alias("s"),
+    ).collect()
+    for r in got:
+        assert r["c"] == r["s"], r

@@ -687,12 +687,12 @@ def ivf_search(
 
 
 def hyperplane_bucket(
-    vec: Column,
+    vec: Column | str,
     dim: int = 64,
     n_planes: int = 16,
     planes: list[list[int]] | None = None,
     exact: bool = False,
-    units: Column | None = None,
+    units: Column | str | None = None,
 ) -> Column:
     """Deterministic random-hyperplane sign bucket for a vector.
 
@@ -720,6 +720,62 @@ def hyperplane_bucket(
                 f"hyperplane_bucket: need {n_planes} planes of dim {dim}, "
                 f"got {len(planes)} planes (wrong-length planes: {bad})"
             )
+    if isinstance(vec, str) and (units is None or isinstance(units, str)):
+        # One-parse SQL fast path (round 11, the vector.py *_sql build
+        # discipline): the Column loop below builds n_planes interpreted
+        # folds (~2-3 s of py4j per x4 build).  The rendered expression is
+        # the same arithmetic with the dimension guard let-bound ONCE
+        # (transform(array(guarded), _hb -> ...)[0]) instead of re-stated
+        # per plane — the guard either raises or passes the value through,
+        # so evaluating it once per row is value-identical.  Parity pinned
+        # in tests/test_similarity.py.
+        v = _bq(vec)
+        guard = (
+            f"CASE WHEN assert_true((({v}) IS NULL) OR (size({v}) = {dim}), "
+            f"'hyperplane_bucket: vector dim != {dim}') IS NULL "
+            f"THEN {{x}} END"
+        )
+        bits = []
+        for p in range(n_planes):
+            if planes is not None and exact:
+                arr = "array(" + ",".join(f"{int(c)}L" for c in planes[p]) + ")"
+                proj = (
+                    f"aggregate(zip_with(_hb, {arr}, (_x, _s) -> _x * _s), "
+                    f"CAST(0 AS BIGINT), (_da, _dv) -> _da + _dv)"
+                )
+                zero_sql = "CAST(0 AS BIGINT)"
+            elif planes is not None:
+                arr = "array(" + ",".join(str(int(c)) for c in planes[p]) + ")"
+                proj = (
+                    f"aggregate(zip_with(_hb, {arr}, "
+                    f"(_x, _s) -> CAST(_x AS DOUBLE) * _s), "
+                    f"CAST(0 AS DOUBLE), (_da, _dv) -> _da + _dv)"
+                )
+                zero_sql = "CAST(0 AS DOUBLE)"
+            else:
+                arr = (
+                    "array("
+                    + ",".join(str(p * 1009 + i * 9973) for i in range(dim))
+                    + ")"
+                )
+                proj = (
+                    f"aggregate(zip_with(_hb, {arr}, "
+                    f"(_x, _s) -> CAST(_x AS DOUBLE) * SIN(_s)), "
+                    f"CAST(0 AS DOUBLE), (_da, _dv) -> _da + _dv)"
+                )
+                zero_sql = "CAST(0 AS DOUBLE)"
+            bits.append(
+                f"(CASE WHEN {proj} > {zero_sql} "
+                f"THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        if exact:
+            src = _bq(units) if units is not None else V.units_arr_sql(v)
+        else:
+            src = v
+        bound = guard.format(x=src)
+        return F.expr(
+            f"transform(array({bound}), _hb -> {' + '.join(bits)})[0]"
+        )
     # Runtime dimension guard: zip_with null-pads a short vector, which
     # would silently zero the whole projection (bit=0) while an exact-SQL
     # oracle's NULL-skipping sum could still yield bit=1 — a latent
@@ -835,12 +891,12 @@ def lsh_neighbor_pairs(
             # pass exact_decimal through untouched: hyperplane_bucket raises
             # the documented ValueError on exact=True without frozen planes
             hyperplane_bucket(
-                F.col(vec_col),
+                vec_col,
                 dim,
                 n_planes,
                 planes=planes,
                 exact=True,
-                units=F.col("_lsh_u"),
+                units="_lsh_u",
             ).alias("_bucket"),
             F.expr(f"CAST({V.norm2_units_sql('_lsh_u')} AS DOUBLE)").alias("_den"),
         )
@@ -854,7 +910,7 @@ def lsh_neighbor_pairs(
             # -- the old `and planes is not None` silently downgraded to
             # double bucketing (round-4 review)
             hyperplane_bucket(
-                F.col(vec_col), dim, n_planes, planes=planes, exact=False
+                vec_col, dim, n_planes, planes=planes, exact=False
             ).alias("_bucket"),
             # per-row denominator part hoisted out of the O(pairs)
             # verification (the semantic_dedup discipline): computed ONCE

@@ -384,3 +384,55 @@ def test_persisted_ivf_index_partition_pruned_search(spark, clustered, tmp_path)
     assert any(d.startswith("_ivf_bucket=") for d in os.listdir(path)), (
         os.listdir(path)
     )
+
+
+def test_hyperplane_bucket_sql_path_matches_column_path(spark):
+    """Round-11 build-time pin: hyperplane_bucket(str) — the one-parse
+    SQL fast path — must reproduce hyperplane_bucket(Column) bucket for
+    bucket in all three modes (frozen-planes exact, frozen-planes
+    double, default sin directions), including NULL vectors (bucket 0
+    semantics ride the NULL projection on both paths)."""
+    from pyspark.sql import functions as F
+
+    from r_e_hive__spark.operators.similarity import hyperplane_bucket
+    from r_e_hive__spark.queries._lsh_planes import _LSH_PLANES
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dim = len(_LSH_PLANES[0])
+    null_row = spark.createDataFrame(
+        [(999_999, None)], emb.schema
+    )
+    df = emb.unionByName(null_row)
+    cases = [
+        dict(planes=_LSH_PLANES, exact=True),
+        dict(planes=_LSH_PLANES, exact=False),
+        dict(planes=None, exact=False),
+    ]
+    for kw in cases:
+        got = df.select(
+            "vec_id",
+            hyperplane_bucket("embedding", dim, 16, **kw).alias("s"),
+            hyperplane_bucket(F.col("embedding"), dim, 16, **kw).alias("c"),
+        ).collect()
+        for r in got:
+            assert r["s"] == r["c"], (r["vec_id"], kw)
+
+
+def test_hyperplane_bucket_sql_guard_still_raises(spark):
+    from r_e_hive__spark.operators.similarity import hyperplane_bucket
+    from r_e_hive__spark.queries._lsh_planes import _LSH_PLANES
+
+    dim = len(_LSH_PLANES[0])
+    df = spark.createDataFrame([(1, [0.5, 0.25])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    try:
+        df.select(
+            hyperplane_bucket("embedding", dim, 16, planes=_LSH_PLANES, exact=False)
+        ).collect()
+    except Exception as exc:
+        assert "vector dim" in str(exc)
+    else:
+        raise AssertionError("dimension guard did not fire on the SQL path")

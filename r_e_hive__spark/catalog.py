@@ -39,6 +39,12 @@ _REQUIRED_CONFS = {
     # cast semantics (error vs NULL) do not depend on which Spark the
     # driver ships — the engine is developed and tested under ANSI on
     "spark.sql.ansi.enabled": "true",
+    # the SQL-string twins (vector.py *_sql, text.tokens_sql/shingles_sql,
+    # ranking.tokenize_sql/_sql_str_lit) embed regexes and term literals
+    # that assume the parser's DEFAULT escape processing; a caller session
+    # with legacy escaping enabled would silently change tokenization /
+    # shingling semantics relative to the Column spec (ADVICE r11)
+    "spark.sql.parser.escapedStringLiterals": "false",
 }
 
 

@@ -67,6 +67,15 @@ def tokenize_sql(text: str) -> str:
     )
 
 
+def _sql_str_lit(s: str) -> str:
+    """Render a Python string as a SQL string literal that parses back to
+    the same value under the session's pinned escape semantics
+    (escapedStringLiterals=false): backslashes doubled first, then single
+    quotes doubled.  Value parity with the Column API on quote/backslash-
+    bearing terms is pinned in tests/test_ranking.py."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def tokenize_py(text: str) -> list[str]:
     """The same tokenization for driver-side query strings and test
     references.  Reuses TOKEN_SPLIT (explicit ASCII class — NOT Python's
@@ -215,7 +224,12 @@ def bm25_search(
         # binding bind_once builds), constructed as ONE parsed SQL
         # expression (round 11 — the Column form was ~0.2 s of py4j per
         # bench rep; parity pinned in tests/test_ranking.py)
-        in_list = ",".join("'" + t.replace("'", "''") + "'" for t in terms)
+        # term literals escape backslashes BEFORE quotes (ADVICE r11): the
+        # parser's default escape processing (escapedStringLiterals=false,
+        # pinned in catalog._REQUIRED_CONFS) would otherwise rewrite
+        # 'c:\temp' to 'c:<TAB>emp' and a trailing '\' would swallow the
+        # closing quote — diverging from the tok.isin(*terms) Column spec
+        in_list = ",".join(_sql_str_lit(t) for t in terms)
         bound = F.expr(
             f"transform(array({tokenize_sql(f'`{text_col}`')}), _tk -> "
             f"struct(size(_tk) AS doc_len, "

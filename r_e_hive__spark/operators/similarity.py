@@ -50,6 +50,45 @@ def _auto_strategy(exact_decimal: bool, gate_frame: DataFrame) -> str:
     return resolve_strategy(gate_frame, "expr", "numpy", BLAS_MIN_BYTES)
 
 
+def _topk_side(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    exact_decimal: bool,
+    tag: str,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """One side of the brute-force / IVF pair scan: ``(id[, bucket],
+    _{tag}vec, _{tag}n2)`` where the vec column is the pair-dot operand
+    (micro-unit array in exact mode, the raw vector otherwise) and n2 is
+    its squared norm as double.
+
+    Built as TWO stacked selects so the exact path quantizes each row ONCE:
+    the norm² fold references the MATERIALIZED unit array instead of
+    restating ``units_arr_sql`` inside ``norm2_units_sql`` — the round-11
+    one-select shape evaluated the 64-element decimal quantization three
+    times per row (once for the vec alias, twice inside the norm fold;
+    plans/r11/x3_cosine_topk_after.txt node 16), because Catalyst only
+    de-duplicates common subexpressions across Project aliases when they
+    sit in separate collapsible-but-expensive projections (CollapseProject
+    keeps the split when a non-cheap alias is referenced more than once).
+    In double mode the vec alias is a bare attribute (cheap), the projects
+    collapse, and the plan is byte-identical to the one-select form.
+    Value identity: the composed expressions are unchanged, only factored.
+    """
+    vec, n2 = f"_{tag}vec", f"_{tag}n2"
+    if exact_decimal:
+        side_vec = V.units_arr_sql(_bq(vec_col))
+        side_n2 = f"CAST({V.norm2_units_sql(_bq(vec))} AS DOUBLE)"
+    else:
+        side_vec = _bq(vec_col)
+        side_n2 = f"CAST({V.dot_sql(_bq(vec), _bq(vec))} AS DOUBLE)"
+    keep = [F.col(id_col)] + ([F.col(bucket_col)] if bucket_col else [])
+    return df.select(*keep, F.expr(side_vec).alias(vec)).select(
+        "*", F.expr(side_n2).alias(n2)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -110,26 +149,13 @@ def brute_force_topk(
     # 11): this constructor is also quantized_topk's shortlist stage, and
     # its Column-API form was ~0.8 s of py4j per build.  Fragments mirror
     # the Column spec exactly (tests/test_vector_units.py pins both modes).
-    v = _bq(vec_col)
     if exact_decimal:
-        side_vec = V.units_arr_sql(v)
-        side_n2 = f"CAST({V.norm2_units_sql(V.units_arr_sql(v))} AS DOUBLE)"
         pair_dot = V.dot_units_sql("_qvec", "_cvec")
     else:
-        side_vec = v
-        side_n2 = f"CAST({V.dot_sql(v, v)} AS DOUBLE)"
         pair_dot = V.dot_sql("_qvec", "_cvec")
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.expr(side_vec).alias("_qvec"),
-            F.expr(side_n2).alias("_qn2"),
-        )
-    )
-    c = ensure_parallelism(candidates).select(
-        F.col(cand_id),
-        F.expr(side_vec).alias("_cvec"),
-        F.expr(side_n2).alias("_cn2"),
+    q = F.broadcast(_topk_side(queries, query_id, vec_col, exact_decimal, "q"))
+    c = _topk_side(
+        ensure_parallelism(candidates), cand_id, vec_col, exact_decimal, "c"
     )
     # NULL (never ANSI DIVIDE_BY_ZERO) for zero-norm vectors, matching
     # cosine_exact's semantics; NULL-cosine rows are filtered after the
@@ -187,28 +213,20 @@ def ivf_topk(
     # per-side norm hoist, same reasoning (and bit-identity) as
     # brute_force_topk; the exact path also carries micro-unit arrays so the
     # probe-join dot is a BIGINT fold (round 11, see vector.dot_units)
-    v = _bq(vec_col)
     if exact_decimal:
-        side_vec = V.units_arr_sql(v)
-        side_n2 = f"CAST({V.norm2_units_sql(V.units_arr_sql(v))} AS DOUBLE)"
         pair_dot = V.dot_units_sql("_qvec", "_cvec")
     else:
-        side_vec = v
-        side_n2 = f"CAST({V.dot_sql(v, v)} AS DOUBLE)"
         pair_dot = V.dot_sql("_qvec", "_cvec")
     q = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.col(bucket_col),
-            F.expr(side_vec).alias("_qvec"),
-            F.expr(side_n2).alias("_qn2"),
-        )
+        _topk_side(queries, query_id, vec_col, exact_decimal, "q", bucket_col)
     )
-    c = ensure_parallelism(candidates).select(
-        F.col(cand_id),
-        F.col(bucket_col),
-        F.expr(side_vec).alias("_cvec"),
-        F.expr(side_n2).alias("_cn2"),
+    c = _topk_side(
+        ensure_parallelism(candidates),
+        cand_id,
+        vec_col,
+        exact_decimal,
+        "c",
+        bucket_col,
     )
     den = "SQRT((_qn2 * _cn2))"  # zero-norm guard, as above
     scored = q.join(c, bucket_col).select(
@@ -416,8 +434,16 @@ def train_kmeans(
 
 
 def _bq(name: str) -> str:
-    """Backtick-quote a column name for the SQL-string builders."""
-    return f"`{name}`"
+    """Render a str column argument for the SQL-string builders with
+    ``F.col``'s semantics (ADVICE r11): dots separate nested-field path
+    segments (``s.embedding`` → ``` `s`.`embedding` ```, restoring the
+    pre-round-11 struct-field contract of the str-typed signatures), and
+    embedded backticks are doubled per segment (the Spark quoted-identifier
+    escape) so an unusual column name cannot break out of the identifier
+    and inject SQL fragments."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
 
 
 def _scores_array_sql(
@@ -427,15 +453,18 @@ def _scores_array_sql(
     dot fragments, with the loud dimension guard attached to centroid 0
     exactly as the Column spec attaches it (CASE WHEN assert_true(...) IS
     NULL THEN dot END ≡ F.when(F.assert_true(...).isNull(), dot))."""
-    guard = (
+    # guard assembled by CONCATENATION, never str.format: vec_sql embeds a
+    # user identifier, and a '{'/'}' in it would turn .format into a
+    # KeyError/IndexError at build time (ADVICE r11)
+    guard_head = (
         f"CASE WHEN assert_true((({vec_sql}) IS NULL) OR "
         f"(size({vec_sql}) = {cdim}), "
         f"'embedding dimension != centroid dimension {cdim}') IS NULL "
-        f"THEN {{dot}} END"
+        f"THEN "
     )
     elems = []
     for j, d in enumerate(per_centroid_dots):
-        dd = guard.format(dot=d) if j == 0 else d
+        dd = guard_head + d + " END" if j == 0 else d
         elems.append(f"struct({dd} AS score, {j} AS idx)")
     return "array(" + ",".join(elems) + ")"
 
@@ -730,10 +759,12 @@ def hyperplane_bucket(
         # so evaluating it once per row is value-identical.  Parity pinned
         # in tests/test_similarity.py.
         v = _bq(vec)
-        guard = (
+        # guard assembled by concatenation, not str.format — v embeds a
+        # user identifier (ADVICE r11, same reasoning as _scores_array_sql)
+        guard_head = (
             f"CASE WHEN assert_true((({v}) IS NULL) OR (size({v}) = {dim}), "
             f"'hyperplane_bucket: vector dim != {dim}') IS NULL "
-            f"THEN {{x}} END"
+            f"THEN "
         )
         bits = []
         for p in range(n_planes):
@@ -772,7 +803,7 @@ def hyperplane_bucket(
             src = _bq(units) if units is not None else V.units_arr_sql(v)
         else:
             src = v
-        bound = guard.format(x=src)
+        bound = guard_head + src + " END"
         return F.expr(
             f"transform(array({bound}), _hb -> {' + '.join(bits)})[0]"
         )
@@ -981,10 +1012,25 @@ def lsh_neighbor_pairs(
         den = "(_dena * _denb)"
         num = V.dot_sql("_va", "_vb")
     pair_cos = f"round(CASE WHEN {den} > 0 THEN {num} / {den} END, 6)"
-    return (
-        joined.withColumn("cosine", F.expr(pair_cos))
-        .where(F.col("cosine") >= cosine_threshold)
-        .select("id_a", "id_b", "cosine")
+    # One fold evaluation per candidate pair (round 12, OPTIMIZATION_r11
+    # "not yet" item 7): the previous withColumn + where(cosine >= t) shape
+    # let Catalyst push the threshold below the Project, so every SURVIVOR
+    # re-evaluated the whole O(dim) dot fold a second time (the same
+    # duplicated-subtree class as _finalize_topk's round-11 fix).  Here the
+    # cosine is computed once into a 1-element array, thresholded INSIDE
+    # the filter lambda (which compares the computed element, not the
+    # expression), and emitted by explode — 0 or 1 rows per candidate.
+    # Value identity: a NULL cosine fails the lambda exactly as the old
+    # NULL predicate dropped the row; survivors emit the identical rounded
+    # value.  The threshold literal rides the exact repr() double cast like
+    # every other SQL-twin literal.
+    thr = f"CAST('{float(cosine_threshold)!r}' AS DOUBLE)"
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.expr(
+            f"explode(filter(array({pair_cos}), _pc -> _pc >= {thr}))"
+        ).alias("cosine"),
     )
 
 

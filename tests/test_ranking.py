@@ -451,6 +451,61 @@ def test_x23_fast_duckdb_disk_pairing_value_aligned(tmp_path):
     con.close()
 
 
+def test_bm25_backslash_quote_terms_match_column_spec(spark):
+    """ADVICE-r11 pin: the inline IN-list renders terms via _sql_str_lit
+    (backslashes doubled BEFORE quotes).  Under the session's pinned
+    escapedStringLiterals=false, a term like c:\\temp or a trailing-
+    backslash term must match the same docs as the postings path, whose
+    term filter is the Column-API ``F.col('term').isin(terms)`` spec."""
+    from r_e_hive__spark.operators import ranking as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see c:\\temp for logs"),
+            (2, "o'brien wrote c:\\temp notes"),
+            (3, "ends with end\\ token"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    terms = ["c:\\temp", "end\\", "o'brien"]
+    inline = {
+        (r["doc_id"], r["score"])
+        for r in R.bm25_search(docs, "text", "doc_id", terms).collect()
+    }
+    p = R.term_postings(docs, "text", "doc_id").localCheckpoint()
+    st = R.corpus_stats(p, "doc_id").localCheckpoint()
+    indexed = {
+        (r["doc_id"], r["score"])
+        for r in R.bm25_search(
+            docs, "text", "doc_id", terms, postings=p, stats=st
+        ).collect()
+    }
+    assert inline == indexed
+    assert {d for d, _ in inline} == {1, 2, 3}
+
+
+def test_sql_str_lit_roundtrips_adversarial_terms(spark):
+    """_sql_str_lit(s) must parse back to exactly s for every term shape
+    the tokenizer can emit (backslashes, quotes, mixes, trailing '\\')."""
+    from r_e_hive__spark.operators.ranking import _sql_str_lit
+
+    cases = ["plain", "c:\\temp", "end\\", "o'brien", "'\\''", "\\", "a''b\\\\c"]
+    got = spark.sql(
+        "SELECT " + ",".join(_sql_str_lit(c) for c in cases)
+    ).first()
+    assert list(got) == cases
+
+
+def test_escaped_string_literals_conf_is_pinned():
+    """The SQL-string twins embed regex/term literals that assume default
+    escape processing; the conf must ride _REQUIRED_CONFS so a caller
+    session with legacy escaping cannot change tokenization semantics."""
+    from r_e_hive__spark.catalog import _REQUIRED_CONFS
+
+    assert _REQUIRED_CONFS["spark.sql.parser.escapedStringLiterals"] == "false"
+
+
 def test_tokenize_sql_twin_matches_column_spec(spark):
     """Round-11 build-time pin: tokenize_sql must reproduce tokenize()
     value-for-value — lowercase, ASCII-only split (Unicode whitespace is

@@ -436,3 +436,53 @@ def test_hyperplane_bucket_sql_guard_still_raises(spark):
         assert "vector dim" in str(exc)
     else:
         raise AssertionError("dimension guard did not fire on the SQL path")
+
+
+def test_bq_dotted_and_backtick_identifiers():
+    """ADVICE-r11 pin: _bq renders str column args with F.col semantics —
+    dots separate nested-field path segments, embedded backticks are
+    doubled per segment (no identifier breakout)."""
+    from r_e_hive__spark.operators.similarity import _bq
+
+    assert _bq("embedding") == "`embedding`"
+    assert _bq("s.embedding") == "`s`.`embedding`"
+    assert _bq("we`ird") == "`we``ird`"
+    assert _bq("a.b`c") == "`a`.`b``c`"
+
+
+def test_brute_force_topk_nested_struct_vec_col(spark, embeddings):
+    """A dotted vec_col must resolve as a nested struct field (the
+    pre-round-11 F.col contract of the str-typed signatures) and return
+    the same top-k as the flat column."""
+    import pyspark.sql.functions as F
+
+    from r_e_hive__spark.operators import similarity as S
+
+    flat_q = embeddings.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat_c = embeddings.where(F.col("vec_id") < 50)
+    nested_q = flat_q.select(
+        "query_id", F.struct(F.col("embedding")).alias("s")
+    )
+    nested_c = flat_c.select(
+        "vec_id", F.struct(F.col("embedding")).alias("s")
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in S.brute_force_topk(
+            flat_q, flat_c, k=5, exact_decimal=False, strategy="expr"
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in S.brute_force_topk(
+            nested_q,
+            nested_c,
+            k=5,
+            vec_col="s.embedding",
+            exact_decimal=False,
+            strategy="expr",
+        ).collect()
+    )
+    assert got == want

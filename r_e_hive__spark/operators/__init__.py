@@ -38,6 +38,22 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
 SHINGLE_PANDAS_MIN_BYTES = 4 << 20  # ~30-40 k docs at fixture density
 BLAS_MIN_BYTES = 256 << 10  # ~600 × 64-dim vectors
 
+# Round-12 recalibration: the round-11/12 expr-path rewrites (SQL-parsed
+# builds, micro-unit folds, one-quantize-per-row, single pair-dot
+# evaluation) moved the BLAS crossover for the TOP-K SCAN shape — work
+# ∝ candidates × queries × dim, LIGHT per candidate byte — far above the
+# round-5 value.  Measured (brute_force_topk float, 4 queries, fenced
+# best-of-3, exec-only): sf0.1 0.8 MB expr 0.29 vs numpy 0.50; sf1
+# 5.2 MB expr 0.74 vs numpy 0.85; sf5 26 MB expr 1.03 vs numpy 0.62 —
+# crossover between 5 and 26 MB of candidate bytes.  The PAIR-JOIN shape
+# (semantic_dedup: work ∝ n²/k·dim, HEAVY per byte) keeps the original
+# low gate — measured same session: sf0.1 numpy 1.16 vs expr 2.03, sf1
+# numpy 3.4 vs expr 38.6.  One threshold cannot serve both shapes; the
+# per-task Python/Arrow tax is architecture-level (it exists on any
+# cluster), so both constants stay scale-expressed in candidate BYTES,
+# not local core counts.
+BLAS_MIN_BYTES_TOPK = 8 << 20  # ~16 k × 64-dim vectors
+
 
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for ``df``'s optimized plan, or None when

@@ -351,17 +351,61 @@ def save_postings(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def _postings_layout(spark, path: str):
+    """(stats_df, full_schema, n_buckets) for a :func:`save_postings`
+    layout, read DRIVER-SIDE via pyarrow — zero Spark jobs (round 12).
+
+    The previous shape paid three jobs per load (stats schema inference,
+    a ``first()`` to fetch n_buckets, postings schema inference) — ~0.33 s
+    of every indexed search on this box, and at 100 TB each is a driver
+    round-trip to the object store.  The stats table is one row and the
+    postings schema is one parquet footer; both are driver-scale metadata
+    reads, exactly like the md5 bucket routing itself.  Types are mapped
+    with the same arrow→Spark conversion the Arrow runtime uses
+    (``from_arrow_schema``), so the frames are type-identical to the old
+    scans (parity pinned in tests/test_ranking.py roundtrip tests)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    stats_tbl = pq.read_table(os.path.join(path, "stats"))
+    if "n_buckets" not in stats_tbl.schema.names or stats_tbl.num_rows == 0:
+        raise ValueError(
+            f"load_postings: {path}/stats is not a postings layout"
+        )
+    stats_schema = from_arrow_schema(stats_tbl.schema)
+    stats_df = spark.createDataFrame(
+        [tuple(row.values()) for row in stats_tbl.to_pylist()], stats_schema
+    )
+    n_buckets = int(stats_tbl.column("n_buckets")[0].as_py())
+    footers = glob.glob(
+        os.path.join(path, "postings", "term_bucket=*", "*.parquet")
+    )
+    if not footers:
+        raise ValueError(
+            f"load_postings: {path}/postings holds no parquet files"
+        )
+    data_schema = from_arrow_schema(pq.read_schema(footers[0]))
+    # the partition column rides the directory names; Spark's own
+    # discovery would type the 0..n_buckets-1 values as int
+    full_schema = StructType(
+        list(data_schema.fields) + [StructField("term_bucket", IntegerType())]
+    )
+    return stats_df.drop("n_buckets"), full_schema, n_buckets
+
+
 def load_postings(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     """(postings, stats, n_buckets) from a :func:`save_postings` layout.
     ``stats`` is returned WITHOUT the metadata column so it drops straight
-    into ``bm25_search(stats=...)``; n_buckets is read from the one-row
-    stats frame (a driver-scale read)."""
-    stats_full = spark.read.parquet(f"{path}/stats")
-    row = stats_full.first()
-    if row is None or "n_buckets" not in stats_full.columns:
-        raise ValueError(f"load_postings: {path}/stats is not a postings layout")
-    postings = spark.read.parquet(f"{path}/postings")
-    return postings, stats_full.drop("n_buckets"), int(row["n_buckets"])
+    into ``bm25_search(stats=...)``; layout metadata (schema, n_buckets,
+    the stats row) is read driver-side — no Spark job runs to open the
+    index (round 12, see :func:`_postings_layout`)."""
+    stats, full_schema, n_buckets = _postings_layout(spark, path)
+    postings = spark.read.schema(full_schema).parquet(f"{path}/postings")
+    return postings, stats, n_buckets
 
 
 def load_pruned_postings(
@@ -371,10 +415,40 @@ def load_pruned_postings(
     :func:`save_postings` layout — the ONE implementation of the routing
     contract (driver-side md5 bucket list pushed as a PartitionFilter),
     shared by :func:`bm25_search_indexed` and the bench fast twin so the
-    two can never desync (round-8 review)."""
-    postings, stats, n_buckets = load_postings(spark, index_path)
+    two can never desync (round-8 review).
+
+    Round 12: the scan is built over the probed buckets' DIRECTORIES
+    (``basePath`` + explicit per-bucket paths), so file listing touches
+    |query-term buckets| directories instead of all n_buckets — at 100 TB
+    the index listing, not the data, is the per-query floor.  The
+    ``term_bucket IN`` predicate still rides the scan as a
+    PartitionFilter (plan-pinned), and a query whose terms all route to
+    empty buckets returns an empty frame of the postings schema instead
+    of scanning anything."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    stats, full_schema, n_buckets = _postings_layout(spark, index_path)
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
-    pruned = postings.where(F.col("term_bucket").isin(buckets)).drop("term_bucket")
+    root = os.path.join(index_path, "postings")
+    dirs = [
+        d
+        for b in buckets
+        if os.path.isdir(d := os.path.join(root, f"term_bucket={b}"))
+    ]
+    if not dirs:
+        empty_schema = StructType(
+            [f for f in full_schema.fields if f.name != "term_bucket"]
+        )
+        return spark.createDataFrame([], empty_schema), stats
+    pruned = (
+        spark.read.option("basePath", root)
+        .schema(full_schema)
+        .parquet(*dirs)
+        .where(F.col("term_bucket").isin(buckets))
+        .drop("term_bucket")
+    )
     return pruned, stats
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from r_e_hive__spark.functions import vector as V
 from r_e_hive__spark.operators import (
     BLAS_MIN_BYTES,
+    BLAS_MIN_BYTES_TOPK,
     ensure_parallelism,
     resolve_strategy,
 )
@@ -39,15 +40,26 @@ def _paired_cosine(exact: bool, a: Column, b: Column) -> Column:
     return V.cosine_exact(a, b) if exact else V.cosine(a, b)
 
 
-def _auto_strategy(exact_decimal: bool, gate_frame: DataFrame) -> str:
+def _auto_strategy(
+    exact_decimal: bool, gate_frame: DataFrame, min_bytes: int | None = None
+) -> str:
     """Shared strategy="auto" resolution (one implementation so a gate fix
     lands everywhere — the plan_fits_broadcast discipline): exact_decimal
     forces the oracle-capable expr path (numpy cannot honor it); otherwise
     numpy/expr by the measured BLAS crossover on the frame the scan
-    actually reads."""
+    actually reads.  ``min_bytes`` selects the crossover for the caller's
+    compute shape (round 12): the top-k scans pass BLAS_MIN_BYTES_TOPK
+    (light work per candidate byte); the default BLAS_MIN_BYTES is the
+    pair-join crossover (semantic_dedup's n²/k work per byte) — the
+    calibration tables live next to the constants in operators/__init__."""
     if exact_decimal:
         return "expr"
-    return resolve_strategy(gate_frame, "expr", "numpy", BLAS_MIN_BYTES)
+    return resolve_strategy(
+        gate_frame,
+        "expr",
+        "numpy",
+        BLAS_MIN_BYTES if min_bytes is None else min_bytes,
+    )
 
 
 def _topk_side(
@@ -126,7 +138,9 @@ def brute_force_topk(
     (BASELINE.md), so corpus-scale callers get the ~11x path by default
     (round-5 VERDICT item 4)."""
     if strategy == "auto":
-        strategy = _auto_strategy(exact_decimal, candidates)
+        strategy = _auto_strategy(
+            exact_decimal, candidates, BLAS_MIN_BYTES_TOPK
+        )
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -201,7 +215,9 @@ def ivf_topk(
     ``exact_decimal``, else by candidate size at the measured BLAS
     crossover (brute_force_topk's gate)."""
     if strategy == "auto":
-        strategy = _auto_strategy(exact_decimal, candidates)
+        strategy = _auto_strategy(
+            exact_decimal, candidates, BLAS_MIN_BYTES_TOPK
+        )
     if strategy == "numpy":
         if exact_decimal:
             raise ValueError("exact_decimal requires strategy='expr'")
@@ -1578,6 +1594,7 @@ def quantized_topk(
         strategy = _auto_strategy(
             exact_decimal,
             candidate_codes if candidate_codes is not None else candidates,
+            BLAS_MIN_BYTES_TOPK,
         )
     if exact_decimal and strategy != "expr":
         raise ValueError("exact_decimal requires strategy='expr'")

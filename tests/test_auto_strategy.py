@@ -118,7 +118,7 @@ def test_brute_force_auto_respects_exact_decimal(spark, embeddings, monkeypatch)
     )
     # exact_decimal (the default) must resolve to expr even when the size
     # gate would pick numpy
-    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES_TOPK", 1)
     want_exact = _rows(
         S.brute_force_topk(qs, embeddings, k=5, strategy="expr")
     )
@@ -140,12 +140,12 @@ def test_brute_force_auto_matches_both(spark, embeddings, monkeypatch):
         )
     )
     assert want_expr == want_np
-    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1 << 60)
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES_TOPK", 1 << 60)
     assert (
         _rows(S.brute_force_topk(qs, embeddings, k=5, exact_decimal=False))
         == want_expr
     )
-    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES_TOPK", 1)
     assert (
         _rows(S.brute_force_topk(qs, embeddings, k=5, exact_decimal=False))
         == want_np
@@ -162,9 +162,9 @@ def test_quantized_auto_matches_both(spark, embeddings, monkeypatch):
     )
     want_np = _rows(S.quantized_topk(qs, embeddings, strategy="numpy", **kw))
     assert want_expr == want_np
-    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1 << 60)
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES_TOPK", 1 << 60)
     assert _rows(S.quantized_topk(qs, embeddings, **kw)) == want_expr
-    monkeypatch.setattr(S, "BLAS_MIN_BYTES", 1)
+    monkeypatch.setattr(S, "BLAS_MIN_BYTES_TOPK", 1)
     assert _rows(S.quantized_topk(qs, embeddings, **kw)) == want_np
     # exact_decimal forces expr under auto (no "requires expr" error)
     assert (

@@ -23,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROUND_DIR = "plans/r11"
+ROUND_DIR = os.path.join("plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
 
 
 def main() -> None:

@@ -586,7 +586,18 @@ def minhash_lsh_pairs(
     minhashes.  If ``jaccard_threshold`` is set, candidates are verified with
     the *exact* shingle Jaccard (join back to shingle sets) — LSH recall with
     exact precision."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # Lazy localCheckpoint (round 12): the banded frame feeds BOTH join
+    # sides, and exchange reuse never fires over an InMemoryRelation
+    # source (measured — see semantic_dedup), so the full shingle +
+    # 32×xxhash64 + min-agg shuffle ran TWICE per query.  The signature
+    # frame is metadata-scale (id + num_hashes longs ≈ 260 B/doc — the
+    # guide-§8 "decide with small rows" proxy), so materializing it once
+    # on executor storage is cheap at any corpus size and halves the
+    # dominant x2-family cost.  eager=False keeps the operator lazy;
+    # every invocation recomputes from the input.
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).localCheckpoint(
+        eager=False
+    )
     banded = band_signatures(sig, id_col, num_hashes, bands)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
@@ -617,9 +628,30 @@ def minhash_lsh_pairs(
     # shingle set and compute exact Jaccard with array_intersect.  Cost is
     # linear in |candidates| — recomputing the full exact pair join here
     # would silently reintroduce the quadratic blow-up LSH exists to avoid.
-    sets = df.select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("_sset"),
+    #
+    # Round 12: shingle only the CANDIDATE docs.  The previous shape
+    # computed `sets` over the whole corpus and scanned it twice (sa and
+    # sb sides) — two more full shingling passes to verify a candidate
+    # list that is tiny by construction.  The candidate-id semi-join
+    # prunes df BEFORE shingling (guide §3.2's reduce-the-big-side), so
+    # verification shingles O(|candidate ids|) docs; est is checkpointed
+    # first because deriving the id list would otherwise re-run the whole
+    # banded join per consumer (the same no-reuse hazard as above), and
+    # the pruned sets frame is checkpointed so sa/sb read one
+    # materialization.  Values are identical: the sa/sb joins are inner
+    # on ids drawn from est itself.
+    est = est.localCheckpoint(eager=False)
+    cand_ids = (
+        est.select(F.explode(F.array("id_a", "id_b")).alias("_sid"))
+        .distinct()
+    )
+    sets = (
+        df.join(cand_ids, F.col(id_col) == F.col("_sid"), "left_semi")
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("_sset"),
+        )
+        .localCheckpoint(eager=False)
     )
     sa = sets.select(F.col("_sid").alias("id_a"), F.col("_sset").alias("_set_a"))
     sb = sets.select(F.col("_sid").alias("id_b"), F.col("_sset").alias("_set_b"))
@@ -701,7 +733,13 @@ def simhash_neardup_pairs(
             f"guarantee (<={_SIMHASH_CHUNKS - 1}); use more/narrower bands "
             f"for larger radii"
         )
-    sh = simhash64(df, text_col, id_col)
+    # Lazy localCheckpoint (round 12): both join sides consume the
+    # fingerprint frame, and exchange reuse never fires over a cached
+    # source (see semantic_dedup), so the tokenize + 64-vote aggregation
+    # AND its shuffle ran twice per query.  A fingerprint row is id + one
+    # long (~16 B/doc) — materializing it once is metadata-scale at any
+    # corpus size.  eager=False keeps the operator lazy.
+    sh = simhash64(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sh.select(
         id_col,
         "simhash",

@@ -1166,7 +1166,27 @@ def semantic_dedup(
     # explicit 32-way spread; BASELINE.md).  A user-specified repartition
     # survives AQE; both join sides share the distribution so the join
     # adds no further exchange.
-    base = base.repartition(n_part, "_sd_cluster")
+    #
+    # Round 12: LAZY localCheckpoint of the assigned base.  The round-11
+    # "one frame feeds all three consumers" shape relied on AQE exchange
+    # reuse, but reuse NEVER fires over an InMemoryRelation source
+    # (measured: a minimal self-join reuses its exchange; the same join
+    # over a cached table does not) — so the executed x17 plan ran the
+    # scan + centroid assignment + both shuffles THREE times, and the
+    # inner join's inferred isnotnull(_sd_cluster) pushed below the
+    # projection re-evaluated the whole k×dim assignment fold per row
+    # twice more (guide §4.4's duplication class, built-in edition).
+    # Truncating lineage here (guide §3.3/§5) materializes the assigned,
+    # cluster-partitioned rows ONCE on executor storage (memory-and-disk,
+    # spill-safe) and all three consumers read that: sf0.1 exact x17 exec
+    # 1.65 → 0.69 s, rows identical.  Laziness is preserved (eager=False
+    # — nothing runs at build time, every invocation recomputes).  The
+    # production 100 TB path is the numpy strategy above (single-consumer
+    # applyInPandas); this expr path serves oracle replays and sub-gate
+    # corpora, where one materialization strictly beats three recomputes.
+    base = base.repartition(n_part, "_sd_cluster").localCheckpoint(
+        eager=False
+    )
     a = base.select(
         F.col("_sd_cluster"),
         F.col(id_col).alias("_sd_a"),

@@ -1023,6 +1023,14 @@ def duplicate_spans(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    # Lazy localCheckpoint (round 12): the windowed-hash stream feeds both
+    # the >1-occurrence aggregate and the semi-join left side, and shared
+    # subplans re-execute per consumer (no exchange reuse over cached
+    # sources — see semantic_dedup), so the per-position hashing pass ran
+    # twice.  The stream is (id, pos, hash) — fixed-width rows, no text —
+    # and materializing it once costs less than re-hashing every window
+    # of the corpus.
+    exploded = exploded.localCheckpoint(eager=False)
     dup_h = (
         exploded.groupBy("_h")
         .agg(F.count("*").alias("_c"))

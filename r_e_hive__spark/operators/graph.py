@@ -330,7 +330,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
+            # Lazy checkpoint of the RETURNED labeling (round 12): callers
+            # consume it more than once (incremental_neardup derives both
+            # history components and new labels from it), and each
+            # consumer would otherwise replay the last un-checkpointed
+            # propagation rounds — (node, component) is tiny, so pinning
+            # it is metadata-scale.  No-op when the converged round
+            # already checkpointed.
+            if (it + 1) % checkpoint_every == 0:
+                return labels
+            return labels.localCheckpoint(eager=False)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds max_iter; raise max_iter or use a "

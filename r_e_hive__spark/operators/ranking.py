@@ -143,7 +143,17 @@ def tfidf(
     join on ``term``, which co-partitions with the postings build when
     the postings were persisted partitioned by term.
     """
-    p = postings if postings is not None else term_postings(df, text_col, id_col)
+    # When building the postings inline, pin them once (round 12): three
+    # consumers (document frequencies, the doc count, the weight join)
+    # would each re-run the tokenize + explode + groupBy pass — shared
+    # subplans re-execute per consumer over cached sources.  The postings
+    # frame is metadata-scale ((id, term, tf, doc_len), no text).  A
+    # caller-supplied postings frame is used as-is.
+    p = (
+        postings
+        if postings is not None
+        else term_postings(df, text_col, id_col).localCheckpoint(eager=False)
+    )
     dfreq = document_frequencies(p, id_col)
     n = p.select(id_col).distinct().agg(F.count("*").alias("n_docs"))
     if plan_fits_broadcast(dfreq):
@@ -235,27 +245,42 @@ def bm25_search(
             f"struct(size(_tk) AS doc_len, "
             f"filter(_tk, _tok -> _tok IN ({in_list})) AS m))[0]"
         )
-        hits = (
+        # ONE tokenization pass total (round 12): the per-doc bound struct
+        # already carries doc_len AND the matched-token slice, so BOTH the
+        # hits pipeline and the corpus stats derive from it — the previous
+        # shape ran a second full tokenize pass just for (n_docs, avgdl),
+        # and shared subplans re-execute per consumer over cached sources
+        # (see semantic_dedup), so the lazy localCheckpoint pins the
+        # per-doc frame once.  It is metadata-scale: doc_len + the query
+        # terms' matches only, never the text.
+        per_doc = (
             df.select(F.col(id_col), bound.alias("_b"))
             .select(
                 id_col,
                 F.col("_b.doc_len").alias("doc_len"),
-                F.explode("_b.m").alias("term"),
+                F.col("_b.m").alias("_m"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # hits feeds both the per-term df aggregate and the scoring join;
+        # it is candidate-scale (docs × matched query terms), so pin it
+        # once as well — the indexed path above is NOT pinned, so its
+        # bucket PartitionFilter stays visible in the consuming plan
+        # (plan-asserted in tests/test_ranking.py)
+        hits = (
+            per_doc.select(
+                id_col, "doc_len", F.explode("_m").alias("term")
             )
             .groupBy(id_col, "doc_len", "term")
             .agg(F.count("*").alias("tf"))
             .select(id_col, "term", "tf", "doc_len")
+            .localCheckpoint(eager=False)
         )
         if stats is None:
             # same (n_docs, avgdl) population as corpus_stats(term_postings):
-            # docs with >=1 token (empty/NULL docs are not retrievable) —
-            # computed map-only, no postings shuffle
+            # docs with >=1 token (empty/NULL docs are not retrievable)
             stats = (
-                df.select(
-                    F.expr(
-                        f"size({tokenize_sql(f'`{text_col}`')})"
-                    ).alias("doc_len")
-                )
+                per_doc.select("doc_len")
                 .where(F.col("doc_len") >= 1)
                 .agg(
                     F.count("*").alias("n_docs"),
